@@ -1,0 +1,113 @@
+"""ngsxfem_tpu — a TPU-native unfitted finite element framework.
+
+A from-scratch JAX/XLA re-design with the capabilities of ngsxfem
+(ChrLackner/ngsxfem): level-set geometry, cut quadrature, unfitted FE spaces,
+cut symbolic assembly, ghost penalty, isoparametric level-set curving,
+space-time unfitted FEM, and CutFEM multigrid — built on batched fixed-shape
+tensor kernels, jit compilation, and SPMD sharding instead of per-element
+C++ virtual dispatch.
+"""
+from .config import config, set_default_dtype  # noqa: F401  (enables x64)
+
+from .domaintype import (  # noqa: F401
+    DOMAIN_TYPE,
+    COMBINED_DOMAIN_TYPE,
+    NEG,
+    POS,
+    IF,
+    CDOM_NEG,
+    CDOM_POS,
+    UNCUT,
+    HASNEG,
+    HASPOS,
+    ANY,
+    all_domain_types,
+    all_combined_domain_types,
+    TO_CDT,
+    INVERT,
+)
+
+from .cf.coefficient import (  # noqa: F401
+    CF,
+    CoefficientFunction,
+    Parameter,
+    x,
+    y,
+    z,
+    sin,
+    cos,
+    tan,
+    exp,
+    log,
+    sqrt,
+    atan,
+    sinh,
+    cosh,
+    fabs,
+    floor,
+    ceil,
+    IfPos,
+    Norm,
+    InnerProduct,
+    specialcf,
+)
+
+from .mesh.mesh import Mesh  # noqa: F401
+from .mesh.structured import (  # noqa: F401
+    Make1DMesh,
+    MakeStructured2DMesh,
+    MakeStructured3DMesh,
+)
+
+from .fem.space import (  # noqa: F401
+    FESpace,
+    H1,
+    L2,
+    VectorH1,
+    VectorL2,
+    BitArray,
+    CompoundBitArray,
+    Compress,
+    GetDofsOfElements,
+    FESpaceFactory,
+)
+from .fem.gridfunction import (  # noqa: F401
+    GridFunction,
+    grad,
+    InterpolateToP1,
+)
+
+from .integrate import Integrate  # noqa: F401
+
+from .geom.cutinfo import (  # noqa: F401
+    CutInfo,
+    GetFacetsWithNeighborTypes,
+    GetElementsWithNeighborFacets,
+    GetDofsOfFacets,
+    IndicatorCF,
+    CutRatioGF,
+    VOL,
+    BND,
+)
+
+from .forms.assemble import (  # noqa: F401
+    BilinearForm,
+    LinearForm,
+    RestrictedBilinearForm,
+    SymbolicBFI,
+    SymbolicLFI,
+    SymbolicFacetPatchBFI,
+)
+from .forms.proxies import dn, div  # noqa: F401
+from .solvers.sparse import SparseMatrix  # noqa: F401
+
+# NGSolve-style: FESpace([V1, V2]) builds a compound product space.
+from .fem import space as _space_mod
+
+
+def FESpace(arg, dgjumps=False, **kw):  # noqa: F811  (shadow the class export)
+    """`FESpace([V1, V2, ...])` builds a compound space (NGSolve-style)."""
+    if isinstance(arg, (list, tuple)):
+        return _space_mod.CompoundFESpace(arg, dgjumps=dgjumps)
+    raise TypeError("FESpace(...) expects a list of component spaces; "
+                    "use H1/L2/VectorH1 for scalar spaces")

@@ -1,0 +1,50 @@
+"""Global configuration for ngsxfem_tpu.
+
+The quadrature-exactness contract of the reference test suite
+(``tests/pytests/test_straightcutrule.py:31`` in ChrLackner/ngsxfem) demands
+absolute errors below ``5e-15*(order+1)**2`` — only reachable in float64.  We
+therefore enable JAX x64 mode at import time.  On TPU, float64 is emulated
+(slow); performance-critical paths accept an explicit ``dtype`` argument so
+benchmarks can run the compute pipeline in float32/bfloat16 while tests run
+geometry in float64 (on the CPU backend).
+"""
+from __future__ import annotations
+
+import os
+
+import jax
+
+# Enable x64 before any array is created.  Users can opt out by setting
+# NGSXFEM_TPU_X64=0 in the environment before importing the package.
+if os.environ.get("NGSXFEM_TPU_X64", "1") != "0":
+    jax.config.update("jax_enable_x64", True)
+
+import jax.numpy as jnp  # noqa: E402  (after x64 flag)
+import numpy as np  # noqa: E402
+
+
+class _Config:
+    """Mutable global defaults."""
+
+    def __init__(self):
+        # dtype used for geometry/quadrature arrays created by the library
+        self.dtype = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
+        # integer dtype for index arrays (dof maps, element arrays)
+        self.itype = jnp.int32
+        # relative epsilon used to push level-set vertex values away from 0
+        # (mirrors the guard in reference straightcutrule.cpp:548-556)
+        self.lset_eps = 1e-14
+        # threshold (ndof) below which ``Inverse`` materialises a dense matrix
+        self.dense_solve_max_ndof = 20000
+
+    @property
+    def np_dtype(self):
+        return np.dtype(self.dtype.dtype.name if hasattr(self.dtype, "dtype") else self.dtype)
+
+
+config = _Config()
+
+
+def set_default_dtype(dtype):
+    """Set the default floating dtype for newly created meshes/spaces."""
+    config.dtype = dtype

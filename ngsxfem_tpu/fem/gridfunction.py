@@ -1,0 +1,297 @@
+"""GridFunctions: dof vectors with CF evaluation hooks.
+
+A GridFunction IS a CoefficientFunction (as in NGSolve); its evaluation at a
+batch of quadrature points is a gather + einsum over the basis tables from
+``fem.basis``.  Vectors are immutable jnp arrays — assignment replaces the
+array (functional style); a thin ``.vec``/``.data`` shim keeps reference-like
+scripts readable.
+"""
+from __future__ import annotations
+
+import numpy as np
+import jax.numpy as jnp
+
+from ..config import config
+from ..cf.coefficient import CF, wrap
+from ..cf.context import EvalCtx, eval_pure
+from .basis import shapes, dshapes
+from .space import (
+    FESpace,
+    H1,
+    CompoundFESpace,
+    CompressedFESpace,
+    VectorFESpace,
+)
+
+
+class VecShim:
+    """NGSolve-ish view of a GridFunction's dof vector.
+
+    Supports ``gfu.vec.data = expr``, ``gfu.vec[:] = 0.0``,
+    ``gfu.vec.CreateVector()``, ``gfu.vec.FV().NumPy()``.
+    """
+
+    def __init__(self, gf):
+        object.__setattr__(self, "_gf", gf)
+
+    @property
+    def data(self):
+        return self._gf._array
+
+    @data.setter
+    def data(self, v):
+        self._gf._set_array(jnp.asarray(v))
+
+    def __setitem__(self, idx, v):
+        arr = np.asarray(self._gf._array).copy()
+        arr[idx] = v
+        self._gf._set_array(jnp.asarray(arr))
+
+    def __getitem__(self, idx):
+        return self._gf._array[idx]
+
+    def __len__(self):
+        return self._gf._array.shape[0]
+
+    def __array__(self, dtype=None):
+        return np.asarray(self._gf._array, dtype=dtype)
+
+    def CreateVector(self):
+        return StandaloneVec(jnp.zeros_like(self._gf._array))
+
+    def FV(self):
+        return self
+
+    def NumPy(self):
+        return np.asarray(self._gf._array)
+
+    # arithmetic delegates to the underlying array
+    def __add__(self, o):
+        return self._gf._array + _a(o)
+
+    def __sub__(self, o):
+        return self._gf._array - _a(o)
+
+    def __mul__(self, o):
+        return self._gf._array * o
+
+    def __rmul__(self, o):
+        return o * self._gf._array
+
+
+class StandaloneVec:
+    def __init__(self, arr):
+        self.arr = jnp.asarray(arr)
+
+    @property
+    def data(self):
+        return self.arr
+
+    @data.setter
+    def data(self, v):
+        self.arr = jnp.asarray(v)
+
+    def __array__(self, dtype=None):
+        return np.asarray(self.arr, dtype=dtype)
+
+    def __add__(self, o):
+        return self.arr + _a(o)
+
+    def __sub__(self, o):
+        return self.arr - _a(o)
+
+
+def _a(o):
+    if isinstance(o, (VecShim, StandaloneVec)):
+        return o.data
+    return o
+
+
+class GridFunction(CF):
+    def __init__(self, space, name="gf", _parent=None, _block=None):
+        self.space = space
+        self.name = name
+        self._parent = _parent
+        self._block = _block
+        if _parent is None:
+            self._array = jnp.zeros((space.ndof,), dtype=config.dtype)
+        vd = getattr(space, "vdim", 1)
+        self.dims = () if vd == 1 else (vd,)
+        if isinstance(space, CompoundFESpace):
+            self.components = tuple(
+                GridFunction(s, name=f"{name}.{i}", _parent=self, _block=i)
+                for i, s in enumerate(space.components)
+            )
+        else:
+            self.components = ()
+
+    # -- dof vector ---------------------------------------------------------
+    @property
+    def _arr(self):
+        if self._parent is not None:
+            sl = self._parent.space.Range(self._block)
+            return self._parent._array[sl]
+        return self._array
+
+    def _set_array(self, v):
+        if self._parent is not None:
+            sl = self._parent.space.Range(self._block)
+            self._parent._set_array(self._parent._array.at[sl].set(v))
+        else:
+            self._array = jnp.asarray(v, dtype=config.dtype)
+
+    @property
+    def _array_resolved(self):
+        return self._arr
+
+    @property
+    def vec(self):
+        return VecShim(self) if self._parent is None else _CompVecShim(self)
+
+    @vec.setter
+    def vec(self, v):
+        if isinstance(v, (VecShim, StandaloneVec)):
+            v = v.data
+        self._set_array(jnp.asarray(v))
+
+    # -- interpolation ------------------------------------------------------
+    def Set(self, cf, boundary=False, definedonelements=None, BND=None):
+        """Nodal interpolation of `cf` (NGSolve ``GridFunction.Set`` analog)."""
+        cf = wrap(cf)
+        sp = self.space
+        if isinstance(sp, CompoundFESpace):
+            raise TypeError("Set on compound GF: use components")
+        scal = sp.scalar if isinstance(sp, VectorFESpace) else sp
+        ctx = EvalCtx(
+            sp.mesh,
+            jnp.asarray(scal.dof_rep_ref, dtype=config.dtype)[:, None, :],
+            elem_ids=jnp.asarray(scal.dof_rep_elem),
+        )
+        vals = eval_pure(cf, ctx)
+        if isinstance(sp, VectorFESpace):
+            vals = jnp.broadcast_to(vals, (scal.ndof, 1, sp.vdim))
+            new = vals[:, 0, :].T.reshape(-1)  # block layout
+        else:
+            vals = jnp.broadcast_to(vals, (scal.ndof, 1))
+            new = vals[:, 0]
+        if boundary or BND:
+            mask = jnp.asarray(scal.bc_of_dof > 0)
+            if isinstance(sp, VectorFESpace):
+                mask = jnp.tile(mask, sp.vdim)
+            new = jnp.where(mask, new, self._arr)
+        if definedonelements is not None:
+            from .space import GetDofsOfElements
+
+            mask = GetDofsOfElements(sp, definedonelements).jnp
+            new = jnp.where(mask, new, self._arr)
+        self._set_array(new)
+
+    def Deriv(self):
+        return GradGF(self)
+
+    # -- CF evaluation ------------------------------------------------------
+    def _eval_pure(self, ctx: EvalCtx):
+        return gf_value(self, ctx.elem_ids, ctx.ref_pts, ctx)
+
+    def __repr__(self):
+        return f"GridFunction({self.space}, name={self.name})"
+
+
+class _CompVecShim(VecShim):
+    """vec shim for component grid functions."""
+
+    @property
+    def data(self):
+        return self._gf._arr
+
+    @data.setter
+    def data(self, v):
+        self._gf._set_array(jnp.asarray(v))
+
+    def __setitem__(self, idx, v):
+        arr = np.asarray(self._gf._arr).copy()
+        arr[idx] = v
+        self._gf._set_array(jnp.asarray(arr))
+
+    def __len__(self):
+        return self._gf._arr.shape[0]
+
+
+class GradGF(CF):
+    def __init__(self, gf: GridFunction):
+        self.gf = gf
+        d = gf.space.mesh.dim
+        vd = getattr(gf.space, "vdim", 1)
+        self.dims = (d,) if vd == 1 else (vd, d)
+
+    def _eval_pure(self, ctx: EvalCtx):
+        val, gref = gf_ref_value_and_grad(self.gf, ctx.elem_ids, ctx.ref_pts)
+        # push-forward: grad_phys = Jinv^T-contract: g_phys[g] = sum_d gref[d] Jinv[d,g]
+        if self.dims == (ctx.mesh.dim,):
+            return jnp.einsum("eqd,eqdg->eqg", gref[..., 0, :], ctx.Jinv)
+        return jnp.einsum("eqcd,eqdg->eqcg", gref, ctx.Jinv)
+
+
+def _space_el2dof_and_vec(gf: GridFunction):
+    sp = gf.space
+    vec = gf._arr
+    if isinstance(sp, CompressedFESpace):
+        # el2dof already remapped
+        return sp, sp.el2dof, vec
+    return sp, sp.el2dof, vec
+
+
+def gf_value(gf: GridFunction, elem_ids, ref_pts, ctx=None):
+    """Value of gf at (elem, refpt) batches -> (E,Q) or (E,Q,vdim)."""
+    sp, el2dof, vec = _space_el2dof_and_vec(gf)
+    if isinstance(sp, CompoundFESpace):
+        raise TypeError("evaluate components of a compound GridFunction")
+    scal_vec = vec
+    vdim = getattr(sp, "vdim", 1)
+    e2d = el2dof if elem_ids is None else el2dof[elem_ids]
+    B = shapes(sp.mesh.et, sp.order, ref_pts)  # (E,Q,ndl)
+    if vdim == 1:
+        dofs = scal_vec[e2d]  # (E,ndl)
+        return jnp.einsum("eqi,ei->eq", B, dofs)
+    nscal = sp.nscal
+    comps = []
+    for c in range(vdim):
+        dofs = scal_vec[c * nscal + e2d]
+        comps.append(jnp.einsum("eqi,ei->eq", B, dofs))
+    return jnp.stack(comps, axis=-1)
+
+
+def gf_ref_value_and_grad(gf: GridFunction, elem_ids, ref_pts):
+    """(value (E,Q,vdim), ref-grad (E,Q,vdim,d)) of gf at ref points."""
+    sp, el2dof, vec = _space_el2dof_and_vec(gf)
+    vdim = getattr(sp, "vdim", 1)
+    e2d = el2dof if elem_ids is None else el2dof[elem_ids]
+    B = shapes(sp.mesh.et, sp.order, ref_pts)
+    G = dshapes(sp.mesh.et, sp.order, ref_pts)  # (E,Q,ndl,d)
+    vals, grads = [], []
+    nscal = sp.nscal if vdim > 1 else sp.ndof
+    for c in range(vdim):
+        dofs = vec[c * nscal + e2d] if vdim > 1 else vec[e2d]
+        vals.append(jnp.einsum("eqi,ei->eq", B, dofs))
+        grads.append(jnp.einsum("eqid,ei->eqd", G, dofs))
+    return jnp.stack(vals, axis=-1), jnp.stack(grads, axis=-2)
+
+
+def grad(obj):
+    """grad() for GridFunctions and proxies (NGSolve-style free function)."""
+    if isinstance(obj, GridFunction):
+        return GradGF(obj)
+    g = getattr(obj, "grad_op", None)
+    if g is not None:
+        return g()
+    raise TypeError(f"grad() not supported for {type(obj)}")
+
+
+def InterpolateToP1(levelset, gf_p1: GridFunction, eps_perturbation=None):
+    """Vertex interpolation of a level set into a P1 GridFunction
+    (cf. utils/p1interpol.hpp:25-37).  The epsilon-guard against exact zeros
+    is applied later inside the cut kernels (ops/straightcut.py:eps_guard)."""
+    sp = gf_p1.space
+    if not isinstance(sp, H1) or sp.order != 1:
+        raise TypeError("InterpolateToP1 target must be an order-1 H1 GridFunction")
+    gf_p1.Set(wrap(levelset))

@@ -1,0 +1,379 @@
+"""Finite element spaces with array-based dof maps.
+
+TPU-first replacement for NGSolve ``FESpace`` (which the reference extends in
+``xfem/xFESpace.*``): a space is its dof-map tensors — ``el2dof (ne, ndl)``,
+free-dof masks, and basis-evaluation metadata.  Global dof numbering uses an
+*exact integer barycentric fingerprint* per Lagrange node (vertex ids +
+integer weights with denominator order^dim), which makes continuity across
+shared entities exact and orientation-independent for any order — no edge/face
+orientation case analysis needed.
+"""
+from __future__ import annotations
+
+import re
+
+import numpy as np
+import jax.numpy as jnp
+
+from ..config import config
+from ..mesh.mesh import Mesh, FACET_VERTS, geom_shapes
+from ..ops.gauss import ET_DIM, ET_NVERT
+from .basis import lagrange_element, ndof_el
+
+
+class BitArray:
+    """Boolean mark array with NGSolve-like set algebra."""
+
+    def __init__(self, data):
+        self.a = np.asarray(data, dtype=bool)
+
+    def __and__(self, o):
+        return BitArray(self.a & _arr(o))
+
+    def __or__(self, o):
+        return BitArray(self.a | _arr(o))
+
+    def __invert__(self):
+        return BitArray(~self.a)
+
+    def __iand__(self, o):
+        self.a &= _arr(o)
+        return self
+
+    def __ior__(self, o):
+        self.a |= _arr(o)
+        return self
+
+    def __getitem__(self, i):
+        return self.a[i]
+
+    def __setitem__(self, i, v):
+        self.a[i] = v
+
+    def __len__(self):
+        return len(self.a)
+
+    def __iter__(self):
+        return iter(self.a)
+
+    def NumSet(self):
+        return int(self.a.sum())
+
+    def Set(self, i=None):
+        if i is None:
+            self.a[:] = True
+        else:
+            self.a[i] = True
+
+    def Clear(self, i=None):
+        if i is None:
+            self.a[:] = False
+        else:
+            self.a[i] = False
+
+    @property
+    def np(self):
+        return self.a
+
+    @property
+    def jnp(self):
+        return jnp.asarray(self.a)
+
+    def __repr__(self):
+        return f"BitArray({self.a.sum()}/{len(self.a)} set)"
+
+
+def _arr(o):
+    return o.a if isinstance(o, BitArray) else np.asarray(o, dtype=bool)
+
+
+def CompoundBitArray(arrays):
+    """Concatenate BitArrays (cf. utils/python_utils.cpp:155-184)."""
+    return BitArray(np.concatenate([_arr(a) for a in arrays]))
+
+
+# ---------------------------------------------------------------------------
+
+
+def _node_fingerprints(mesh: Mesh, order: int):
+    """Exact integer fingerprints of all element-local Lagrange nodes.
+
+    Returns (keys (ne*ndl, nv*2) int64, pts not needed).  Weight denominator
+    is order**dim_factors folded in; weights are exact integers.
+    """
+    et = mesh.et
+    b = lagrange_element(et, order)
+    nodes = b["nodes"]  # (ndl, d)
+    nv = ET_NVERT[et]
+    N = np.asarray(geom_shapes(et, jnp.asarray(nodes)))  # (ndl, nv)
+    k = max(order, 1)
+    den = k ** (1 if et in ("segm", "trig", "tet") else mesh.dim)
+    W = np.rint(N * den).astype(np.int64)  # exact integer weights
+    assert np.allclose(W / den, N, atol=1e-9), "non-exact node weights"
+    ndl = nodes.shape[0]
+    ne = mesh.ne
+    vids = mesh.elements_np[:, None, :].repeat(ndl, axis=1).astype(np.int64)  # (ne,ndl,nv)
+    Wb = np.broadcast_to(W[None], (ne, ndl, nv)).copy()
+    # null out vertex ids with zero weight, then sort pairs for canonical form
+    vids = np.where(Wb > 0, vids, -1)
+    comp = vids.reshape(-1, nv) * np.int64(den + 2) + Wb.reshape(-1, nv)
+    ordr = np.argsort(comp, axis=-1)
+    vs = np.take_along_axis(vids.reshape(-1, nv), ordr, axis=-1)
+    ws = np.take_along_axis(Wb.reshape(-1, nv), ordr, axis=-1)
+    keys = np.concatenate([vs, ws], axis=-1)  # (ne*ndl, 2nv)
+    return keys, ndl
+
+
+class FESpace:
+    """Base scalar space. Subclasses: H1, L2."""
+
+    vdim = 1
+    is_compound = False
+
+    def __init__(self, mesh: Mesh, order: int = 1, dirichlet=None, dgjumps=False):
+        self.mesh = mesh
+        self.order = int(order)
+        self.dgjumps = dgjumps
+        self.dirichlet_spec = dirichlet
+        self._build()
+        self._mark_boundary_dofs()
+        self._apply_dirichlet(dirichlet)
+        self.el2dof = jnp.asarray(self.el2dof_np)
+
+    # -- to be provided by subclasses ---------------------------------------
+    def _build(self):
+        raise NotImplementedError
+
+    @property
+    def ndof_el(self):
+        return ndof_el(self.mesh.et, self.order)
+
+    # -- boundary / dirichlet ------------------------------------------------
+    def _local_facet_nodes(self):
+        """per local facet: local node ids whose support lies in the facet."""
+        et = self.mesh.et
+        b = lagrange_element(et, self.order)
+        N = np.asarray(geom_shapes(et, jnp.asarray(b["nodes"])))  # (ndl, nv)
+        sup = N > 1e-9
+        out = []
+        for fvs in FACET_VERTS[et]:
+            inside = np.ones(len(N), dtype=bool)
+            for v in range(N.shape[1]):
+                if v not in fvs:
+                    inside &= ~sup[:, v]
+            out.append(np.nonzero(inside)[0])
+        return out
+
+    def _mark_boundary_dofs(self):
+        self.bc_of_dof = np.zeros(self.ndof, dtype=np.int32)
+        lfn = self._local_facet_nodes()
+        m = self.mesh
+        for f in m.boundary_facets_np:
+            e, lf = m.facet2el_np[f, 0], m.facet2elloc_np[f, 0]
+            bc = m.bc_of_facet_np[f]
+            self.bc_of_dof[self.el2dof_np[e, lfn[lf]]] = bc
+
+    def _apply_dirichlet(self, dirichlet):
+        diri = np.zeros(self.ndof, dtype=bool)
+        if dirichlet:
+            ids = set()
+            if isinstance(dirichlet, str):
+                pat = re.compile(dirichlet)
+                for bid, name in self.mesh.bc_names.items():
+                    if pat.fullmatch(name):
+                        ids.add(bid)
+            else:
+                ids = set(int(b) for b in dirichlet)
+            for b in ids:
+                diri |= self.bc_of_dof == b
+        self.dirichlet_dofs = diri
+
+    def FreeDofs(self, coupling=False):
+        return BitArray(~self.dirichlet_dofs)
+
+    # -- proxies -------------------------------------------------------------
+    def TrialFunction(self):
+        from ..forms.proxies import make_proxies
+
+        return make_proxies(self, test=False)
+
+    def TestFunction(self):
+        from ..forms.proxies import make_proxies
+
+        return make_proxies(self, test=True)
+
+    def TnT(self):
+        return self.TrialFunction(), self.TestFunction()
+
+    def Update(self):
+        pass
+
+    def __repr__(self):
+        return f"{type(self).__name__}(order={self.order}, ndof={self.ndof})"
+
+
+class H1(FESpace):
+    """Continuous Lagrange space of given order (cf. NGSolve H1)."""
+
+    def _build(self):
+        keys, ndl = _node_fingerprints(self.mesh, self.order)
+        uniq, first, inv = np.unique(
+            keys, axis=0, return_index=True, return_inverse=True
+        )
+        self.ndof = uniq.shape[0]
+        self.el2dof_np = inv.reshape(self.mesh.ne, ndl).astype(np.int32)
+        b = lagrange_element(self.mesh.et, self.order)
+        self.dof_rep_elem = (first // ndl).astype(np.int32)
+        self.dof_rep_local = (first % ndl).astype(np.int32)
+        self.dof_rep_ref = b["nodes"][self.dof_rep_local]
+
+
+class L2(FESpace):
+    """Element-wise discontinuous Lagrange space (cf. NGSolve L2)."""
+
+    def _build(self):
+        ndl = self.ndof_el
+        ne = self.mesh.ne
+        self.ndof = ne * ndl
+        self.el2dof_np = np.arange(ne * ndl, dtype=np.int32).reshape(ne, ndl)
+        b = lagrange_element(self.mesh.et, self.order)
+        self.dof_rep_elem = np.repeat(np.arange(ne, dtype=np.int32), ndl)
+        self.dof_rep_local = np.tile(np.arange(ndl, dtype=np.int32), ne)
+        self.dof_rep_ref = b["nodes"][self.dof_rep_local]
+
+
+class VectorFESpace(FESpace):
+    """Vector-valued version of a scalar space; block dof layout
+    (component c occupies dofs [c*nscal, (c+1)*nscal))."""
+
+    def __init__(self, scalar_space: FESpace, vdim=None):
+        self.scalar = scalar_space
+        self.mesh = scalar_space.mesh
+        self.order = scalar_space.order
+        self.vdim = vdim or self.mesh.dim
+        self.ndof = scalar_space.ndof * self.vdim
+        self.el2dof_np = scalar_space.el2dof_np  # scalar map; comp offset applied in kernels
+        self.el2dof = jnp.asarray(self.el2dof_np)
+        self.dirichlet_dofs = np.tile(scalar_space.dirichlet_dofs, self.vdim)
+        self.bc_of_dof = np.tile(scalar_space.bc_of_dof, self.vdim)
+        self.dgjumps = scalar_space.dgjumps
+
+    @property
+    def nscal(self):
+        return self.scalar.ndof
+
+    def FreeDofs(self, coupling=False):
+        return BitArray(~self.dirichlet_dofs)
+
+
+def VectorH1(mesh, order=1, dirichlet=None, **kw):
+    return VectorFESpace(H1(mesh, order=order, dirichlet=dirichlet, **kw))
+
+
+def VectorL2(mesh, order=1, **kw):
+    return VectorFESpace(L2(mesh, order=order, **kw))
+
+
+class CompoundFESpace:
+    """Product space FESpace([V0, V1, ...]) with blocked global numbering."""
+
+    is_compound = True
+
+    def __init__(self, spaces, dgjumps=False):
+        self.components = list(spaces)
+        self.mesh = spaces[0].mesh
+        self.dgjumps = dgjumps
+        self.offsets = np.cumsum([0] + [s.ndof for s in spaces]).astype(np.int64)
+        self.ndof = int(self.offsets[-1])
+
+    def Range(self, i):
+        return slice(int(self.offsets[i]), int(self.offsets[i + 1]))
+
+    def FreeDofs(self, coupling=False):
+        return CompoundBitArray([s.FreeDofs(coupling) for s in self.components])
+
+    def TrialFunction(self):
+        from ..forms.proxies import make_proxies
+
+        return tuple(
+            make_proxies(s, test=False, compound=(self, i))
+            for i, s in enumerate(self.components)
+        )
+
+    def TestFunction(self):
+        from ..forms.proxies import make_proxies
+
+        return tuple(
+            make_proxies(s, test=True, compound=(self, i))
+            for i, s in enumerate(self.components)
+        )
+
+    def TnT(self):
+        return self.TrialFunction(), self.TestFunction()
+
+    def __repr__(self):
+        return f"CompoundFESpace({len(self.components)} spaces, ndof={self.ndof})"
+
+
+def FESpaceList(spaces, dgjumps=False, **kw):
+    """NGSolve-style FESpace([V1,V2]) constructor."""
+    return CompoundFESpace(spaces, dgjumps=dgjumps)
+
+
+# make `FESpace([A,B])` work like NGSolve by calling through a factory
+_fespace_cls = FESpace
+
+
+def FESpaceFactory(arg, dgjumps=False, **kw):
+    if isinstance(arg, (list, tuple)):
+        return CompoundFESpace(arg, dgjumps=dgjumps)
+    raise TypeError("FESpace factory expects a list of spaces")
+
+
+class CompressedFESpace(FESpace):
+    """Restriction of a space to an active dof set, cf. NGSolve Compress used
+    by the fictitious-domain tutorials (py_tutorials/fictdom_ghostpen.py:57)."""
+
+    def __init__(self, base: FESpace, active: BitArray):
+        self.base = base
+        self.mesh = base.mesh
+        self.order = base.order
+        self.dgjumps = base.dgjumps
+        act = _arr(active)
+        self.comp2base = np.nonzero(act)[0].astype(np.int32)
+        self.base2comp = np.full(base.ndof, -1, dtype=np.int32)
+        self.base2comp[self.comp2base] = np.arange(len(self.comp2base), dtype=np.int32)
+        self.ndof = len(self.comp2base)
+        # inactive dofs map to 0; assembly masks guarantee zero contributions
+        mapped = self.base2comp[base.el2dof_np]
+        self.el2dof_np = np.where(mapped >= 0, mapped, 0).astype(np.int32)
+        self.el2dof = jnp.asarray(self.el2dof_np)
+        self.dirichlet_dofs = base.dirichlet_dofs[self.comp2base]
+        self.bc_of_dof = base.bc_of_dof[self.comp2base]
+        self.dof_rep_elem = base.dof_rep_elem[self.comp2base]
+        self.dof_rep_local = base.dof_rep_local[self.comp2base]
+        self.dof_rep_ref = base.dof_rep_ref[self.comp2base]
+
+    def _build(self):
+        pass
+
+
+def Compress(space: FESpace, active_dofs=None):
+    if active_dofs is None:
+        raise ValueError("Compress requires active_dofs")
+    return CompressedFESpace(space, active_dofs)
+
+
+def GetDofsOfElements(space, elem_mask) -> BitArray:
+    """Dofs touched by marked elements (cf. xfem/cutinfo.cpp:281-329)."""
+    mask = _arr(elem_mask)
+    out = np.zeros(space.ndof, dtype=bool)
+    if isinstance(space, VectorFESpace):
+        sc = np.zeros(space.nscal, dtype=bool)
+        dofs = space.el2dof_np[mask]
+        sc[dofs.ravel()] = True
+        out = np.tile(sc, space.vdim)
+        return BitArray(out)
+    dofs = space.el2dof_np[mask]
+    out[dofs.ravel()] = True
+    return BitArray(out)

@@ -1,0 +1,344 @@
+"""Integrals, BilinearForm/LinearForm and batched assembly.
+
+Replaces the reference's symbolic cut integrators
+(``xfem/symboliccutbfi.*``, ``xfem/symboliccutlfi.*``,
+``utils/restrictedblf.*``): each integral is assembled for ALL (marked)
+elements at once — cut-rule tensors -> jet evaluation -> per-term einsum
+B·D·Bᵀ -> COO scatter.  Sparsity restriction (RestrictedBilinearForm) is
+implicit: only assembled entries exist.
+"""
+from __future__ import annotations
+
+import numpy as np
+import jax.numpy as jnp
+
+from ..config import config
+from ..domaintype import DOMAIN_TYPE, NEG, POS, IF
+from ..cf.coefficient import CF, wrap
+from ..cf.context import EvalCtx
+from ..integrate import _cut_ctx_and_weights, normalize_levelset_domain
+from ..ops.gauss import reference_rule
+from ..fem.space import (
+    FESpace, CompoundFESpace, CompressedFESpace, VectorFESpace, BitArray, _arr,
+)
+from ..solvers.sparse import SparseMatrix
+from .evaluate import eval_form
+
+VOL = "VOL"
+BND = "BND"
+
+
+class Integral:
+    def __init__(self, form, levelset_domain=None, definedonelements=None,
+                 element_boundary=False, skeleton=False, facet_patch=False,
+                 force_intorder=-1, deformation=None, time_order=-1,
+                 vb=VOL):
+        self.form = wrap(form)
+        self.levelset_domain = (
+            normalize_levelset_domain(levelset_domain) if levelset_domain else None
+        )
+        self.definedonelements = (
+            None if definedonelements is None else _arr(definedonelements).copy()
+        )
+        self.element_boundary = element_boundary
+        self.skeleton = skeleton
+        self.facet_patch = facet_patch
+        self.force_intorder = force_intorder
+        self.deformation = deformation
+        self.time_order = time_order
+        self.vb = vb
+
+
+def SymbolicBFI(levelset_domain=None, form=None, VOL_or_BND=VOL, element_boundary=False,
+                skeleton=False, definedonelements=None, deformation=None,
+                force_intorder=-1, time_order=-1, **kw):
+    """Cut/standard bilinear integrator descriptor (python/__init__.py:108)."""
+    if form is None:  # allow SymbolicBFI(form) positional
+        form, levelset_domain = levelset_domain, None
+        if isinstance(form, dict):
+            raise TypeError("SymbolicBFI needs form=...")
+    return Integral(form, levelset_domain=levelset_domain,
+                    definedonelements=definedonelements,
+                    element_boundary=element_boundary, skeleton=skeleton,
+                    force_intorder=force_intorder, deformation=deformation,
+                    time_order=time_order, vb=VOL_or_BND)
+
+
+def SymbolicLFI(levelset_domain=None, form=None, VOL_or_BND=VOL, definedonelements=None,
+                deformation=None, force_intorder=-1, time_order=-1, **kw):
+    if form is None:
+        form, levelset_domain = levelset_domain, None
+    return Integral(form, levelset_domain=levelset_domain,
+                    definedonelements=definedonelements,
+                    force_intorder=force_intorder, deformation=deformation,
+                    time_order=time_order, vb=VOL_or_BND)
+
+
+def SymbolicFacetPatchBFI(form=None, skeleton=False, definedonelements=None,
+                          force_intorder=-1, time_order=-1, **kw):
+    """Facet-patch (volumetric ghost penalty) integrator
+    (xfem/symboliccutbfi.cpp:1104-1413)."""
+    if skeleton:
+        raise NotImplementedError("skeleton=True facet integrals: use SymbolicBFI")
+    return Integral(form, facet_patch=True, definedonelements=definedonelements,
+                    force_intorder=force_intorder, time_order=time_order)
+
+
+# ---------------------------------------------------------------------------
+
+
+def _space_order(space):
+    if isinstance(space, CompoundFESpace):
+        return max(s.order for s in space.components)
+    return space.order
+
+
+def _block_space(space, blk):
+    return space.components[blk] if isinstance(space, CompoundFESpace) else space
+
+
+def _block_offset(space, blk):
+    return int(space.offsets[blk]) if isinstance(space, CompoundFESpace) else 0
+
+
+def block_dofmap(space, block_key, elem_ids_self, elem_ids_other=None):
+    """Global dof columns (E, ndl_total) for a factor block."""
+    blk, other = block_key
+    sp = _block_space(space, blk)
+    off = _block_offset(space, blk)
+    eids = elem_ids_other if other else elem_ids_self
+    if eids is None:
+        e2d = sp.el2dof_np
+    else:
+        e2d = sp.el2dof_np[eids]
+    if isinstance(sp, VectorFESpace):
+        maps = [c * sp.nscal + e2d for c in range(sp.vdim)]
+        e2d = np.concatenate(maps, axis=1)
+    return jnp.asarray(e2d + off)
+
+
+def _volume_ctx(integral: Integral, mesh, order):
+    """(ctx, w_phys (E,Q), valid mask) for a volume-type integral."""
+    if integral.levelset_domain is not None:
+        ld = integral.levelset_domain
+        o = order if ld["force_intorder"] < 0 else ld["force_intorder"]
+        if integral.force_intorder > 0:
+            o = integral.force_intorder
+        ctx, w_phys, mask = _cut_ctx_and_weights(mesh, ld["levelset"], ld["domain_type"], o)
+    else:
+        o = order if integral.force_intorder < 0 else integral.force_intorder
+        rp, rw = reference_rule(mesh.et, o)
+        E = mesh.ne
+        pts = jnp.broadcast_to(jnp.asarray(rp, dtype=config.dtype)[None], (E,) + rp.shape)
+        ctx = EvalCtx(mesh, pts)
+        w_phys = jnp.asarray(rw, dtype=config.dtype)[None, :] * jnp.abs(ctx.detJ)
+        mask = jnp.ones(w_phys.shape, dtype=bool)
+    if integral.definedonelements is not None:
+        sel = jnp.asarray(integral.definedonelements)[:, None]
+        mask = mask & sel
+        w_phys = jnp.where(sel, w_phys, 0.0)
+    return ctx, w_phys, mask
+
+
+def _facet_patch_ctx(integral: Integral, mesh, order):
+    """Contexts for facet-patch integrals: union of both neighbor volume rules.
+
+    Returns (ctx_self, elem_ids_self, elem_ids_other, w_phys, mask); ctx has
+    `other_ctx` attached.  Affine map-to-neighbor with Newton refinement for
+    multilinear cells (cf. MapPatchIntegrationPoint, symboliccutbfi.cpp:1116).
+    """
+    f2e = mesh.facet2el_np
+    interior = f2e[:, 1] >= 0
+    sel = interior.copy()
+    if integral.definedonelements is not None:  # facet mask here
+        sel &= integral.definedonelements
+    fids = np.nonzero(sel)[0]
+    e1 = jnp.asarray(f2e[fids, 0])
+    e2 = jnp.asarray(f2e[fids, 1])
+
+    o = order if integral.force_intorder < 0 else integral.force_intorder
+    rp, rw = reference_rule(mesh.et, o)
+    rp = jnp.asarray(rp, dtype=config.dtype)
+    rw = jnp.asarray(rw, dtype=config.dtype)
+    F, nq, d = len(fids), rp.shape[0], mesh.dim
+
+    from ..mesh.mesh import map_points, det_and_inv
+
+    coords1 = mesh.vertices[mesh.elements[e1]]
+    coords2 = mesh.vertices[mesh.elements[e2]]
+    base_pts = jnp.broadcast_to(rp[None], (F, nq, d))
+
+    def other_refpts(coords_from, coords_to, refpts):
+        phys, _ = map_points(mesh.et, coords_from, refpts)
+        # initial affine guess using the target cell's center Jacobian
+        center = jnp.full((F, 1, d), 0.5 if mesh.et in ("quad", "hex") else 0.25,
+                          dtype=config.dtype)
+        c_phys, Jc = map_points(mesh.et, coords_to, center)
+        _, Jcinv = det_and_inv(Jc)
+        xr = jnp.einsum("eqg,eodg->eqd", phys - c_phys, Jcinv) + center
+        if mesh.et in ("quad", "hex"):  # Newton refinement for multilinear maps
+            for _ in range(4):
+                p, J = map_points(mesh.et, coords_to, xr)
+                _, Jinv = det_and_inv(J)
+                xr = xr + jnp.einsum("eqg,eqdg->eqd", phys - p, Jinv)
+        return xr
+
+    pts1_in_2 = other_refpts(coords1, coords2, base_pts)
+    pts2_in_1 = other_refpts(coords2, coords1, base_pts)
+
+    self_pts = jnp.concatenate([base_pts, pts2_in_1], axis=1)  # on e1
+    other_pts = jnp.concatenate([pts1_in_2, base_pts], axis=1)  # on e2
+
+    ctx = EvalCtx(mesh, self_pts, elem_ids=e1)
+    ctx.other_ctx = EvalCtx(mesh, other_pts, elem_ids=e2)
+    ctx.facet_ids = jnp.asarray(fids)
+
+    _, J1 = map_points(mesh.et, coords1, base_pts)
+    _, J2 = map_points(mesh.et, coords2, base_pts)
+    det1, _ = det_and_inv(J1)
+    det2, _ = det_and_inv(J2)
+    w = jnp.concatenate([jnp.abs(det1) * rw[None], jnp.abs(det2) * rw[None]], axis=1)
+    mask = jnp.ones(w.shape, dtype=bool)
+    return ctx, e1, e2, w, mask
+
+
+def _term_elmat(term, W, mask):
+    """Element matrices (E, ndv, ndu) of one u&v term; W = (E,Q) weights."""
+    s = jnp.broadcast_to(term.scalar, W.shape)
+    Wts = W * jnp.where(mask, s, 0.0)  # NaN-safe on padded points
+    u, v = term.ufac.arr, term.vfac.arr
+    if term.contracted:
+        return jnp.einsum("eq,eqjk,eqik->eji", Wts, v, u)
+    if u.ndim != 3 or v.ndim != 3:
+        raise TypeError("non-scalar integrand in bilinear form")
+    return jnp.einsum("eq,eqj,eqi->eji", Wts, v, u)
+
+
+def _term_elvec(term, W, mask):
+    s = jnp.broadcast_to(term.scalar, W.shape)
+    Wts = W * jnp.where(mask, s, 0.0)
+    v = term.vfac.arr
+    if v.ndim != 3:
+        raise TypeError("non-scalar integrand in linear form")
+    return jnp.einsum("eq,eqj->ej", Wts, v)
+
+
+def _safe_weights(w_phys, mask, scalar_shape_ref):
+    """zero weights exactly where masked (NaN-safe: scalars are multiplied
+    after masking)."""
+    return jnp.where(mask, w_phys, 0.0)
+
+
+class BilinearForm:
+    def __init__(self, space, symmetric=False, check_unused=True,
+                 element_restriction=None, facet_restriction=None, flags=None,
+                 name="a", **kw):
+        self.space = space
+        self.symmetric = symmetric
+        self.integrals = []
+        self.element_restriction = element_restriction
+        self.facet_restriction = facet_restriction
+        self.mat = None
+
+    def __iadd__(self, integral: Integral):
+        if not isinstance(integral, Integral):
+            raise TypeError("add SymbolicBFI(...) objects")
+        self.integrals.append(integral)
+        return self
+
+    def Assemble(self, reallocate=False, heapsize=None):
+        space = self.space
+        mesh = space.mesh
+        order = _space_order(space)
+        rows, cols, vals = [], [], []
+        for integral in self.integrals:
+            if integral.facet_patch:
+                ctx, e1, e2, w_phys, mask = _facet_patch_ctx(
+                    integral, mesh, 2 * order
+                )
+                elem_self, elem_other = e1, e2
+            else:
+                integral = self._with_restriction(integral)
+                ctx, w_phys, mask = _volume_ctx(integral, mesh, 2 * order)
+                elem_self = elem_other = None
+            W = _safe_weights(w_phys, mask, None)
+            terms = eval_form(integral.form, ctx)
+            for t in terms:
+                if t.ufac is None and t.vfac is None:
+                    continue  # pure term (e.g. the 0 from python sum())
+                if t.ufac is None or t.vfac is None:
+                    raise TypeError("bilinear form term missing trial or test factor")
+                elmat = _term_elmat(t, W, mask)
+                dm_u = block_dofmap(space, t.ufac.block, elem_self, elem_other)
+                dm_v = block_dofmap(space, t.vfac.block, elem_self, elem_other)
+                E, ndv, ndu = elmat.shape
+                rows.append(jnp.broadcast_to(dm_v[:, :, None], (E, ndv, ndu)).reshape(-1))
+                cols.append(jnp.broadcast_to(dm_u[:, None, :], (E, ndv, ndu)).reshape(-1))
+                vals.append(elmat.reshape(-1))
+        if not rows:
+            raise ValueError("no integrals to assemble")
+        self.mat = SparseMatrix(
+            jnp.concatenate(rows), jnp.concatenate(cols), jnp.concatenate(vals),
+            (space.ndof, space.ndof),
+        )
+        return self
+
+    def _with_restriction(self, integral: Integral):
+        if self.element_restriction is None or integral.definedonelements is not None:
+            return integral
+        import copy
+
+        ii = copy.copy(integral)
+        ii.definedonelements = _arr(self.element_restriction).copy()
+        return ii
+
+    def Apply(self, x):
+        return self.mat * x
+
+
+class LinearForm:
+    def __init__(self, space, name="f", **kw):
+        self.space = space
+        self.integrals = []
+        self._vec = None
+
+    def __iadd__(self, integral: Integral):
+        self.integrals.append(integral)
+        return self
+
+    @property
+    def vec(self):
+        from ..fem.gridfunction import StandaloneVec
+
+        return StandaloneVec(self._vec)
+
+    def Assemble(self, heapsize=None):
+        space = self.space
+        mesh = space.mesh
+        order = _space_order(space)
+        out = jnp.zeros((space.ndof,), dtype=config.dtype)
+        for integral in self.integrals:
+            ctx, w_phys, mask = _volume_ctx(integral, mesh, 2 * order + mesh.dim)
+            W = _safe_weights(w_phys, mask, None)
+            terms = eval_form(integral.form, ctx)
+            for t in terms:
+                if t.ufac is None and t.vfac is None:
+                    continue
+                if t.vfac is None or t.ufac is not None:
+                    raise TypeError("linear form must be linear in the test function")
+                elvec = _term_elvec(t, W, mask)
+                dm_v = block_dofmap(space, t.vfac.block, None)
+                out = out.at[dm_v.reshape(-1)].add(elvec.reshape(-1))
+        self._vec = out
+        return self
+
+
+def RestrictedBilinearForm(space, name="a", element_restriction=None,
+                           facet_restriction=None, check_unused=False, flags=None,
+                           **kw):
+    """BilinearForm whose sparsity is restricted to marked elements/facets
+    (utils/restrictedblf.hpp:7-30) — with COO assembly the restriction is the
+    assembly mask itself."""
+    return BilinearForm(space, element_restriction=element_restriction,
+                        facet_restriction=facet_restriction,
+                        check_unused=check_unused, flags=flags, name=name)

@@ -1,0 +1,95 @@
+"""Trial/test proxy functions and their differential operators.
+
+The TPU-native replacement for NGSolve's symbolic proxy framework that the
+reference's cut integrators plug into (``xfem/symboliccutbfi.cpp:151-215``
+proxy-pair loops): a proxy evaluates to a *basis factor tensor*
+``(E, Q, ndof_el, *comps)``; form evaluation propagates bilinear jets
+(forms/evaluate.py) instead of NGSolve's proxy-linearization passes.
+"""
+from __future__ import annotations
+
+from ..cf.coefficient import CF
+
+
+class ProxyFunction(CF):
+    """Value proxy of a trial (test=False) or test (test=True) function."""
+
+    def __init__(self, space, test: bool, compound=None, other=False, op="val",
+                 op_args=(), dims=None):
+        self.space = space
+        self.test = test
+        self.compound = compound  # (CompoundFESpace, block index) or None
+        self.other = other  # facet .Other()
+        self.op = op  # 'val' | 'grad' | 'div' | 'dnk' | xfem ops...
+        self.op_args = tuple(op_args)
+        if dims is not None:
+            self.dims = dims
+        else:
+            vd = getattr(space, "vdim", 1)
+            self.dims = () if vd == 1 else (vd,)
+
+    @property
+    def has_proxy(self):
+        return True
+
+    @property
+    def block_key(self):
+        """(id) identifying the dof block this proxy contributes to."""
+        blk = self.compound[1] if self.compound is not None else 0
+        return (blk, self.other)
+
+    def Other(self, bnd=None):
+        return self._clone(other=True)
+
+    def _clone(self, **kw):
+        args = dict(
+            space=self.space, test=self.test, compound=self.compound,
+            other=self.other, op=self.op, op_args=self.op_args, dims=self.dims,
+        )
+        args.update(kw)
+        return ProxyFunction(**args)
+
+    # -- differential operators ---------------------------------------------
+    def grad_op(self):
+        if self.op != "val":
+            raise TypeError(f"grad of proxy op {self.op}")
+        d = self.space.mesh.dim
+        vd = getattr(self.space, "vdim", 1)
+        dims = (d,) if vd == 1 else (vd, d)
+        return self._clone(op="grad", dims=dims)
+
+    def Deriv(self):
+        return self.grad_op()
+
+    def Operator(self, name):
+        return self._clone(op=name)
+
+    def __repr__(self):
+        kind = "test" if self.test else "trial"
+        return f"Proxy({kind}, op={self.op}, other={self.other})"
+
+
+def make_proxies(space, test: bool, compound=None):
+    return ProxyFunction(space, test=test, compound=compound)
+
+
+def dn(proxy, order=1, comp=-1):
+    """order-th normal derivative (ghost penalty), cf. xfem/ghostpenalty.hpp:10-41.
+
+    Evaluated exactly for polynomial bases via 1D restriction along the facet
+    normal (forms/evaluate.py), replacing the reference's central finite
+    differences (xfem/ghostpenalty.cpp:8-130) with an exact Vandermonde solve.
+    """
+    if isinstance(proxy, ProxyFunction):
+        if proxy.op != "val":
+            raise TypeError("dn expects a value proxy")
+        return proxy._clone(op="dnk", op_args=(int(order),), dims=())
+    raise TypeError("dn expects a proxy function")
+
+
+def div(proxy):
+    if isinstance(proxy, ProxyFunction):
+        return proxy._clone(op="div", dims=())
+    from ..fem.gridfunction import GridFunction
+
+    raise TypeError("div expects a proxy function")

@@ -1,0 +1,148 @@
+"""Cut topology bookkeeping — CutInfo and the facet/element/dof set algebra.
+
+Re-design of ``xfem/cutinfo.*`` (reference: CutInformation, Update at
+``xfem/cutinfo.cpp:54-188``; facet/dof algebra ``:191-329``): element
+classification is a batched sign reduction over level-set vertex values, cut
+ratios come from the order-0 cut rule, and all mark sets are plain boolean
+arrays (``BitArray``).
+"""
+from __future__ import annotations
+
+import numpy as np
+import jax.numpy as jnp
+
+from ..domaintype import DOMAIN_TYPE, COMBINED_DOMAIN_TYPE, NEG, POS, IF, as_cdt
+from ..fem.space import BitArray, _arr
+from ..cf.coefficient import ElementValuesCF, FacetValuesCF
+from ..ops.straightcut import cut_rule_element, eps_guard
+from ..integrate import lset_vertex_values
+
+VOL = "VOL"
+BND = "BND"
+
+
+class CutInfo:
+    """Per-mesh cut bookkeeping (cf. xfem/cutinfo.hpp:21-92)."""
+
+    def __init__(self, mesh, levelset=None, time_order=-1):
+        self.mesh = mesh
+        self.dt_of_elem = None
+        self.cut_ratio = None
+        if levelset is not None:
+            self.Update(levelset, time_order=time_order)
+
+    def Update(self, levelset, time_order=-1, heapsize=None):
+        mesh = self.mesh
+        vals = lset_vertex_values(levelset)
+        vg = eps_guard(vals)
+        has_neg = np.asarray(jnp.any(vg < 0, axis=1))
+        has_pos = np.asarray(jnp.any(vg > 0, axis=1))
+        dt = np.where(has_neg & has_pos, int(IF), np.where(has_neg, int(NEG), int(POS)))
+        self.dt_of_elem = dt.astype(np.int8)
+
+        # cut ratios |T_neg| / |T| from the order-0 cut rule
+        rule = cut_rule_element(mesh.et, vals, 0)
+        wneg = jnp.sum(rule.w * (rule.side == 0), axis=1)
+        wtot = jnp.sum(rule.w, axis=1)
+        self.cut_ratio = np.asarray(wneg / wtot)
+
+        # vertex domain classification (dom_of_node analog, cutinfo.cpp:151-186)
+        nv = mesh.nv
+        vneg = np.zeros(nv, dtype=bool)
+        vpos = np.zeros(nv, dtype=bool)
+        vgn = np.asarray(vg)
+        els = mesh.elements_np
+        np.logical_or.at(vneg, els.ravel(), (vgn < 0).ravel())
+        np.logical_or.at(vpos, els.ravel(), (vgn > 0).ravel())
+        self.dt_of_vertex = np.where(
+            vneg & vpos, int(IF), np.where(vneg, int(NEG), int(POS))
+        ).astype(np.int8)
+
+        # facet classification from its elements (used by facet set queries)
+        f2e = mesh.facet2el_np
+        dtl = self.dt_of_elem[f2e[:, 0]]
+        dtr = np.where(f2e[:, 1] >= 0, self.dt_of_elem[np.maximum(f2e[:, 1], 0)], dtl)
+        bits_l = np.left_shift(1, dtl.astype(np.int32))
+        bits_r = np.left_shift(1, dtr.astype(np.int32))
+        self.cdt_of_facet = (bits_l | bits_r).astype(np.int8)
+
+    # -- queries -------------------------------------------------------------
+    def GetElementsOfType(self, dt=IF, VOL_or_BND=VOL) -> BitArray:
+        if VOL_or_BND != VOL:
+            raise NotImplementedError("BND element queries not yet supported")
+        cdt = int(as_cdt(dt))
+        bits = np.left_shift(1, self.dt_of_elem.astype(np.int32))
+        return BitArray((bits & cdt) == bits)
+
+    def GetFacetsOfType(self, dt=IF) -> BitArray:
+        cdt = int(as_cdt(dt))
+        # facet marked if its combined type is contained in the query mask
+        return BitArray((self.cdt_of_facet & ~cdt) == 0)
+
+    def GetCutRatios(self, VOL_or_BND=VOL):
+        return self.cut_ratio
+
+    def GetElementsWithThresholdContribution(self, dt=NEG, threshold=1.0):
+        r = self.cut_ratio if int(dt) == int(NEG) else 1.0 - self.cut_ratio
+        return BitArray(r >= threshold)
+
+
+# -- facet / element set algebra (cf. xfem/cutinfo.cpp:191-329) -------------
+
+
+def GetFacetsWithNeighborTypes(mesh, a, b=None, bnd_val_a=True, bnd_val_b=True,
+                               use_and=True, ngsxfemcompat=True) -> BitArray:
+    """Facets whose neighbor elements satisfy (a_left & b_right)|(b_left & a_right)
+    (or the OR-version with use_and=False)."""
+    a = _arr(a)
+    b = a if b is None else _arr(b)
+    f2e = mesh.facet2el_np
+    e1 = f2e[:, 0]
+    e2 = f2e[:, 1]
+    interior = e2 >= 0
+    a1 = a[e1]
+    b1 = b[e1]
+    a2 = np.where(interior, a[np.maximum(e2, 0)], bnd_val_a)
+    b2 = np.where(interior, b[np.maximum(e2, 0)], bnd_val_b)
+    if use_and:
+        out = (a1 & b2) | (b1 & a2)
+    else:
+        out = (a1 | b2) & (b1 | a2)
+    return BitArray(out)
+
+
+def GetElementsWithNeighborFacets(mesh, facets) -> BitArray:
+    f = _arr(facets)
+    out = np.zeros(mesh.ne, dtype=bool)
+    f2e = mesh.facet2el_np
+    sel = np.nonzero(f)[0]
+    for s in range(2):
+        es = f2e[sel, s]
+        out[es[es >= 0]] = True
+    return BitArray(out)
+
+
+def GetDofsOfFacets(space, facet_mask) -> BitArray:
+    """Dofs of a FacetFESpace associated with marked facets."""
+    from ..fem.facetspace import FacetFESpace
+
+    if not isinstance(space, FacetFESpace):
+        raise TypeError("GetDofsOfFacets expects a FacetFESpace")
+    mask = _arr(facet_mask)
+    out = np.zeros(space.ndof, dtype=bool)
+    dofs = space.facet2dof_np[mask]
+    out[dofs.ravel()] = True
+    return BitArray(out)
+
+
+def IndicatorCF(mesh, ba, facets=False):
+    """1 on marked elements/facets else 0 (python/__init__.py:380)."""
+    vals = _arr(ba).astype(np.float64)
+    if facets:
+        return FacetValuesCF(vals, mesh)
+    return ElementValuesCF(vals, mesh)
+
+
+def CutRatioGF(cutinfo: CutInfo):
+    """Element-wise cut ratio CF (python/__init__.py:397)."""
+    return ElementValuesCF(cutinfo.cut_ratio, cutinfo.mesh)

@@ -1,0 +1,281 @@
+"""Structure-of-arrays tensor meshes.
+
+TPU-first replacement for NGSolve's ``MeshAccess``/``ElementTransformation``
+object graph that the reference builds on (see SURVEY.md L-map): the mesh is a
+set of flat arrays — vertices ``(nv,d)``, element->vertex ``(ne,nvel)``,
+facet->vertex, facet<->element adjacency — generated once on the host, then
+used by jit-compiled batched kernels.  Geometry maps (including multilinear
+QUAD/HEX maps and, later, isoparametric deformations) are evaluated pointwise
+in batched form.
+"""
+from __future__ import annotations
+
+from functools import lru_cache
+
+import numpy as np
+import jax.numpy as jnp
+
+from ..config import config
+from ..ops.gauss import ET_DIM, ET_NVERT
+
+# local facet -> local vertices, per element type (own convention, documented)
+FACET_VERTS = {
+    "segm": [(0,), (1,)],
+    "trig": [(0, 1), (1, 2), (0, 2)],
+    "quad": [(0, 1), (1, 2), (2, 3), (0, 3)],
+    "tet": [(1, 2, 3), (0, 2, 3), (0, 1, 3), (0, 1, 2)],
+    "hex": [
+        (0, 1, 2, 3),
+        (4, 5, 6, 7),
+        (0, 1, 5, 4),
+        (1, 2, 6, 5),
+        (3, 2, 6, 7),
+        (0, 3, 7, 4),
+    ],
+}
+
+FACET_ET = {"segm": "point", "trig": "segm", "quad": "segm", "tet": "trig", "hex": "quad"}
+
+# local edges (1D sub-entities), used for H1 dof enumeration diagnostics
+EDGE_VERTS = {
+    "segm": [(0, 1)],
+    "trig": [(0, 1), (1, 2), (0, 2)],
+    "quad": [(0, 1), (1, 2), (2, 3), (0, 3)],
+    "tet": [(0, 1), (0, 2), (0, 3), (1, 2), (1, 3), (2, 3)],
+    "hex": [
+        (0, 1), (1, 2), (2, 3), (0, 3),
+        (4, 5), (5, 6), (6, 7), (4, 7),
+        (0, 4), (1, 5), (2, 6), (3, 7),
+    ],
+}
+
+
+class Mesh:
+    """A single-element-type unstructured mesh held as flat arrays."""
+
+    def __init__(self, et: str, vertices: np.ndarray, elements: np.ndarray,
+                 bc_of_facet=None, bc_names=None):
+        self.et = et
+        self.dim = ET_DIM[et]
+        self.nvel = ET_NVERT[et]
+        self.vertices_np = np.asarray(vertices, dtype=np.float64)
+        self.elements_np = np.asarray(elements, dtype=np.int32)
+        self.nv = self.vertices_np.shape[0]
+        self.ne = self.elements_np.shape[0]
+        self._build_facets()
+        # bc ids per boundary facet (1-based like NGSolve); 0 = interior
+        if bc_of_facet is None:
+            bc_of_facet = np.where(self.facet2el_np[:, 1] < 0, 1, 0).astype(np.int32)
+        self.bc_of_facet_np = np.asarray(bc_of_facet, dtype=np.int32)
+        self.bc_names = bc_names or {}
+        # device arrays
+        self.vertices = jnp.asarray(self.vertices_np, dtype=config.dtype)
+        self.elements = jnp.asarray(self.elements_np)
+        self.facets = jnp.asarray(self.facets_np)
+        self.facet2el = jnp.asarray(self.facet2el_np)
+        self.el2facet = jnp.asarray(self.el2facet_np)
+        # deformation slot (set by SetDeformation); a GridFunction of a vector
+        # space or None.  Geometry maps consult this.
+        self.deformation = None
+        self._version = 0  # bumped when deformation is (un)set
+
+    # -- topology ----------------------------------------------------------
+    def _build_facets(self):
+        fv = np.array(FACET_VERTS[self.et], dtype=np.int32)  # (nfel, nvf)
+        nfel, nvf = fv.shape
+        # all facets with duplicates: (ne*nfel, nvf)
+        allf = self.elements_np[:, fv.reshape(-1)].reshape(self.ne, nfel, nvf)
+        key = np.sort(allf.reshape(-1, nvf), axis=1)
+        uniq, inv = np.unique(key, axis=0, return_inverse=True)
+        nf = uniq.shape[0]
+        self.nfacets = nf
+        # keep un-sorted vertex order of the first occurrence for orientation
+        first = np.full(nf, -1, dtype=np.int64)
+        flat = allf.reshape(-1, nvf)
+        order = np.arange(flat.shape[0])
+        # reverse iterate so first occurrence wins
+        first[inv[::-1]] = order[::-1]
+        self.facets_np = flat[first].astype(np.int32)
+        self.el2facet_np = inv.reshape(self.ne, nfel).astype(np.int32)
+        f2e = np.full((nf, 2), -1, dtype=np.int32)
+        f2eloc = np.full((nf, 2), -1, dtype=np.int32)
+        for e in range(self.ne):
+            for lf in range(nfel):
+                f = self.el2facet_np[e, lf]
+                s = 0 if f2e[f, 0] < 0 else 1
+                f2e[f, s] = e
+                f2eloc[f, s] = lf
+        self.facet2el_np = f2e
+        self.facet2elloc_np = f2eloc
+        self.boundary_facets_np = np.nonzero(f2e[:, 1] < 0)[0].astype(np.int32)
+
+    # -- deformation -------------------------------------------------------
+    def SetDeformation(self, deformation):
+        """Apply a (vector) GridFunction as mesh deformation, cf. the
+        reference's ``mesh.SetDeformation`` used after lsetcurving
+        (``lsetcurving/lsetcurv.py`` usage in tutorials)."""
+        self.deformation = deformation
+        self._version += 1
+
+    def UnsetDeformation(self):
+        self.deformation = None
+        self._version += 1
+
+    def __repr__(self):
+        return f"Mesh(et={self.et}, nv={self.nv}, ne={self.ne}, nfacets={self.nfacets})"
+
+
+# -- geometry shape functions (vertex / Q1-P1 maps) ------------------------
+
+def geom_shapes(et: str, pts):
+    """Vertex shape functions N (..., nv) at reference points pts (..., d)."""
+    if et == "segm":
+        x = pts[..., 0]
+        return jnp.stack([1 - x, x], axis=-1)
+    if et == "trig":
+        x, y = pts[..., 0], pts[..., 1]
+        return jnp.stack([1 - x - y, x, y], axis=-1)
+    if et == "quad":
+        x, y = pts[..., 0], pts[..., 1]
+        return jnp.stack([(1 - x) * (1 - y), x * (1 - y), x * y, (1 - x) * y], axis=-1)
+    if et == "tet":
+        x, y, z = pts[..., 0], pts[..., 1], pts[..., 2]
+        return jnp.stack([1 - x - y - z, x, y, z], axis=-1)
+    if et == "hex":
+        x, y, z = pts[..., 0], pts[..., 1], pts[..., 2]
+        return jnp.stack(
+            [
+                (1 - x) * (1 - y) * (1 - z),
+                x * (1 - y) * (1 - z),
+                x * y * (1 - z),
+                (1 - x) * y * (1 - z),
+                (1 - x) * (1 - y) * z,
+                x * (1 - y) * z,
+                x * y * z,
+                (1 - x) * y * z,
+            ],
+            axis=-1,
+        )
+    raise ValueError(et)
+
+
+def geom_dshapes(et: str, pts):
+    """d(N)/d(ref) (..., nv, d) at reference points pts (..., d)."""
+    one = jnp.ones_like(pts[..., 0])
+    zero = jnp.zeros_like(one)
+    if et == "segm":
+        return jnp.stack([jnp.stack([-one], -1), jnp.stack([one], -1)], axis=-2)
+    if et == "trig":
+        g = jnp.stack(
+            [
+                jnp.stack([-one, -one], -1),
+                jnp.stack([one, zero], -1),
+                jnp.stack([zero, one], -1),
+            ],
+            axis=-2,
+        )
+        return g
+    if et == "quad":
+        x, y = pts[..., 0], pts[..., 1]
+        return jnp.stack(
+            [
+                jnp.stack([-(1 - y), -(1 - x)], -1),
+                jnp.stack([(1 - y), -x], -1),
+                jnp.stack([y, x], -1),
+                jnp.stack([-y, (1 - x)], -1),
+            ],
+            axis=-2,
+        )
+    if et == "tet":
+        return jnp.stack(
+            [
+                jnp.stack([-one, -one, -one], -1),
+                jnp.stack([one, zero, zero], -1),
+                jnp.stack([zero, one, zero], -1),
+                jnp.stack([zero, zero, one], -1),
+            ],
+            axis=-2,
+        )
+    if et == "hex":
+        x, y, z = pts[..., 0], pts[..., 1], pts[..., 2]
+        return jnp.stack(
+            [
+                jnp.stack([-(1 - y) * (1 - z), -(1 - x) * (1 - z), -(1 - x) * (1 - y)], -1),
+                jnp.stack([(1 - y) * (1 - z), -x * (1 - z), -x * (1 - y)], -1),
+                jnp.stack([y * (1 - z), x * (1 - z), -x * y], -1),
+                jnp.stack([-y * (1 - z), (1 - x) * (1 - z), -(1 - x) * y], -1),
+                jnp.stack([-(1 - y) * z, -(1 - x) * z, (1 - x) * (1 - y)], -1),
+                jnp.stack([(1 - y) * z, -x * z, x * (1 - y)], -1),
+                jnp.stack([y * z, x * z, x * y], -1),
+                jnp.stack([-y * z, (1 - x) * z, (1 - x) * y], -1),
+            ],
+            axis=-2,
+        )
+    raise ValueError(et)
+
+
+def _det(J):
+    d = J.shape[-1]
+    if d == 1:
+        return J[..., 0, 0]
+    if d == 2:
+        return J[..., 0, 0] * J[..., 1, 1] - J[..., 0, 1] * J[..., 1, 0]
+    if d == 3:
+        return (
+            J[..., 0, 0] * (J[..., 1, 1] * J[..., 2, 2] - J[..., 1, 2] * J[..., 2, 1])
+            - J[..., 0, 1] * (J[..., 1, 0] * J[..., 2, 2] - J[..., 1, 2] * J[..., 2, 0])
+            + J[..., 0, 2] * (J[..., 1, 0] * J[..., 2, 1] - J[..., 1, 1] * J[..., 2, 0])
+        )
+    raise ValueError(d)
+
+
+def _inv(J, detJ):
+    d = J.shape[-1]
+    if d == 1:
+        return 1.0 / J
+    if d == 2:
+        a, b, c, dd = J[..., 0, 0], J[..., 0, 1], J[..., 1, 0], J[..., 1, 1]
+        inv = jnp.stack(
+            [jnp.stack([dd, -b], -1), jnp.stack([-c, a], -1)], axis=-2
+        )
+        return inv / detJ[..., None, None]
+    if d == 3:
+        # adjugate / det
+        m = J
+        c00 = m[..., 1, 1] * m[..., 2, 2] - m[..., 1, 2] * m[..., 2, 1]
+        c01 = m[..., 0, 2] * m[..., 2, 1] - m[..., 0, 1] * m[..., 2, 2]
+        c02 = m[..., 0, 1] * m[..., 1, 2] - m[..., 0, 2] * m[..., 1, 1]
+        c10 = m[..., 1, 2] * m[..., 2, 0] - m[..., 1, 0] * m[..., 2, 2]
+        c11 = m[..., 0, 0] * m[..., 2, 2] - m[..., 0, 2] * m[..., 2, 0]
+        c12 = m[..., 0, 2] * m[..., 1, 0] - m[..., 0, 0] * m[..., 1, 2]
+        c20 = m[..., 1, 0] * m[..., 2, 1] - m[..., 1, 1] * m[..., 2, 0]
+        c21 = m[..., 0, 1] * m[..., 2, 0] - m[..., 0, 0] * m[..., 2, 1]
+        c22 = m[..., 0, 0] * m[..., 1, 1] - m[..., 0, 1] * m[..., 1, 0]
+        adj = jnp.stack(
+            [
+                jnp.stack([c00, c01, c02], -1),
+                jnp.stack([c10, c11, c12], -1),
+                jnp.stack([c20, c21, c22], -1),
+            ],
+            axis=-2,
+        )
+        return adj / detJ[..., None, None]
+    raise ValueError(d)
+
+
+def det_and_inv(J):
+    detJ = _det(J)
+    return detJ, _inv(J, detJ)
+
+
+def map_points(et: str, elem_coords, ref_pts):
+    """Map reference points to physical space.
+
+    elem_coords (E, nv, d) element vertex coordinates (possibly deformed),
+    ref_pts (E, Q, d) -> (phys (E,Q,d), J (E,Q,d,d)).
+    """
+    N = geom_shapes(et, ref_pts)  # (E,Q,nv)
+    dN = geom_dshapes(et, ref_pts)  # (E,Q,nv,d)
+    phys = jnp.einsum("eqv,evg->eqg", N, elem_coords)
+    J = jnp.einsum("eqvd,evg->eqgd", dN, elem_coords)
+    return phys, J
