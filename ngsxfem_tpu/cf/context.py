@@ -15,7 +15,7 @@ from . import coefficient as C
 
 class EvalCtx:
     def __init__(self, mesh, ref_pts, elem_ids=None, nref=None, normal=None,
-                 facet_ids=None, proxy_values=None, time=None):
+                 facet_ids=None, proxy_values=None, time=None, dyn=None):
         self.mesh = mesh
         self.ref_pts = ref_pts  # (E,Q,d)
         self.elem_ids = elem_ids  # (E,) or None == all elements
@@ -24,8 +24,14 @@ class EvalCtx:
         self.facet_ids = facet_ids  # (E,) facet index per row (facet loops)
         self.proxy_values = proxy_values or {}
         self.time = time  # scalar/array in [0,1] for space-time (later)
+        # dynamic-array environment: id(holder) -> traced array (jitcache.py)
+        self.dyn = dyn or {}
         self._cache = {}
         self.E, self.Q = ref_pts.shape[0], ref_pts.shape[1]
+
+    def lookup(self, holder, value):
+        """Fetch the traced array for a dynamic holder (falls back to value)."""
+        return self.dyn.get(id(holder), value)
 
     # -- geometry -----------------------------------------------------------
     @property
@@ -34,7 +40,8 @@ class EvalCtx:
             els = self.mesh.elements
             if self.elem_ids is not None:
                 els = els[self.elem_ids]
-            self._cache["elem_coords"] = self.mesh.vertices[els]
+            verts = self.lookup(self.mesh, self.mesh.vertices)
+            self._cache["elem_coords"] = verts[els]
         return self._cache["elem_coords"]
 
     def _geometry(self):
@@ -44,7 +51,7 @@ class EvalCtx:
                 from ..fem.gridfunction import gf_ref_value_and_grad
 
                 disp, dgrad = gf_ref_value_and_grad(
-                    self.mesh.deformation, self.elem_ids, self.ref_pts
+                    self.mesh.deformation, self.elem_ids, self.ref_pts, dyn=self.dyn
                 )
                 phys = phys + disp
                 J = J + dgrad
@@ -107,7 +114,7 @@ def eval_pure(cf, ctx: EvalCtx):
     if isinstance(cf, C.Constant):
         return jnp.asarray(cf.value, dtype=ctx.ref_pts.dtype)
     if isinstance(cf, C.Parameter):
-        return jnp.asarray(cf.value, dtype=ctx.ref_pts.dtype)
+        return ctx.lookup(cf, jnp.asarray(cf.value, dtype=ctx.ref_pts.dtype))
     if isinstance(cf, C.Coord):
         if cf.axis >= ctx.mesh.dim:
             return jnp.zeros((), dtype=ctx.ref_pts.dtype)
@@ -174,14 +181,15 @@ def eval_pure(cf, ctx: EvalCtx):
             return ctx.normal
         raise NotImplementedError(f"specialcf.{cf.kind}")
     if isinstance(cf, C.ElementValuesCF):
-        v = cf.values
+        v = ctx.lookup(cf, cf.values)
         if ctx.elem_ids is not None:
             v = v[ctx.elem_ids]
         return v[:, None].astype(ctx.ref_pts.dtype)
     if isinstance(cf, C.FacetValuesCF):
         if ctx.facet_ids is None:
             raise ValueError("facet-valued CF evaluated outside a facet loop")
-        return cf.values[ctx.facet_ids][:, None].astype(ctx.ref_pts.dtype)
+        v = ctx.lookup(cf, cf.values)
+        return v[ctx.facet_ids][:, None].astype(ctx.ref_pts.dtype)
     # GridFunction and proxy evaluation are handled by subclass hooks:
     ev = getattr(cf, "_eval_pure", None)
     if ev is not None:

@@ -19,6 +19,19 @@ import jax
 if os.environ.get("NGSXFEM_TPU_X64", "1") != "0":
     jax.config.update("jax_enable_x64", True)
 
+# Persistent compilation cache: identical XLA programs (same shapes/graph)
+# skip recompilation across calls and processes.
+if os.environ.get("NGSXFEM_TPU_COMPCACHE", "1") != "0":
+    _cache_dir = os.environ.get(
+        "NGSXFEM_TPU_COMPCACHE_DIR", os.path.expanduser("~/.cache/ngsxfem_tpu_xla")
+    )
+    try:
+        jax.config.update("jax_compilation_cache_dir", _cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+    except Exception:  # pragma: no cover - older jax versions
+        pass
+
 import jax.numpy as jnp  # noqa: E402  (after x64 flag)
 import numpy as np  # noqa: E402
 

@@ -9,7 +9,10 @@ scripts readable.
 from __future__ import annotations
 
 import numpy as np
+import jax
 import jax.numpy as jnp
+
+_SET_CACHE = {}
 
 from ..config import config
 from ..cf.coefficient import CF, wrap
@@ -157,34 +160,61 @@ class GridFunction(CF):
     # -- interpolation ------------------------------------------------------
     def Set(self, cf, boundary=False, definedonelements=None, BND=None):
         """Nodal interpolation of `cf` (NGSolve ``GridFunction.Set`` analog)."""
+        from ..jitcache import (
+            DynSlots, cf_signature, mesh_signature, register_mesh_dynamics, obj_uid,
+        )
+
         cf = wrap(cf)
         sp = self.space
         if isinstance(sp, CompoundFESpace):
             raise TypeError("Set on compound GF: use components")
         scal = sp.scalar if isinstance(sp, VectorFESpace) else sp
-        ctx = EvalCtx(
-            sp.mesh,
-            jnp.asarray(scal.dof_rep_ref, dtype=config.dtype)[:, None, :],
-            elem_ids=jnp.asarray(scal.dof_rep_elem),
+        slots = DynSlots()
+        register_mesh_dynamics(sp.mesh, slots)
+        slots.slot(self, lambda g=self: g._arr)
+        donel_key = (
+            None if definedonelements is None
+            else hash(np.asarray(definedonelements.np
+                                 if hasattr(definedonelements, "np")
+                                 else definedonelements).tobytes())
         )
-        vals = eval_pure(cf, ctx)
-        if isinstance(sp, VectorFESpace):
-            vals = jnp.broadcast_to(vals, (scal.ndof, 1, sp.vdim))
-            new = vals[:, 0, :].T.reshape(-1)  # block layout
-        else:
-            vals = jnp.broadcast_to(vals, (scal.ndof, 1))
-            new = vals[:, 0]
-        if boundary or BND:
-            mask = jnp.asarray(scal.bc_of_dof > 0)
-            if isinstance(sp, VectorFESpace):
-                mask = jnp.tile(mask, sp.vdim)
-            new = jnp.where(mask, new, self._arr)
-        if definedonelements is not None:
-            from .space import GetDofsOfElements
+        sig = ("set", obj_uid(sp), mesh_signature(sp.mesh),
+               cf_signature(cf, slots), bool(boundary or BND), donel_key)
+        fn = _SET_CACHE.get(sig)
+        if fn is None:
+            gf_self = self
 
-            mask = GetDofsOfElements(sp, definedonelements).jnp
-            new = jnp.where(mask, new, self._arr)
-        self._set_array(new)
+            def _impl(*arrays):
+                dyn = slots.env(arrays)
+                cur = dyn[id(gf_self)]
+                ctx = EvalCtx(
+                    sp.mesh,
+                    jnp.asarray(scal.dof_rep_ref, dtype=config.dtype)[:, None, :],
+                    elem_ids=jnp.asarray(scal.dof_rep_elem),
+                    dyn=dyn,
+                )
+                vals = eval_pure(cf, ctx)
+                if isinstance(sp, VectorFESpace):
+                    vals = jnp.broadcast_to(vals, (scal.ndof, 1, sp.vdim))
+                    new = vals[:, 0, :].T.reshape(-1)  # block layout
+                else:
+                    vals = jnp.broadcast_to(vals, (scal.ndof, 1))
+                    new = vals[:, 0]
+                if boundary or BND:
+                    m = jnp.asarray(scal.bc_of_dof > 0)
+                    if isinstance(sp, VectorFESpace):
+                        m = jnp.tile(m, sp.vdim)
+                    new = jnp.where(m, new, cur)
+                if definedonelements is not None:
+                    from .space import GetDofsOfElements
+
+                    m = GetDofsOfElements(sp, definedonelements).jnp
+                    new = jnp.where(m, new, cur)
+                return new
+
+            fn = jax.jit(_impl)
+            _SET_CACHE[sig] = fn
+        self._set_array(fn(*slots.arrays()))
 
     def Deriv(self):
         return GradGF(self)
@@ -225,25 +255,23 @@ class GradGF(CF):
         self.dims = (d,) if vd == 1 else (vd, d)
 
     def _eval_pure(self, ctx: EvalCtx):
-        val, gref = gf_ref_value_and_grad(self.gf, ctx.elem_ids, ctx.ref_pts)
+        val, gref = gf_ref_value_and_grad(self.gf, ctx.elem_ids, ctx.ref_pts,
+                                          dyn=ctx.dyn)
         # push-forward: grad_phys = Jinv^T-contract: g_phys[g] = sum_d gref[d] Jinv[d,g]
         if self.dims == (ctx.mesh.dim,):
             return jnp.einsum("eqd,eqdg->eqg", gref[..., 0, :], ctx.Jinv)
         return jnp.einsum("eqcd,eqdg->eqcg", gref, ctx.Jinv)
 
 
-def _space_el2dof_and_vec(gf: GridFunction):
+def _space_el2dof_and_vec(gf: GridFunction, dyn=None):
     sp = gf.space
-    vec = gf._arr
-    if isinstance(sp, CompressedFESpace):
-        # el2dof already remapped
-        return sp, sp.el2dof, vec
+    vec = (dyn or {}).get(id(gf), gf._arr)
     return sp, sp.el2dof, vec
 
 
 def gf_value(gf: GridFunction, elem_ids, ref_pts, ctx=None):
     """Value of gf at (elem, refpt) batches -> (E,Q) or (E,Q,vdim)."""
-    sp, el2dof, vec = _space_el2dof_and_vec(gf)
+    sp, el2dof, vec = _space_el2dof_and_vec(gf, ctx.dyn if ctx is not None else None)
     if isinstance(sp, CompoundFESpace):
         raise TypeError("evaluate components of a compound GridFunction")
     scal_vec = vec
@@ -261,9 +289,9 @@ def gf_value(gf: GridFunction, elem_ids, ref_pts, ctx=None):
     return jnp.stack(comps, axis=-1)
 
 
-def gf_ref_value_and_grad(gf: GridFunction, elem_ids, ref_pts):
+def gf_ref_value_and_grad(gf: GridFunction, elem_ids, ref_pts, dyn=None):
     """(value (E,Q,vdim), ref-grad (E,Q,vdim,d)) of gf at ref points."""
-    sp, el2dof, vec = _space_el2dof_and_vec(gf)
+    sp, el2dof, vec = _space_el2dof_and_vec(gf, dyn)
     vdim = getattr(sp, "vdim", 1)
     e2d = el2dof if elem_ids is None else el2dof[elem_ids]
     B = shapes(sp.mesh.et, sp.order, ref_pts)

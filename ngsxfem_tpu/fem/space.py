@@ -105,7 +105,7 @@ def _node_fingerprints(mesh: Mesh, order: int):
     b = lagrange_element(et, order)
     nodes = b["nodes"]  # (ndl, d)
     nv = ET_NVERT[et]
-    N = np.asarray(geom_shapes(et, jnp.asarray(nodes)))  # (ndl, nv)
+    N = geom_shapes(et, nodes, xp=np)  # (ndl, nv) — host numpy
     k = max(order, 1)
     den = k ** (1 if et in ("segm", "trig", "tet") else mesh.dim)
     W = np.rint(N * den).astype(np.int64)  # exact integer weights
@@ -153,7 +153,7 @@ class FESpace:
         """per local facet: local node ids whose support lies in the facet."""
         et = self.mesh.et
         b = lagrange_element(et, self.order)
-        N = np.asarray(geom_shapes(et, jnp.asarray(b["nodes"])))  # (ndl, nv)
+        N = geom_shapes(et, b["nodes"], xp=np)  # (ndl, nv) — host numpy
         sup = N > 1e-9
         out = []
         for fvs in FACET_VERTS[et]:

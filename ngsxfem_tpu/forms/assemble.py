@@ -10,6 +10,7 @@ implicit: only assembled entries exist.
 from __future__ import annotations
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 
 from ..config import config
@@ -110,37 +111,41 @@ def block_dofmap(space, block_key, elem_ids_self, elem_ids_other=None):
     if eids is None:
         e2d = sp.el2dof_np
     else:
-        e2d = sp.el2dof_np[eids]
+        e2d = sp.el2dof_np[np.asarray(eids)]
     if isinstance(sp, VectorFESpace):
         maps = [c * sp.nscal + e2d for c in range(sp.vdim)]
         e2d = np.concatenate(maps, axis=1)
-    return jnp.asarray(e2d + off)
+    return e2d + off  # host numpy (scatter structure is static)
 
 
-def _volume_ctx(integral: Integral, mesh, order):
+def _volume_ctx(integral: Integral, mesh, order, dyn=None):
     """(ctx, w_phys (E,Q), valid mask) for a volume-type integral."""
     if integral.levelset_domain is not None:
         ld = integral.levelset_domain
         o = order if ld["force_intorder"] < 0 else ld["force_intorder"]
         if integral.force_intorder > 0:
             o = integral.force_intorder
-        ctx, w_phys, mask = _cut_ctx_and_weights(mesh, ld["levelset"], ld["domain_type"], o)
+        ctx, w_phys, mask = _cut_ctx_and_weights(
+            mesh, ld["levelset"], ld["domain_type"], o, dyn=dyn
+        )
     else:
         o = order if integral.force_intorder < 0 else integral.force_intorder
         rp, rw = reference_rule(mesh.et, o)
         E = mesh.ne
         pts = jnp.broadcast_to(jnp.asarray(rp, dtype=config.dtype)[None], (E,) + rp.shape)
-        ctx = EvalCtx(mesh, pts)
+        ctx = EvalCtx(mesh, pts, dyn=dyn)
         w_phys = jnp.asarray(rw, dtype=config.dtype)[None, :] * jnp.abs(ctx.detJ)
         mask = jnp.ones(w_phys.shape, dtype=bool)
     if integral.definedonelements is not None:
-        sel = jnp.asarray(integral.definedonelements)[:, None]
+        # dynamic element mask: re-marking (moving domains) needs no recompile
+        sel_arr = (dyn or {}).get(id(integral), jnp.asarray(integral.definedonelements))
+        sel = sel_arr[:, None]
         mask = mask & sel
         w_phys = jnp.where(sel, w_phys, 0.0)
     return ctx, w_phys, mask
 
 
-def _facet_patch_ctx(integral: Integral, mesh, order):
+def _facet_patch_ctx(integral: Integral, mesh, order, dyn=None):
     """Contexts for facet-patch integrals: union of both neighbor volume rules.
 
     Returns (ctx_self, elem_ids_self, elem_ids_other, w_phys, mask); ctx has
@@ -155,6 +160,8 @@ def _facet_patch_ctx(integral: Integral, mesh, order):
     fids = np.nonzero(sel)[0]
     e1 = jnp.asarray(f2e[fids, 0])
     e2 = jnp.asarray(f2e[fids, 1])
+    dyn = dyn or {}
+    verts = dyn.get(id(mesh), mesh.vertices)
 
     o = order if integral.force_intorder < 0 else integral.force_intorder
     rp, rw = reference_rule(mesh.et, o)
@@ -164,8 +171,8 @@ def _facet_patch_ctx(integral: Integral, mesh, order):
 
     from ..mesh.mesh import map_points, det_and_inv
 
-    coords1 = mesh.vertices[mesh.elements[e1]]
-    coords2 = mesh.vertices[mesh.elements[e2]]
+    coords1 = verts[mesh.elements[e1]]
+    coords2 = verts[mesh.elements[e2]]
     base_pts = jnp.broadcast_to(rp[None], (F, nq, d))
 
     def other_refpts(coords_from, coords_to, refpts):
@@ -189,8 +196,8 @@ def _facet_patch_ctx(integral: Integral, mesh, order):
     self_pts = jnp.concatenate([base_pts, pts2_in_1], axis=1)  # on e1
     other_pts = jnp.concatenate([pts1_in_2, base_pts], axis=1)  # on e2
 
-    ctx = EvalCtx(mesh, self_pts, elem_ids=e1)
-    ctx.other_ctx = EvalCtx(mesh, other_pts, elem_ids=e2)
+    ctx = EvalCtx(mesh, self_pts, elem_ids=e1, dyn=dyn)
+    ctx.other_ctx = EvalCtx(mesh, other_pts, elem_ids=e2, dyn=dyn)
     ctx.facet_ids = jnp.asarray(fids)
 
     _, J1 = map_points(mesh.et, coords1, base_pts)
@@ -202,11 +209,57 @@ def _facet_patch_ctx(integral: Integral, mesh, order):
     return ctx, e1, e2, w, mask
 
 
+_ASM_CACHE = {}
+
+
+def _assembly_signature(space, mesh, integrals, kind):
+    """Structural signature of an Assemble call + dynamic slot registry."""
+    from ..jitcache import (
+        DynSlots, cf_signature, mesh_signature, register_mesh_dynamics, obj_uid,
+    )
+
+    slots = DynSlots()
+    register_mesh_dynamics(mesh, slots)
+    parts = []
+    for integral in integrals:
+        p = []
+        if integral.definedonelements is not None:
+            if integral.facet_patch:
+                # facet selection determines compaction shapes -> static key
+                p.append(("fpsel", integral.definedonelements.tobytes()))
+            else:
+                slots.slot(integral, lambda i=integral: jnp.asarray(i.definedonelements))
+                p.append(("mask",))
+        if integral.levelset_domain is not None:
+            lgf = integral.levelset_domain["levelset"]
+            slots.slot(lgf, lambda g=lgf: g._arr)
+            p.append(
+                (
+                    "cut",
+                    int(integral.levelset_domain["domain_type"]),
+                    obj_uid(lgf.space),
+                    integral.levelset_domain["force_intorder"],
+                )
+            )
+        p.append(("fp", integral.facet_patch, integral.force_intorder))
+        p.append(cf_signature(integral.form, slots))
+        parts.append(tuple(p))
+    sig = (kind, obj_uid(space), mesh_signature(mesh), tuple(parts))
+    return sig, slots
+
+
+def _msk(arr, mask):
+    """Zero a factor array at padded quadrature points (NaN-safe: singular
+    coefficients absorbed into factors must not poison 0-weight points)."""
+    m = mask.reshape(mask.shape + (1,) * (arr.ndim - 2))
+    return jnp.where(m, arr, 0.0)
+
+
 def _term_elmat(term, W, mask):
     """Element matrices (E, ndv, ndu) of one u&v term; W = (E,Q) weights."""
     s = jnp.broadcast_to(term.scalar, W.shape)
     Wts = W * jnp.where(mask, s, 0.0)  # NaN-safe on padded points
-    u, v = term.ufac.arr, term.vfac.arr
+    u, v = _msk(term.ufac.arr, mask), _msk(term.vfac.arr, mask)
     if term.contracted:
         return jnp.einsum("eq,eqjk,eqik->eji", Wts, v, u)
     if u.ndim != 3 or v.ndim != 3:
@@ -217,7 +270,7 @@ def _term_elmat(term, W, mask):
 def _term_elvec(term, W, mask):
     s = jnp.broadcast_to(term.scalar, W.shape)
     Wts = W * jnp.where(mask, s, 0.0)
-    v = term.vfac.arr
+    v = _msk(term.vfac.arr, mask)
     if v.ndim != 3:
         raise TypeError("non-scalar integrand in linear form")
     return jnp.einsum("eq,eqj->ej", Wts, v)
@@ -250,36 +303,71 @@ class BilinearForm:
         space = self.space
         mesh = space.mesh
         order = _space_order(space)
+        integrals = [self._with_restriction(i) for i in self.integrals]
+        sig, slots = _assembly_signature(space, mesh, integrals, "bfi")
+        cached = _ASM_CACHE.get(sig)
+        if cached is None:
+            meta = []
+
+            def _impl(*arrays):
+                dyn = slots.env(arrays)
+                meta[:] = []
+                out = []
+                for k, integral in enumerate(integrals):
+                    if integral.facet_patch:
+                        ctx, e1, e2, w_phys, mask = _facet_patch_ctx(
+                            integral, mesh, 2 * order, dyn=dyn
+                        )
+                    else:
+                        ctx, w_phys, mask = _volume_ctx(
+                            integral, mesh, 2 * order, dyn=dyn
+                        )
+                    W = _safe_weights(w_phys, mask, None)
+                    for t in eval_form(integral.form, ctx):
+                        if t.ufac is None and t.vfac is None:
+                            continue
+                        if t.ufac is None or t.vfac is None:
+                            raise TypeError(
+                                "bilinear form term missing trial or test factor"
+                            )
+                        out.append(_term_elmat(t, W, mask))
+                        meta.append((k, t.ufac.block, t.vfac.block))
+                return out
+
+            jfn = jax.jit(_impl)
+            arrays = slots.arrays()
+            elmats = jfn(*arrays)  # traces now; meta populated
+            cached = (jfn, list(meta))
+            _ASM_CACHE[sig] = cached
+        else:
+            jfn, meta = cached
+            elmats = jfn(*slots.arrays())
+            meta = list(meta)
+
+        # host-side scatter structure (static dofmaps)
         rows, cols, vals = [], [], []
-        for integral in self.integrals:
+        fp_elems = {}
+        for k, integral in enumerate(integrals):
             if integral.facet_patch:
-                ctx, e1, e2, w_phys, mask = _facet_patch_ctx(
-                    integral, mesh, 2 * order
-                )
-                elem_self, elem_other = e1, e2
-            else:
-                integral = self._with_restriction(integral)
-                ctx, w_phys, mask = _volume_ctx(integral, mesh, 2 * order)
-                elem_self = elem_other = None
-            W = _safe_weights(w_phys, mask, None)
-            terms = eval_form(integral.form, ctx)
-            for t in terms:
-                if t.ufac is None and t.vfac is None:
-                    continue  # pure term (e.g. the 0 from python sum())
-                if t.ufac is None or t.vfac is None:
-                    raise TypeError("bilinear form term missing trial or test factor")
-                elmat = _term_elmat(t, W, mask)
-                dm_u = block_dofmap(space, t.ufac.block, elem_self, elem_other)
-                dm_v = block_dofmap(space, t.vfac.block, elem_self, elem_other)
-                E, ndv, ndu = elmat.shape
-                rows.append(jnp.broadcast_to(dm_v[:, :, None], (E, ndv, ndu)).reshape(-1))
-                cols.append(jnp.broadcast_to(dm_u[:, None, :], (E, ndv, ndu)).reshape(-1))
-                vals.append(elmat.reshape(-1))
+                f2e = mesh.facet2el_np
+                sel = f2e[:, 1] >= 0
+                if integral.definedonelements is not None:
+                    sel = sel & integral.definedonelements
+                fids = np.nonzero(sel)[0]
+                fp_elems[k] = (f2e[fids, 0], f2e[fids, 1])
+        for elmat, (k, bu, bv) in zip(elmats, meta):
+            e1, e2 = fp_elems.get(k, (None, None))
+            dm_u = block_dofmap(self.space, bu, e1, e2)
+            dm_v = block_dofmap(self.space, bv, e1, e2)
+            E, ndv, ndu = elmat.shape
+            rows.append(np.broadcast_to(dm_v[:, :, None], (E, ndv, ndu)).reshape(-1))
+            cols.append(np.broadcast_to(dm_u[:, None, :], (E, ndv, ndu)).reshape(-1))
+            vals.append(elmat.reshape(-1))
         if not rows:
             raise ValueError("no integrals to assemble")
         self.mat = SparseMatrix(
-            jnp.concatenate(rows), jnp.concatenate(cols), jnp.concatenate(vals),
-            (space.ndof, space.ndof),
+            np.concatenate(rows), np.concatenate(cols), jnp.concatenate(vals),
+            (self.space.ndof, self.space.ndof),
         )
         return self
 
@@ -316,19 +404,43 @@ class LinearForm:
         space = self.space
         mesh = space.mesh
         order = _space_order(space)
+        sig, slots = _assembly_signature(space, mesh, self.integrals, "lfi")
+        cached = _ASM_CACHE.get(sig)
+        if cached is None:
+            meta = []
+            integrals = self.integrals
+
+            def _impl(*arrays):
+                dyn = slots.env(arrays)
+                meta[:] = []
+                out = []
+                for k, integral in enumerate(integrals):
+                    ctx, w_phys, mask = _volume_ctx(
+                        integral, mesh, 2 * order + mesh.dim, dyn=dyn
+                    )
+                    W = _safe_weights(w_phys, mask, None)
+                    for t in eval_form(integral.form, ctx):
+                        if t.ufac is None and t.vfac is None:
+                            continue
+                        if t.vfac is None or t.ufac is not None:
+                            raise TypeError(
+                                "linear form must be linear in the test function"
+                            )
+                        out.append(_term_elvec(t, W, mask))
+                        meta.append((k, t.vfac.block))
+                return out
+
+            jfn = jax.jit(_impl)
+            elvecs = jfn(*slots.arrays())
+            cached = (jfn, list(meta))
+            _ASM_CACHE[sig] = cached
+        else:
+            jfn, meta = cached
+            elvecs = jfn(*slots.arrays())
         out = jnp.zeros((space.ndof,), dtype=config.dtype)
-        for integral in self.integrals:
-            ctx, w_phys, mask = _volume_ctx(integral, mesh, 2 * order + mesh.dim)
-            W = _safe_weights(w_phys, mask, None)
-            terms = eval_form(integral.form, ctx)
-            for t in terms:
-                if t.ufac is None and t.vfac is None:
-                    continue
-                if t.vfac is None or t.ufac is not None:
-                    raise TypeError("linear form must be linear in the test function")
-                elvec = _term_elvec(t, W, mask)
-                dm_v = block_dofmap(space, t.vfac.block, None)
-                out = out.at[dm_v.reshape(-1)].add(elvec.reshape(-1))
+        for elvec, (k, bv) in zip(elvecs, meta):
+            dm_v = block_dofmap(space, bv, None)
+            out = out.at[dm_v.reshape(-1)].add(elvec.reshape(-1))
         self._vec = out
         return self
 

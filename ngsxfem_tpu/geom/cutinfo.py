@@ -8,7 +8,10 @@ arrays (``BitArray``).
 """
 from __future__ import annotations
 
+from functools import partial
+
 import numpy as np
+import jax
 import jax.numpy as jnp
 
 from ..domaintype import DOMAIN_TYPE, COMBINED_DOMAIN_TYPE, NEG, POS, IF, as_cdt
@@ -19,6 +22,18 @@ from ..integrate import lset_vertex_values
 
 VOL = "VOL"
 BND = "BND"
+
+
+@partial(jax.jit, static_argnames=("et",))
+def _classify(et, vals):
+    """One fused program: eps-guard, sign classification, order-0 cut ratios."""
+    vg = eps_guard(vals)
+    has_neg = jnp.any(vg < 0, axis=1)
+    has_pos = jnp.any(vg > 0, axis=1)
+    rule = cut_rule_element(et, vals, 0)
+    wneg = jnp.sum(rule.w * (rule.side == 0), axis=1)
+    wtot = jnp.sum(rule.w, axis=1)
+    return has_neg, has_pos, wneg / wtot, vg
 
 
 class CutInfo:
@@ -34,17 +49,11 @@ class CutInfo:
     def Update(self, levelset, time_order=-1, heapsize=None):
         mesh = self.mesh
         vals = lset_vertex_values(levelset)
-        vg = eps_guard(vals)
-        has_neg = np.asarray(jnp.any(vg < 0, axis=1))
-        has_pos = np.asarray(jnp.any(vg > 0, axis=1))
+        has_neg_j, has_pos_j, ratio, vg = _classify(mesh.et, vals)
+        has_neg, has_pos = np.asarray(has_neg_j), np.asarray(has_pos_j)
         dt = np.where(has_neg & has_pos, int(IF), np.where(has_neg, int(NEG), int(POS)))
         self.dt_of_elem = dt.astype(np.int8)
-
-        # cut ratios |T_neg| / |T| from the order-0 cut rule
-        rule = cut_rule_element(mesh.et, vals, 0)
-        wneg = jnp.sum(rule.w * (rule.side == 0), axis=1)
-        wtot = jnp.sum(rule.w, axis=1)
-        self.cut_ratio = np.asarray(wneg / wtot)
+        self.cut_ratio = np.asarray(ratio)
 
         # vertex domain classification (dom_of_node analog, cutinfo.cpp:151-186)
         nv = mesh.nv

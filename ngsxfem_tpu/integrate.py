@@ -25,6 +25,9 @@ from .fem.gridfunction import GridFunction
 from .fem.space import H1
 
 
+_INT_CACHE = {}
+
+
 @lru_cache(maxsize=None)
 def vertex_local_ids(et: str, order: int):
     """Indices of the Lagrange nodes sitting at the element vertices, in
@@ -42,7 +45,7 @@ def vertex_local_ids(et: str, order: int):
     return np.array(ids, dtype=np.int32)
 
 
-def lset_vertex_values(lset_gf: GridFunction):
+def lset_vertex_values(lset_gf: GridFunction, dyn=None):
     """Per-element level-set vertex values (E, nvel) from a P1 GridFunction."""
     sp = lset_gf.space
     if not (isinstance(sp, H1) and sp.order == 1):
@@ -51,7 +54,8 @@ def lset_vertex_values(lset_gf: GridFunction):
             "use InterpolateToP1 first (cf. reference CreateCutIntegrationRule)"
         )
     vperm = jnp.asarray(vertex_local_ids(sp.mesh.et, 1))
-    return lset_gf._arr[sp.el2dof[:, vperm]]
+    vec = (dyn or {}).get(id(lset_gf), lset_gf._arr)
+    return vec[sp.el2dof[:, vperm]]
 
 
 def normalize_levelset_domain(levelset_domain: dict):
@@ -66,17 +70,17 @@ def normalize_levelset_domain(levelset_domain: dict):
     return ld
 
 
-def _cut_ctx_and_weights(mesh, lset_gf, domain_type, order):
+def _cut_ctx_and_weights(mesh, lset_gf, domain_type, order, dyn=None):
     """Build (ctx, physical weights, validity mask) for a cut domain."""
-    vals = lset_vertex_values(lset_gf)
+    vals = lset_vertex_values(lset_gf, dyn)
     rule = cut_rule_element(mesh.et, vals, order)
     dt = DOMAIN_TYPE(int(domain_type))
     if dt == IF:
-        ctx = EvalCtx(mesh, rule.pts_if, nref=rule.nref)
+        ctx = EvalCtx(mesh, rule.pts_if, nref=rule.nref, dyn=dyn)
         w_ref = rule.w_if
         w_phys = w_ref * jnp.abs(ctx.detJ) * ctx.if_scale
     else:
-        ctx = EvalCtx(mesh, rule.pts)
+        ctx = EvalCtx(mesh, rule.pts, dyn=dyn)
         sidesel = (rule.side == int(dt)).astype(rule.w.dtype)
         w_ref = rule.w * sidesel
         w_phys = w_ref * jnp.abs(ctx.detJ)
@@ -98,32 +102,64 @@ def Integrate(levelset_domain=None, cf=None, mesh=None, order=5,
     if cf.has_proxy:
         raise TypeError("cannot Integrate an expression containing trial/test functions")
 
+    if cf.dims != ():
+        raise TypeError("Integrate expects a scalar integrand")
+
     if deformation is not None:
         mesh.SetDeformation(deformation)
     try:
+        from .jitcache import (
+            DynSlots, cf_signature, mesh_signature, register_mesh_dynamics,
+        )
+
+        slots = DynSlots()
+        register_mesh_dynamics(mesh, slots)
         if levelset_domain is None:
-            rp, rw = reference_rule(mesh.et, order)
-            E = mesh.ne
-            pts = jnp.broadcast_to(
-                jnp.asarray(rp, dtype=config.dtype)[None], (E,) + rp.shape
-            )
-            ctx = EvalCtx(mesh, pts)
-            w_phys = jnp.asarray(rw, dtype=config.dtype)[None, :] * jnp.abs(ctx.detJ)
-            mask = jnp.ones(w_phys.shape, dtype=bool)
+            ld = None
+            dom_key = ("vol", int(order))
         else:
             ld = normalize_levelset_domain(levelset_domain)
             o = order if ld["force_intorder"] < 0 else ld["force_intorder"]
-            ctx, w_phys, mask = _cut_ctx_and_weights(
-                mesh, ld["levelset"], ld["domain_type"], o
-            )
-        f = eval_pure(cf, ctx)
-        if cf.dims != ():
-            raise TypeError("Integrate expects a scalar integrand")
-        f = jnp.broadcast_to(f, w_phys.shape)
-        contrib = jnp.where(mask, f, 0.0) * w_phys
-        if element_wise:
-            return jnp.sum(contrib, axis=1)
-        return float(jnp.sum(contrib))
+            lgf = ld["levelset"]
+            slots.slot(lgf, lambda g=lgf: g._arr)
+            from .jitcache import obj_uid
+
+            dom_key = ("cut", int(ld["domain_type"]), int(o), obj_uid(lgf.space))
+        sig = (mesh_signature(mesh), cf_signature(cf, slots), dom_key,
+               bool(element_wise))
+        fn = _INT_CACHE.get(sig)
+        if fn is None:
+            mesh_c, cf_c, ld_c, slots_c = mesh, cf, ld, slots
+            ew = element_wise
+
+            def _impl(*arrays):
+                dyn = slots_c.env(arrays)
+                if ld_c is None:
+                    rp, rw = reference_rule(mesh_c.et, order)
+                    E = mesh_c.ne
+                    pts = jnp.broadcast_to(
+                        jnp.asarray(rp, dtype=config.dtype)[None], (E,) + rp.shape
+                    )
+                    ctx = EvalCtx(mesh_c, pts, dyn=dyn)
+                    w_phys = (
+                        jnp.asarray(rw, dtype=config.dtype)[None, :]
+                        * jnp.abs(ctx.detJ)
+                    )
+                    mask = jnp.ones(w_phys.shape, dtype=bool)
+                else:
+                    oo = order if ld_c["force_intorder"] < 0 else ld_c["force_intorder"]
+                    ctx, w_phys, mask = _cut_ctx_and_weights(
+                        mesh_c, ld_c["levelset"], ld_c["domain_type"], oo, dyn=dyn
+                    )
+                f = eval_pure(cf_c, ctx)
+                f = jnp.broadcast_to(f, w_phys.shape)
+                contrib = jnp.where(mask, f, 0.0) * w_phys
+                return jnp.sum(contrib, axis=1) if ew else jnp.sum(contrib)
+
+            fn = jax.jit(_impl)
+            _INT_CACHE[sig] = fn
+        out = fn(*slots.arrays())
+        return out if element_wise else float(out)
     finally:
         if deformation is not None:
             mesh.UnsetDeformation()

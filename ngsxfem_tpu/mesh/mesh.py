@@ -127,23 +127,26 @@ class Mesh:
 
 # -- geometry shape functions (vertex / Q1-P1 maps) ------------------------
 
-def geom_shapes(et: str, pts):
-    """Vertex shape functions N (..., nv) at reference points pts (..., d)."""
+def geom_shapes(et: str, pts, xp=jnp):
+    """Vertex shape functions N (..., nv) at reference points pts (..., d).
+
+    `xp` selects the array backend (jnp inside jit; np for host-side setup
+    paths — eager op dispatch is expensive on single-core hosts)."""
     if et == "segm":
         x = pts[..., 0]
-        return jnp.stack([1 - x, x], axis=-1)
+        return xp.stack([1 - x, x], axis=-1)
     if et == "trig":
         x, y = pts[..., 0], pts[..., 1]
-        return jnp.stack([1 - x - y, x, y], axis=-1)
+        return xp.stack([1 - x - y, x, y], axis=-1)
     if et == "quad":
         x, y = pts[..., 0], pts[..., 1]
-        return jnp.stack([(1 - x) * (1 - y), x * (1 - y), x * y, (1 - x) * y], axis=-1)
+        return xp.stack([(1 - x) * (1 - y), x * (1 - y), x * y, (1 - x) * y], axis=-1)
     if et == "tet":
         x, y, z = pts[..., 0], pts[..., 1], pts[..., 2]
-        return jnp.stack([1 - x - y - z, x, y, z], axis=-1)
+        return xp.stack([1 - x - y - z, x, y, z], axis=-1)
     if et == "hex":
         x, y, z = pts[..., 0], pts[..., 1], pts[..., 2]
-        return jnp.stack(
+        return xp.stack(
             [
                 (1 - x) * (1 - y) * (1 - z),
                 x * (1 - y) * (1 - z),
@@ -159,55 +162,55 @@ def geom_shapes(et: str, pts):
     raise ValueError(et)
 
 
-def geom_dshapes(et: str, pts):
+def geom_dshapes(et: str, pts, xp=jnp):
     """d(N)/d(ref) (..., nv, d) at reference points pts (..., d)."""
-    one = jnp.ones_like(pts[..., 0])
-    zero = jnp.zeros_like(one)
+    one = xp.ones_like(pts[..., 0])
+    zero = xp.zeros_like(one)
     if et == "segm":
-        return jnp.stack([jnp.stack([-one], -1), jnp.stack([one], -1)], axis=-2)
+        return xp.stack([xp.stack([-one], -1), xp.stack([one], -1)], axis=-2)
     if et == "trig":
-        g = jnp.stack(
+        g = xp.stack(
             [
-                jnp.stack([-one, -one], -1),
-                jnp.stack([one, zero], -1),
-                jnp.stack([zero, one], -1),
+                xp.stack([-one, -one], -1),
+                xp.stack([one, zero], -1),
+                xp.stack([zero, one], -1),
             ],
             axis=-2,
         )
         return g
     if et == "quad":
         x, y = pts[..., 0], pts[..., 1]
-        return jnp.stack(
+        return xp.stack(
             [
-                jnp.stack([-(1 - y), -(1 - x)], -1),
-                jnp.stack([(1 - y), -x], -1),
-                jnp.stack([y, x], -1),
-                jnp.stack([-y, (1 - x)], -1),
+                xp.stack([-(1 - y), -(1 - x)], -1),
+                xp.stack([(1 - y), -x], -1),
+                xp.stack([y, x], -1),
+                xp.stack([-y, (1 - x)], -1),
             ],
             axis=-2,
         )
     if et == "tet":
-        return jnp.stack(
+        return xp.stack(
             [
-                jnp.stack([-one, -one, -one], -1),
-                jnp.stack([one, zero, zero], -1),
-                jnp.stack([zero, one, zero], -1),
-                jnp.stack([zero, zero, one], -1),
+                xp.stack([-one, -one, -one], -1),
+                xp.stack([one, zero, zero], -1),
+                xp.stack([zero, one, zero], -1),
+                xp.stack([zero, zero, one], -1),
             ],
             axis=-2,
         )
     if et == "hex":
         x, y, z = pts[..., 0], pts[..., 1], pts[..., 2]
-        return jnp.stack(
+        return xp.stack(
             [
-                jnp.stack([-(1 - y) * (1 - z), -(1 - x) * (1 - z), -(1 - x) * (1 - y)], -1),
-                jnp.stack([(1 - y) * (1 - z), -x * (1 - z), -x * (1 - y)], -1),
-                jnp.stack([y * (1 - z), x * (1 - z), -x * y], -1),
-                jnp.stack([-y * (1 - z), (1 - x) * (1 - z), -(1 - x) * y], -1),
-                jnp.stack([-(1 - y) * z, -(1 - x) * z, (1 - x) * (1 - y)], -1),
-                jnp.stack([(1 - y) * z, -x * z, x * (1 - y)], -1),
-                jnp.stack([y * z, x * z, x * y], -1),
-                jnp.stack([-y * z, (1 - x) * z, (1 - x) * y], -1),
+                xp.stack([-(1 - y) * (1 - z), -(1 - x) * (1 - z), -(1 - x) * (1 - y)], -1),
+                xp.stack([(1 - y) * (1 - z), -x * (1 - z), -x * (1 - y)], -1),
+                xp.stack([y * (1 - z), x * (1 - z), -x * y], -1),
+                xp.stack([-y * (1 - z), (1 - x) * (1 - z), -(1 - x) * y], -1),
+                xp.stack([-(1 - y) * z, -(1 - x) * z, (1 - x) * (1 - y)], -1),
+                xp.stack([(1 - y) * z, -x * z, x * (1 - y)], -1),
+                xp.stack([y * z, x * z, x * y], -1),
+                xp.stack([-y * z, (1 - x) * z, (1 - x) * y], -1),
             ],
             axis=-2,
         )
