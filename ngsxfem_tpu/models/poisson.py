@@ -1,0 +1,335 @@
+"""Flagship model: unfitted (fictitious-domain) Poisson, fully batched.
+
+This is the benchmark configuration of BASELINE.json (the reference's
+``py_tutorials/fictdom_ghostpen.py`` workload): level-set geometry, cut-cell
+stiffness on the NEG domain, Nitsche boundary terms on the implicit boundary,
+facet-patch ghost penalty — expressed as pure element/facet-batched kernels
+(no Python object graph in the hot path) so the whole assembly + CG solve is
+one XLA program, shardable over the element axis with psum dof reductions
+(SURVEY.md §2.8 TPU-native parallelism design).
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh as DeviceMesh, PartitionSpec as P
+from jax.experimental.shard_map import shard_map
+
+from ..ops.straightcut import cut_rule_element
+from ..ops.gauss import ET_DIM
+from ..mesh.mesh import map_points, det_and_inv
+from ..fem.basis import shapes, dshapes, ndof_el
+from ..solvers.krylov import cg, jacobi_preconditioner
+
+
+def cut_poisson_elmats(et: str, order: int, coords, vals, lam_nitsche=20.0):
+    """Element matrices of the fictitious-domain Poisson operator.
+
+    coords (E, nv, d) element vertex coords, vals (E, nv) level-set values.
+    Returns (E, nd, nd): NEG-domain stiffness + symmetric Nitsche terms on the
+    zero set (the batched analog of SymbolicCutBFI volume+interface assembly,
+    reference xfem/symboliccutbfi.cpp:73-276).
+    """
+    d = ET_DIM[et]
+    rule = cut_rule_element(et, vals, 2 * order)
+
+    # NEG volume: grad u . grad v
+    _, J = map_points(et, coords, rule.pts)
+    detJ, Jinv = det_and_inv(J)
+    G = dshapes(et, order, rule.pts)  # (E,Q,nd,d)
+    Gp = jnp.einsum("eqid,eqdg->eqig", G, Jinv)
+    Wn = rule.w * (rule.side == 0) * jnp.abs(detJ)
+    A = jnp.einsum("eq,eqig,eqjg->eij", Wn, Gp, Gp)
+
+    # interface Nitsche: -dn(u) v - dn(v) u + lam/h u v   (outward normal of NEG)
+    _, Ji = map_points(et, coords, rule.pts_if)
+    detJi, Jiinv = det_and_inv(Ji)
+    nphys = jnp.einsum("eqdg,eqd->eqg", Jiinv, rule.nref)
+    nn = jnp.linalg.norm(nphys, axis=-1, keepdims=True)
+    nphys = nphys / jnp.where(nn < 1e-30, 1.0, nn)
+    Wi = rule.w_if * jnp.abs(detJi) * nn[..., 0]
+    B = shapes(et, order, rule.pts_if)  # (E,Qi,nd)
+    Gi = dshapes(et, order, rule.pts_if)
+    Gip = jnp.einsum("eqid,eqdg->eqig", Gi, Jiinv)
+    dn = jnp.einsum("eqig,eqg->eqi", Gip, nphys)
+    # mesh size from element volume
+    h = jnp.abs(detJ[:, :1]) ** (1.0 / d)  # (E,1)
+    lam = lam_nitsche * order * order / jnp.maximum(h[:, 0], 1e-30)  # (E,)
+    A = A - jnp.einsum("eq,eqi,eqj->eij", Wi, dn, B)
+    A = A - jnp.einsum("eq,eqi,eqj->eij", Wi, B, dn)
+    A = A + jnp.einsum("e,eq,eqi,eqj->eij", lam, Wi, B, B)
+    return A
+
+
+def cut_poisson_rhs_elvecs(et: str, order: int, coords, vals, f_fn):
+    """Element load vectors  int_NEG f v  with f_fn(phys_pts)->values."""
+    rule = cut_rule_element(et, vals, 2 * order + ET_DIM[et])
+    phys, J = map_points(et, coords, rule.pts)
+    detJ, _ = det_and_inv(J)
+    Wn = rule.w * (rule.side == 0) * jnp.abs(detJ)
+    B = shapes(et, order, rule.pts)
+    fv = f_fn(phys)
+    return jnp.einsum("eq,eq,eqi->ei", Wn, fv, B)
+
+
+def ghost_penalty_elmats(et: str, order: int, coords1, coords2, gamma=0.1):
+    """Facet-patch ghost penalty  gamma/h^2 (u-u_other)(v-v_other)  per facet.
+
+    coords1/coords2 (F, nv, d): the two neighbor elements of each marked
+    facet.  Returns (F, 2nd, 2nd) on the stacked [self; other] dof axis (the
+    batched analog of SymbolicFacetPatchBFI, xfem/symboliccutbfi.cpp:1104-1413;
+    neighbor mapping is affine-exact for simplicial meshes).
+    """
+    from ..ops.gauss import reference_rule
+
+    d = ET_DIM[et]
+    rp, rw = reference_rule(et, 2 * order)
+    rp = jnp.asarray(rp, dtype=coords1.dtype)
+    rw = jnp.asarray(rw, dtype=coords1.dtype)
+    F, nq = coords1.shape[0], rp.shape[0]
+    base = jnp.broadcast_to(rp[None], (F, nq, d))
+
+    def into_other(coords_from, coords_to, refpts):
+        phys, _ = map_points(et, coords_from, refpts)
+        c = jnp.full((F, 1, d), 0.25 if et in ("trig", "tet") else 0.5,
+                     dtype=coords1.dtype)
+        cp, Jc = map_points(et, coords_to, c)
+        _, Jcinv = det_and_inv(Jc)
+        return jnp.einsum("eqg,eodg->eqd", phys - cp, Jcinv) + c
+
+    p12 = into_other(coords1, coords2, base)
+    p21 = into_other(coords2, coords1, base)
+
+    _, J1 = map_points(et, coords1, base)
+    _, J2 = map_points(et, coords2, base)
+    det1, _ = det_and_inv(J1)
+    det2, _ = det_and_inv(J2)
+    w = jnp.concatenate([jnp.abs(det1) * rw[None], jnp.abs(det2) * rw[None]], axis=1)
+
+    B1 = jnp.concatenate([shapes(et, order, base), shapes(et, order, p21)], axis=1)
+    B2 = jnp.concatenate([shapes(et, order, p12), shapes(et, order, base)], axis=1)
+    Bj = jnp.concatenate([B1, -B2], axis=2)  # (F, 2nq, 2nd): u - u_other
+
+    h = jnp.abs(det1[:, :1]) ** (1.0 / d)
+    scale = gamma / jnp.maximum(h[:, 0] ** 2, 1e-30)
+    return jnp.einsum("f,fq,fqi,fqj->fij", scale, w, Bj, Bj)
+
+
+class UnfittedPoisson:
+    """Fictitious-domain Poisson on a structured simplicial mesh.
+
+    Host-side topology once; all compute in pure jittable functions over
+    (vertices, level-set dofs, dof vectors).
+    """
+
+    def __init__(self, nx=16, dim=3, order=1, dtype=jnp.float32,
+                 lam_nitsche=20.0, gamma_gp=0.1, radius=0.4):
+        from ..mesh.structured import MakeStructured2DMesh, MakeStructured3DMesh
+        from ..fem.space import H1
+        from ..fem.gridfunction import GridFunction
+
+        self.dim, self.order, self.dtype = dim, order, dtype
+        self.lam_nitsche, self.gamma_gp = lam_nitsche, gamma_gp
+        if dim == 2:
+            self.mesh = MakeStructured2DMesh(quads=False, nx=nx, ny=nx)
+        else:
+            self.mesh = MakeStructured3DMesh(hexes=False, nx=nx, ny=nx, nz=nx)
+        self.et = self.mesh.et
+        self.space = H1(self.mesh, order=order)
+        self.ndof = self.space.ndof
+        self.nd = ndof_el(self.et, order)
+
+        # level set: sphere of given radius around the box center
+        c = 0.5
+        v = self.mesh.vertices_np
+        self.lset_np = np.sqrt(((v - c) ** 2).sum(1)) - radius
+        self.lset = jnp.asarray(self.lset_np, dtype=dtype)
+
+        from ..integrate import vertex_local_ids
+
+        vperm = vertex_local_ids(self.et, 1)
+        # element-local vertex ordering of the scalar P1 dofs
+        from ..fem.space import H1 as _H1
+
+        p1 = self.space if order == 1 else _H1(self.mesh, order=1)
+        self.el2vert = p1.el2dof_np[:, vperm]  # (ne, nvel) into vertex-P1 dofs
+        self.p1space = p1
+        # map P1 dof -> vertex coordinate index: P1 dofs correspond to mesh
+        # vertices but in fingerprint order; build permutation
+        self.p1dof2vertex = self._p1_vertex_permutation(p1)
+        self.vertices = jnp.asarray(self.mesh.vertices_np, dtype=dtype)
+        self.el2dof = jnp.asarray(self.space.el2dof_np)
+
+        # ghost-penalty facets: between elements touching the interface band
+        vals_el = self.lset_np[self.mesh.elements_np]
+        has_neg = (vals_el < 0).any(1)
+        has_pos = (vals_el > 0).any(1)
+        cut = has_neg & has_pos
+        f2e = self.mesh.facet2el_np
+        interior = f2e[:, 1] >= 0
+        e1 = np.maximum(f2e[:, 0], 0)
+        e2 = np.maximum(f2e[:, 1], 0)
+        gp = interior & ((cut[e1] & (has_neg[e2])) | (cut[e2] & has_neg[e1]))
+        self.gp_facets = np.nonzero(gp)[0]
+        self.gp_e1 = f2e[self.gp_facets, 0]
+        self.gp_e2 = f2e[self.gp_facets, 1]
+
+        self.active = has_neg  # active element mask
+        ad = np.zeros(self.ndof, dtype=bool)
+        ad[self.space.el2dof_np[has_neg].ravel()] = True
+        self.active_dofs = jnp.asarray(ad)
+
+    def _p1_vertex_permutation(self, p1):
+        # P1 dof i sits at vertex dof_rep: match by element/local vertex
+        from ..integrate import vertex_local_ids
+
+        perm = np.zeros(p1.ndof, dtype=np.int64)
+        vperm = vertex_local_ids(self.et, 1)
+        e2d = p1.el2dof_np[:, vperm]  # (ne, nvel) P1 dof of local vertex
+        els = self.mesh.elements_np
+        perm[e2d.ravel()] = els.ravel()
+        return perm
+
+    # -- pure kernels --------------------------------------------------------
+    def lset_elem_vals(self, lset_vertex):
+        """(ne, nvel) from per-vertex level-set values."""
+        return lset_vertex[self.mesh.elements][..., :]
+
+    def elmats(self, vertices, lset_vertex):
+        coords = vertices[self.mesh.elements]
+        vals = lset_vertex[self.mesh.elements]
+        A = cut_poisson_elmats(self.et, self.order, coords, vals, self.lam_nitsche)
+        return A
+
+    def gp_mats(self, vertices):
+        coords1 = vertices[self.mesh.elements][jnp.asarray(self.gp_e1)]
+        coords2 = vertices[self.mesh.elements][jnp.asarray(self.gp_e2)]
+        return ghost_penalty_elmats(self.et, self.order, coords1, coords2,
+                                    self.gamma_gp)
+
+    def apply(self, vertices, lset_vertex, x):
+        """Matrix-free A @ x (assemble-and-apply in one fused program)."""
+        A = self.elmats(vertices, lset_vertex)
+        xe = x[self.el2dof]
+        ye = jnp.einsum("eij,ej->ei", A, xe)
+        y = jnp.zeros_like(x).at[self.el2dof.reshape(-1)].add(ye.reshape(-1))
+        G = self.gp_mats(vertices)
+        dmap = jnp.concatenate(
+            [self.el2dof[jnp.asarray(self.gp_e1)], self.el2dof[jnp.asarray(self.gp_e2)]],
+            axis=1,
+        )
+        xf = x[dmap]
+        yf = jnp.einsum("fij,fj->fi", G, xf)
+        y = y.at[dmap.reshape(-1)].add(yf.reshape(-1))
+        return jnp.where(self.active_dofs, y, x)
+
+    def rhs(self, vertices, lset_vertex, f_fn):
+        coords = vertices[self.mesh.elements]
+        vals = lset_vertex[self.mesh.elements]
+        fe = cut_poisson_rhs_elvecs(self.et, self.order, coords, vals, f_fn)
+        b = jnp.zeros((self.ndof,), dtype=vertices.dtype)
+        b = b.at[self.el2dof.reshape(-1)].add(fe.reshape(-1))
+        return jnp.where(self.active_dofs, b, 0.0)
+
+    def solve(self, f_fn=None, maxiter=200, tol=1e-8):
+        """Single-chip end-to-end: assemble + CG, one jitted program."""
+        f_fn = f_fn or (lambda p: jnp.ones(p.shape[:-1], dtype=p.dtype))
+
+        @jax.jit
+        def run(vertices, lset_vertex):
+            b = self.rhs(vertices, lset_vertex, f_fn)
+            mv = lambda x: self.apply(vertices, lset_vertex, x)
+            x, k, res = cg(mv, b, maxiter=maxiter, tol=tol)
+            return x, k, res
+
+        return run(self.vertices, self.lset)
+
+    # -- SPMD ----------------------------------------------------------------
+    def spmd_step(self, n_devices=None, devices=None):
+        """Element-sharded assembly + psum dof reduction + CG — the full
+        multi-chip step (SURVEY.md §2.8: element-batch DP over ICI).
+
+        Returns (jitted step fn, example args).
+        """
+        devices = devices if devices is not None else jax.devices()[:n_devices]
+        n = len(devices)
+        dm = DeviceMesh(np.array(devices), ("e",))
+
+        ne = self.mesh.ne
+        pad = (-ne) % n
+        elements = np.concatenate(
+            [self.mesh.elements_np, np.repeat(self.mesh.elements_np[:1], pad, 0)], 0
+        )
+        el2dof = np.concatenate(
+            [self.space.el2dof_np, np.repeat(self.space.el2dof_np[:1], pad, 0)], 0
+        )
+        # padded elements: force level-set values positive => zero contribution
+        pad_flag = np.zeros(len(elements), dtype=bool)
+        pad_flag[ne:] = True
+
+        nf = len(self.gp_facets)
+        padf = (-nf) % n if nf else n
+        gp_e1 = np.concatenate([self.gp_e1, np.repeat(self.gp_e1[:1] if nf else [0], padf)])
+        gp_e2 = np.concatenate([self.gp_e2, np.repeat(self.gp_e2[:1] if nf else [0], padf)])
+        fpad_flag = np.zeros(len(gp_e1), dtype=bool)
+        fpad_flag[nf:] = True
+
+        et, order, nd = self.et, self.order, self.nd
+        lam, gamma = self.lam_nitsche, self.gamma_gp
+        active = self.active_dofs
+
+        def partial_apply(coords, vals, e2d, pflag, c1, c2, fd, fflag, x):
+            A = cut_poisson_elmats(et, order, coords, vals, lam)
+            A = A * (1.0 - pflag[:, None, None])
+            ye = jnp.einsum("eij,ej->ei", A, x[e2d])
+            y = jnp.zeros_like(x).at[e2d.reshape(-1)].add(ye.reshape(-1))
+            G = ghost_penalty_elmats(et, order, c1, c2, gamma)
+            G = G * (1.0 - fflag[:, None, None])
+            yf = jnp.einsum("fij,fj->fi", G, x[fd])
+            y = y.at[fd.reshape(-1)].add(yf.reshape(-1))
+            return jax.lax.psum(y, "e")
+
+        sharded_apply = shard_map(
+            partial_apply,
+            mesh=dm,
+            in_specs=(P("e"), P("e"), P("e"), P("e"), P("e"), P("e"), P("e"),
+                      P("e"), P()),
+            out_specs=P(),
+        )
+
+        coords_all = self.mesh.vertices_np[elements].astype(np.float32
+                                                            if self.dtype == jnp.float32
+                                                            else np.float64)
+        vals_all = self.lset_np[elements]
+        vals_all[pad_flag] = 1.0  # padded -> pure POS, no contribution
+        c1 = self.mesh.vertices_np[self.mesh.elements_np[gp_e1]]
+        c2 = self.mesh.vertices_np[self.mesh.elements_np[gp_e2]]
+        fd = np.concatenate(
+            [self.space.el2dof_np[gp_e1], self.space.el2dof_np[gp_e2]], axis=1
+        )
+
+        args = (
+            jnp.asarray(coords_all, dtype=self.dtype),
+            jnp.asarray(vals_all, dtype=self.dtype),
+            jnp.asarray(el2dof),
+            jnp.asarray(pad_flag, dtype=self.dtype),
+            jnp.asarray(c1, dtype=self.dtype),
+            jnp.asarray(c2, dtype=self.dtype),
+            jnp.asarray(fd),
+            jnp.asarray(fpad_flag, dtype=self.dtype),
+        )
+
+        def step(coords, vals, e2d, pflag, cc1, cc2, fdd, fflag, b):
+            def mv(x):
+                y = sharded_apply(coords, vals, e2d, pflag, cc1, cc2, fdd, fflag, x)
+                return jnp.where(active, y, x)
+
+            x, k, res = cg(mv, b, maxiter=25, tol=1e-8)
+            return x, res
+
+        b = jnp.where(active, 1.0, 0.0).astype(self.dtype)
+        jstep = jax.jit(step)
+        return jstep, args + (b,)

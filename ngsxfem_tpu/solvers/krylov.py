@@ -1,0 +1,100 @@
+"""Jittable Krylov solvers (matrix-free friendly).
+
+Replaces the reference's reliance on NGSolve sparse direct solvers/CG with
+device-resident iterations: everything is lax.while_loop-based so whole
+solves compile into one XLA program and shard transparently when the matvec
+is a psum-reduced SPMD function (parallel/sharding.py).
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+
+def cg(matvec, b, x0=None, M=None, maxiter=500, tol=1e-10):
+    """Preconditioned conjugate gradients; returns (x, iters, res_norm).
+
+    `matvec`/`M` are functions on dof vectors (may contain psum collectives).
+    """
+    if x0 is None:
+        x0 = jnp.zeros_like(b)
+    if M is None:
+        M = lambda r: r
+
+    r0 = b - matvec(x0)
+    z0 = M(r0)
+    p0 = z0
+    rz0 = jnp.vdot(r0, z0)
+    bnorm = jnp.sqrt(jnp.vdot(b, b))
+    atol2 = (tol * jnp.maximum(bnorm, 1e-300)) ** 2
+
+    def cond(state):
+        x, r, z, p, rz, k = state
+        return (jnp.vdot(r, r) > atol2) & (k < maxiter)
+
+    def body(state):
+        x, r, z, p, rz, k = state
+        Ap = matvec(p)
+        denom = jnp.vdot(p, Ap)
+        alpha = rz / jnp.where(denom == 0, 1.0, denom)
+        x = x + alpha * p
+        r = r - alpha * Ap
+        z = M(r)
+        rz_new = jnp.vdot(r, z)
+        beta = rz_new / jnp.where(rz == 0, 1.0, rz)
+        p = z + beta * p
+        return (x, r, z, p, rz_new, k + 1)
+
+    x, r, z, p, rz, k = lax.while_loop(cond, body, (x0, r0, z0, p0, rz0, 0))
+    return x, k, jnp.sqrt(jnp.vdot(r, r))
+
+
+def jacobi_preconditioner(diag, free_mask=None):
+    inv = jnp.where(jnp.abs(diag) > 1e-300, 1.0 / diag, 0.0)
+    if free_mask is not None:
+        inv = jnp.where(free_mask, inv, 0.0)
+
+    def M(r):
+        return inv * r
+
+    return M
+
+
+def masked_matvec(matvec, free_mask):
+    """Project a matvec onto the free dofs: A' = P A P + (I - P)."""
+
+    def mv(x):
+        xp = jnp.where(free_mask, x, 0.0)
+        y = matvec(xp)
+        return jnp.where(free_mask, y, x)
+
+    return mv
+
+
+class CGSolver:
+    """NGSolve-flavoured wrapper: `CGSolver(mat, pre) * rhs`."""
+
+    def __init__(self, mat, pre=None, maxsteps=500, tol=1e-10, freedofs=None):
+        self.mat = mat
+        self.pre = pre
+        self.maxsteps = maxsteps
+        self.tol = tol
+        self.freedofs = freedofs
+
+    def __mul__(self, rhs):
+        import numpy as np
+
+        from ..fem.space import _arr
+
+        b = jnp.asarray(rhs)
+        mv = self.mat.matvec if hasattr(self.mat, "matvec") else self.mat
+        M = self.pre
+        if self.freedofs is not None:
+            fm = jnp.asarray(_arr(self.freedofs))
+            mv = masked_matvec(mv, fm)
+            b = jnp.where(fm, b, 0.0)
+        if M is None and hasattr(self.mat, "diagonal"):
+            M = jacobi_preconditioner(self.mat.diagonal())
+        x, k, res = cg(mv, b, M=M, maxiter=self.maxsteps, tol=self.tol)
+        return x
