@@ -12,7 +12,7 @@ from math import pi
 from ngsxfem_tpu import *
 
 
-def run(nx=30, order=1, verbose=True):
+def run(nx=30, order=1, verbose=True, deform=False):
     mesh = MakeStructured2DMesh(
         quads=False, nx=nx, ny=nx, mapping=lambda xx, yy: (3 * xx - 1.5, 3 * yy - 1.5)
     )
@@ -31,8 +31,14 @@ def run(nx=30, order=1, verbose=True):
     alpha = [1.0, 2.0]
     levelset = sqrt(sqrt(x**4 + y**4)) - 1.0
 
-    lsetp1 = GridFunction(H1(mesh, order=1))
-    InterpolateToP1(levelset, lsetp1)
+    deformation = None
+    if deform:
+        lsetadap = LevelSetMeshAdaptation(mesh, order=order, threshold=1000)
+        deformation = lsetadap.CalcDeformation(levelset)
+        lsetp1 = lsetadap.lset_p1
+    else:
+        lsetp1 = GridFunction(H1(mesh, order=1))
+        InterpolateToP1(levelset, lsetp1)
 
     Vh = H1(mesh, order=order, dirichlet=[1, 2, 3, 4])
     VhG = FESpace([Vh, Vh])
@@ -79,6 +85,8 @@ def run(nx=30, order=1, verbose=True):
     gfu = GridFunction(VhG)
     gfu.components[1].Set(solution[1], boundary=True)
 
+    if deformation is not None:
+        mesh.SetDeformation(deformation)
     a.Assemble()
     f.Assemble()
 
@@ -94,6 +102,8 @@ def run(nx=30, order=1, verbose=True):
         Integrate(levelset_domain=lset_neg, cf=err_sqr[0], mesh=mesh, order=2 * order)
         + Integrate(levelset_domain=lset_pos, cf=err_sqr[1], mesh=mesh, order=2 * order)
     ) ** 0.5
+    if deformation is not None:
+        mesh.UnsetDeformation()
     if verbose:
         print("L2 error:", l2error)
     return l2error

@@ -100,6 +100,8 @@ from .forms.assemble import (  # noqa: F401
 )
 from .forms.proxies import dn, div  # noqa: F401
 from .solvers.sparse import SparseMatrix  # noqa: F401
+from .solvers.krylov import CGSolver  # noqa: F401
+from .lsetcurv import LevelSetMeshAdaptation  # noqa: F401
 
 # NGSolve-style: FESpace([V1, V2]) builds a compound product space.
 from .fem import space as _space_mod

@@ -113,7 +113,10 @@ def cf_signature(cf, slots: DynSlots):
 
 
 def mesh_signature(mesh):
-    return (obj_uid(mesh), mesh._version, mesh.et, mesh.ne)
+    # deformation keyed by the deforming space identity (its dof VECTOR is a
+    # dynamic argument, so Set/Unset cycles in time loops never recompile)
+    dkey = None if mesh.deformation is None else obj_uid(mesh.deformation.space)
+    return (obj_uid(mesh), mesh.et, mesh.ne, dkey)
 
 
 def register_mesh_dynamics(mesh, slots: DynSlots):

