@@ -102,6 +102,16 @@ from .forms.proxies import dn, div  # noqa: F401
 from .solvers.sparse import SparseMatrix  # noqa: F401
 from .solvers.krylov import CGSolver  # noqa: F401
 from .lsetcurv import LevelSetMeshAdaptation  # noqa: F401
+from .fem.xfespace import (  # noqa: F401
+    XFESpace,
+    XToNegPos,
+    neg,
+    pos,
+    extend,
+    neg_grad,
+    pos_grad,
+    extend_grad,
+)
 
 # NGSolve-style: FESpace([V1, V2]) builds a compound product space.
 from .fem import space as _space_mod

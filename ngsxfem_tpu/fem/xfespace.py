@@ -1,0 +1,221 @@
+"""XFESpace — Heaviside-enrichment space for XFEM.
+
+Re-design of the reference enrichment space (``xfem/xFESpace.hpp:22-206``,
+dof maps ``xFESpace.cpp:302-321``, sign assignment ``:345-366``, masked
+diff-ops ``xfem/xfemdiffops.cpp:7-67``): an x-dof doubles a base dof on cut
+elements; its enrichment function is  psi_i = phi_i * chi_{dom(i)}  with
+dom(i) = the domain NOT containing the dof's node (INVERT of the node's
+side).  Because a node's support elements never lie in the opposite uncut
+domain, psi_i is supported on cut elements only — so the dof set is exactly
+"base dofs of IF elements" and evaluation is a *sign mask* on the base basis
+(a jnp.where, not a custom element type).
+
+Operators (python/__init__.py:22-105 of the reference):
+  extend(u)      base shapes, unmasked
+  neg(u)/pos(u)  base shapes masked to dofs enriching NEG/POS
+  *_grad         the corresponding gradients
+"""
+from __future__ import annotations
+
+import numpy as np
+import jax.numpy as jnp
+
+from ..config import config
+from ..domaintype import IF, NEG, POS
+from .space import FESpace, BitArray
+from .basis import shapes, dshapes
+from ..forms.evaluate import Factor
+from ..cf.coefficient import CF
+
+
+class XFESpace:
+    """Enrichment space over a scalar base FESpace."""
+
+    def __init__(self, basefes: FESpace, lset_or_cutinfo=None, cutinfo=None,
+                 trace=False, **kw):
+        from ..geom.cutinfo import CutInfo
+        from .gridfunction import GridFunction
+
+        self.base = basefes
+        self.mesh = basefes.mesh
+        self.order = basefes.order
+        self.trace = trace
+        if isinstance(lset_or_cutinfo, CutInfo):
+            self.cutinfo = lset_or_cutinfo
+        else:
+            self.cutinfo = CutInfo(self.mesh, lset_or_cutinfo)
+        if cutinfo is not None:
+            self.cutinfo = cutinfo
+
+        # level-set value at every base dof node -> dof side
+        lset = getattr(self.cutinfo, "_lset_gf", None)
+        if lset is None:
+            raise ValueError("XFESpace needs the level set (GridFunction)")
+        tmp = GridFunction(basefes)
+        tmp.Set(lset)
+        phi_at_dofs = np.asarray(tmp._arr)
+        # dom of xdof = INVERT(side of node): node in NEG -> enriches POS
+        self.dom_of_basedof = np.where(phi_at_dofs < 0, int(POS), int(NEG)).astype(
+            np.int8
+        )
+
+        cutels = self.cutinfo.GetElementsOfType(IF).np
+        active = np.zeros(basefes.ndof, dtype=bool)
+        active[basefes.el2dof_np[cutels].ravel()] = True
+        self.basedof2xdof = np.full(basefes.ndof, -1, dtype=np.int32)
+        self.xdof2basedof = np.nonzero(active)[0].astype(np.int32)
+        self.basedof2xdof[self.xdof2basedof] = np.arange(
+            len(self.xdof2basedof), dtype=np.int32
+        )
+        self.ndof = int(active.sum())
+        mapped = self.basedof2xdof[basefes.el2dof_np]
+        self.el2dof_np = np.where(mapped >= 0, mapped, 0).astype(np.int32)
+        self.el2dof = jnp.asarray(self.el2dof_np)
+        # per-element-local dof signs (static geometry data for the factor mask)
+        self.eldof_dom = jnp.asarray(
+            self.dom_of_basedof[basefes.el2dof_np].astype(np.int32)
+        )
+        # inactive base dofs must never contribute: extra mask
+        self.eldof_active = jnp.asarray(mapped >= 0)
+        self.dom_of_xdof = self.dom_of_basedof[self.xdof2basedof]
+        self.dirichlet_dofs = np.zeros(self.ndof, dtype=bool)
+        self.bc_of_dof = np.zeros(self.ndof, dtype=np.int32)
+        self.dgjumps = basefes.dgjumps
+        self.vdim = 1
+
+    def GetCutInfo(self):
+        return self.cutinfo
+
+    def FreeDofs(self, coupling=False):
+        return BitArray(~self.dirichlet_dofs)
+
+    def TrialFunction(self):
+        from ..forms.proxies import make_proxies
+
+        return make_proxies(self, test=False)
+
+    def TestFunction(self):
+        from ..forms.proxies import make_proxies
+
+        return make_proxies(self, test=True)
+
+    def TnT(self):
+        return self.TrialFunction(), self.TestFunction()
+
+    # -- factor hook used by forms/evaluate.proxy_factor ---------------------
+    def proxy_factor_hook(self, proxy, ctx, pctx):
+        et, order = self.mesh.et, self.order
+        op = proxy.op
+        if op in ("val", "xext"):
+            arr, side = shapes(et, order, pctx.ref_pts), None
+        elif op == "xneg":
+            arr, side = shapes(et, order, pctx.ref_pts), int(NEG)
+        elif op == "xpos":
+            arr, side = shapes(et, order, pctx.ref_pts), int(POS)
+        elif op in ("grad", "xextgrad", "xneggrad", "xposgrad"):
+            G = dshapes(et, order, pctx.ref_pts)
+            arr = jnp.einsum("eqid,eqdg->eqig", G, pctx.Jinv)
+            side = {"xneggrad": int(NEG), "xposgrad": int(POS)}.get(op)
+        else:
+            raise NotImplementedError(f"XFESpace proxy op {op}")
+        dom = self.eldof_dom
+        act = self.eldof_active
+        if pctx.elem_ids is not None:
+            dom = dom[pctx.elem_ids]
+            act = act[pctx.elem_ids]
+        mask = act if side is None else (act & (dom == side))
+        m = mask[:, None, :]
+        if arr.ndim == 4:
+            m = m[..., None]
+        arr = jnp.where(m, arr, 0.0)
+        return Factor(block=proxy.block_key, arr=arr, space=self)
+
+    def __repr__(self):
+        return f"XFESpace(ndof={self.ndof}, base={self.base})"
+
+
+class _XGFOp(CF):
+    """CF node: masked evaluation of a GridFunction on an XFESpace."""
+
+    def __init__(self, gf, side, grad=False):
+        self.gf = gf
+        self.side = side  # None = extend
+        self.grad = grad
+        sp = gf.space
+        self.dims = (sp.mesh.dim,) if grad else ()
+
+    def _signature(self, slots):
+        from ..jitcache import obj_uid
+
+        s = slots.slot(self.gf, lambda g=self.gf: g._arr)
+        return ("xgf", obj_uid(self.gf.space), self.side, self.grad, s)
+
+    def _eval_pure(self, ctx):
+        sp = self.gf.space
+        et, order = sp.mesh.et, sp.order
+        vec = ctx.lookup(self.gf, self.gf._arr)
+        e2d = sp.el2dof if ctx.elem_ids is None else sp.el2dof[ctx.elem_ids]
+        dom = sp.eldof_dom if ctx.elem_ids is None else sp.eldof_dom[ctx.elem_ids]
+        act = sp.eldof_active if ctx.elem_ids is None else sp.eldof_active[ctx.elem_ids]
+        mask = act if self.side is None else (act & (dom == self.side))
+        dofs = jnp.where(mask, vec[e2d], 0.0)  # (E, ndl)
+        if not self.grad:
+            B = shapes(et, order, ctx.ref_pts)
+            return jnp.einsum("eqi,ei->eq", B, dofs)
+        G = dshapes(et, order, ctx.ref_pts)
+        gref = jnp.einsum("eqid,ei->eqd", G, dofs)
+        return jnp.einsum("eqd,eqdg->eqg", gref, ctx.Jinv)
+
+
+def _xop(obj, op_name, side, grad):
+    from ..forms.proxies import ProxyFunction
+    from .gridfunction import GridFunction
+
+    if isinstance(obj, ProxyFunction):
+        if not isinstance(obj.space, XFESpace):
+            raise TypeError(f"{op_name} needs an XFESpace function")
+        d = obj.space.mesh.dim
+        return obj._clone(op=op_name, dims=(d,) if grad else ())
+    if isinstance(obj, GridFunction) and isinstance(obj.space, XFESpace):
+        return _XGFOp(obj, side, grad)
+    raise TypeError(f"{op_name} expects an XFESpace proxy or GridFunction")
+
+
+def neg(u):
+    return _xop(u, "xneg", int(NEG), False)
+
+
+def pos(u):
+    return _xop(u, "xpos", int(POS), False)
+
+
+def extend(u):
+    return _xop(u, "xext", None, False)
+
+
+def neg_grad(u):
+    return _xop(u, "xneggrad", int(NEG), True)
+
+
+def pos_grad(u):
+    return _xop(u, "xposgrad", int(POS), True)
+
+
+def extend_grad(u):
+    return _xop(u, "xextgrad", None, True)
+
+
+def XToNegPos(gfx, gfnegpos):
+    """Copy an XFESpace GridFunction into a two-field compound representation
+    (cf. xfem/xFESpace.cpp:105-144)."""
+    sp = gfx.space
+    neg_part = np.zeros(sp.base.ndof)
+    pos_part = np.zeros(sp.base.ndof)
+    vec = np.asarray(gfx._arr)
+    for xd, bd in enumerate(sp.xdof2basedof):
+        if sp.dom_of_xdof[xd] == int(NEG):
+            neg_part[bd] = vec[xd]
+        else:
+            pos_part[bd] = vec[xd]
+    gfnegpos.components[0].vec = jnp.asarray(neg_part, dtype=config.dtype)
+    gfnegpos.components[1].vec = jnp.asarray(pos_part, dtype=config.dtype)

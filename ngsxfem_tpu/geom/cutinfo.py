@@ -48,6 +48,7 @@ class CutInfo:
 
     def Update(self, levelset, time_order=-1, heapsize=None):
         mesh = self.mesh
+        self._lset_gf = levelset
         vals = lset_vertex_values(levelset)
         has_neg_j, has_pos_j, ratio, vg = _classify(mesh.et, vals)
         has_neg, has_pos = np.asarray(has_neg_j), np.asarray(has_pos_j)

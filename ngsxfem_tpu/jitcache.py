@@ -64,6 +64,9 @@ def cf_signature(cf, slots: DynSlots):
     from .forms.proxies import ProxyFunction
 
     t = type(cf)
+    custom = getattr(cf, "_signature", None)
+    if custom is not None:
+        return custom(slots)
     if isinstance(cf, C.Constant):
         return ("c", cf.value)
     if isinstance(cf, C.Parameter):
