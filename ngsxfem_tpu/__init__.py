@@ -86,6 +86,7 @@ from .geom.cutinfo import (  # noqa: F401
     GetDofsOfFacets,
     IndicatorCF,
     CutRatioGF,
+    BitArrayCF,
     VOL,
     BND,
 )

@@ -29,18 +29,18 @@ class EvalCtx:
         self._cache = {}
         self.E, self.Q = ref_pts.shape[0], ref_pts.shape[1]
 
-    def lookup(self, holder, value):
+    def lookup(self, holder, attr, value):
         """Fetch the traced array for a dynamic holder (falls back to value)."""
-        return self.dyn.get(id(holder), value)
+        return self.dyn.get((id(holder), attr), value)
 
     # -- geometry -----------------------------------------------------------
     @property
     def elem_coords(self):
         if "elem_coords" not in self._cache:
-            els = self.mesh.elements
+            els = self.lookup(self.mesh, "elements", self.mesh.elements)
             if self.elem_ids is not None:
                 els = els[self.elem_ids]
-            verts = self.lookup(self.mesh, self.mesh.vertices)
+            verts = self.lookup(self.mesh, "vertices", self.mesh.vertices)
             self._cache["elem_coords"] = verts[els]
         return self._cache["elem_coords"]
 
@@ -114,7 +114,7 @@ def eval_pure(cf, ctx: EvalCtx):
     if isinstance(cf, C.Constant):
         return jnp.asarray(cf.value, dtype=ctx.ref_pts.dtype)
     if isinstance(cf, C.Parameter):
-        return ctx.lookup(cf, jnp.asarray(cf.value, dtype=ctx.ref_pts.dtype))
+        return ctx.lookup(cf, "value", jnp.asarray(cf.value, dtype=ctx.ref_pts.dtype))
     if isinstance(cf, C.Coord):
         if cf.axis >= ctx.mesh.dim:
             return jnp.zeros((), dtype=ctx.ref_pts.dtype)
@@ -181,14 +181,14 @@ def eval_pure(cf, ctx: EvalCtx):
             return ctx.normal
         raise NotImplementedError(f"specialcf.{cf.kind}")
     if isinstance(cf, C.ElementValuesCF):
-        v = ctx.lookup(cf, cf.values)
+        v = ctx.lookup(cf, "values", cf.values)
         if ctx.elem_ids is not None:
             v = v[ctx.elem_ids]
         return v[:, None].astype(ctx.ref_pts.dtype)
     if isinstance(cf, C.FacetValuesCF):
         if ctx.facet_ids is None:
             raise ValueError("facet-valued CF evaluated outside a facet loop")
-        v = ctx.lookup(cf, cf.values)
+        v = ctx.lookup(cf, "values", cf.values)
         return v[ctx.facet_ids][:, None].astype(ctx.ref_pts.dtype)
     # GridFunction and proxy evaluation are handled by subclass hooks:
     ev = getattr(cf, "_eval_pure", None)

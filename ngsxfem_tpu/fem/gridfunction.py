@@ -171,7 +171,12 @@ class GridFunction(CF):
         scal = sp.scalar if isinstance(sp, VectorFESpace) else sp
         slots = DynSlots()
         register_mesh_dynamics(sp.mesh, slots)
-        slots.slot(self, lambda g=self: g._arr)
+        slots.slot(self, "vec", lambda g=self: g._arr)
+        slots.slot(scal, "dof_rep_ref",
+                   lambda s=scal: jnp.asarray(s.dof_rep_ref, dtype=config.dtype))
+        slots.slot(scal, "dof_rep_elem",
+                   lambda s=scal: jnp.asarray(s.dof_rep_elem))
+        slots.slot(scal, "bc_of_dof", lambda s=scal: jnp.asarray(s.bc_of_dof))
         donel_key = (
             None if definedonelements is None
             else hash(np.asarray(definedonelements.np
@@ -186,11 +191,11 @@ class GridFunction(CF):
 
             def _impl(*arrays):
                 dyn = slots.env(arrays)
-                cur = dyn[id(gf_self)]
+                cur = dyn[(id(gf_self), "vec")]
                 ctx = EvalCtx(
                     sp.mesh,
-                    jnp.asarray(scal.dof_rep_ref, dtype=config.dtype)[:, None, :],
-                    elem_ids=jnp.asarray(scal.dof_rep_elem),
+                    dyn[(id(scal), "dof_rep_ref")][:, None, :],
+                    elem_ids=dyn[(id(scal), "dof_rep_elem")],
                     dyn=dyn,
                 )
                 vals = eval_pure(cf, ctx)
@@ -201,7 +206,7 @@ class GridFunction(CF):
                     vals = jnp.broadcast_to(vals, (scal.ndof, 1))
                     new = vals[:, 0]
                 if boundary or BND:
-                    m = jnp.asarray(scal.bc_of_dof > 0)
+                    m = dyn[(id(scal), "bc_of_dof")] > 0
                     if isinstance(sp, VectorFESpace):
                         m = jnp.tile(m, sp.vdim)
                     new = jnp.where(m, new, cur)
@@ -264,9 +269,12 @@ class GradGF(CF):
 
 
 def _space_el2dof_and_vec(gf: GridFunction, dyn=None):
+    from ..jitcache import dyn_get
+
     sp = gf.space
-    vec = (dyn or {}).get(id(gf), gf._arr)
-    return sp, sp.el2dof, vec
+    vec = dyn_get(dyn, gf, "vec", gf._arr)
+    el2dof = dyn_get(dyn, sp, "el2dof", sp.el2dof)
+    return sp, el2dof, vec
 
 
 def gf_value(gf: GridFunction, elem_ids, ref_pts, ctx=None):

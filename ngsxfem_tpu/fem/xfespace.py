@@ -118,8 +118,8 @@ class XFESpace:
             side = {"xneggrad": int(NEG), "xposgrad": int(POS)}.get(op)
         else:
             raise NotImplementedError(f"XFESpace proxy op {op}")
-        dom = self.eldof_dom
-        act = self.eldof_active
+        dom = pctx.lookup(self, "eldof_dom", self.eldof_dom)
+        act = pctx.lookup(self, "eldof_active", self.eldof_active)
         if pctx.elem_ids is not None:
             dom = dom[pctx.elem_ids]
             act = act[pctx.elem_ids]
@@ -145,18 +145,23 @@ class _XGFOp(CF):
         self.dims = (sp.mesh.dim,) if grad else ()
 
     def _signature(self, slots):
-        from ..jitcache import obj_uid
+        from ..jitcache import obj_uid, register_space
 
-        s = slots.slot(self.gf, lambda g=self.gf: g._arr)
+        s = slots.slot(self.gf, "vec", lambda g=self.gf: g._arr)
+        register_space(self.gf.space, slots)
         return ("xgf", obj_uid(self.gf.space), self.side, self.grad, s)
 
     def _eval_pure(self, ctx):
         sp = self.gf.space
         et, order = sp.mesh.et, sp.order
-        vec = ctx.lookup(self.gf, self.gf._arr)
-        e2d = sp.el2dof if ctx.elem_ids is None else sp.el2dof[ctx.elem_ids]
-        dom = sp.eldof_dom if ctx.elem_ids is None else sp.eldof_dom[ctx.elem_ids]
-        act = sp.eldof_active if ctx.elem_ids is None else sp.eldof_active[ctx.elem_ids]
+        vec = ctx.lookup(self.gf, "vec", self.gf._arr)
+        e2d = ctx.lookup(sp, "el2dof", sp.el2dof)
+        dom = ctx.lookup(sp, "eldof_dom", sp.eldof_dom)
+        act = ctx.lookup(sp, "eldof_active", sp.eldof_active)
+        if ctx.elem_ids is not None:
+            e2d = e2d[ctx.elem_ids]
+            dom = dom[ctx.elem_ids]
+            act = act[ctx.elem_ids]
         mask = act if self.side is None else (act & (dom == self.side))
         dofs = jnp.where(mask, vec[e2d], 0.0)  # (E, ndl)
         if not self.grad:

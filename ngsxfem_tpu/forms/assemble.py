@@ -138,7 +138,10 @@ def _volume_ctx(integral: Integral, mesh, order, dyn=None):
         mask = jnp.ones(w_phys.shape, dtype=bool)
     if integral.definedonelements is not None:
         # dynamic element mask: re-marking (moving domains) needs no recompile
-        sel_arr = (dyn or {}).get(id(integral), jnp.asarray(integral.definedonelements))
+        from ..jitcache import dyn_get
+
+        sel_arr = dyn_get(dyn, integral, "mask",
+                          jnp.asarray(integral.definedonelements))
         sel = sel_arr[:, None]
         mask = mask & sel
         w_phys = jnp.where(sel, w_phys, 0.0)
@@ -160,8 +163,11 @@ def _facet_patch_ctx(integral: Integral, mesh, order, dyn=None):
     fids = np.nonzero(sel)[0]
     e1 = jnp.asarray(f2e[fids, 0])
     e2 = jnp.asarray(f2e[fids, 1])
+    from ..jitcache import dyn_get
+
     dyn = dyn or {}
-    verts = dyn.get(id(mesh), mesh.vertices)
+    verts = dyn_get(dyn, mesh, "vertices", mesh.vertices)
+    els = dyn_get(dyn, mesh, "elements", mesh.elements)
 
     o = order if integral.force_intorder < 0 else integral.force_intorder
     rp, rw = reference_rule(mesh.et, o)
@@ -171,8 +177,8 @@ def _facet_patch_ctx(integral: Integral, mesh, order, dyn=None):
 
     from ..mesh.mesh import map_points, det_and_inv
 
-    coords1 = verts[mesh.elements[e1]]
-    coords2 = verts[mesh.elements[e2]]
+    coords1 = verts[els[e1]]
+    coords2 = verts[els[e2]]
     base_pts = jnp.broadcast_to(rp[None], (F, nq, d))
 
     def other_refpts(coords_from, coords_to, refpts):
@@ -216,6 +222,7 @@ def _assembly_signature(space, mesh, integrals, kind):
     """Structural signature of an Assemble call + dynamic slot registry."""
     from ..jitcache import (
         DynSlots, cf_signature, mesh_signature, register_mesh_dynamics, obj_uid,
+        register_space,
     )
 
     slots = DynSlots()
@@ -228,11 +235,13 @@ def _assembly_signature(space, mesh, integrals, kind):
                 # facet selection determines compaction shapes -> static key
                 p.append(("fpsel", integral.definedonelements.tobytes()))
             else:
-                slots.slot(integral, lambda i=integral: jnp.asarray(i.definedonelements))
+                slots.slot(integral, "mask",
+                           lambda i=integral: jnp.asarray(i.definedonelements))
                 p.append(("mask",))
         if integral.levelset_domain is not None:
             lgf = integral.levelset_domain["levelset"]
-            slots.slot(lgf, lambda g=lgf: g._arr)
+            slots.slot(lgf, "vec", lambda g=lgf: g._arr)
+            register_space(lgf.space, slots)
             p.append(
                 (
                     "cut",

@@ -156,3 +156,8 @@ def IndicatorCF(mesh, ba, facets=False):
 def CutRatioGF(cutinfo: CutInfo):
     """Element-wise cut ratio CF (python/__init__.py:397)."""
     return ElementValuesCF(cutinfo.cut_ratio, cutinfo.mesh)
+
+
+def BitArrayCF(ba, mesh=None):
+    """CF = 1 on marked elements else 0 (utils/bitarraycf.hpp:10-21)."""
+    return ElementValuesCF(_arr(ba).astype(np.float64), mesh)

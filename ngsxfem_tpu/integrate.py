@@ -53,9 +53,12 @@ def lset_vertex_values(lset_gf: GridFunction, dyn=None):
             "levelset must be a GridFunction on H1(order=1); "
             "use InterpolateToP1 first (cf. reference CreateCutIntegrationRule)"
         )
+    from .jitcache import dyn_get
+
     vperm = jnp.asarray(vertex_local_ids(sp.mesh.et, 1))
-    vec = (dyn or {}).get(id(lset_gf), lset_gf._arr)
-    return vec[sp.el2dof[:, vperm]]
+    vec = dyn_get(dyn, lset_gf, "vec", lset_gf._arr)
+    el2dof = dyn_get(dyn, sp, "el2dof", sp.el2dof)
+    return vec[el2dof[:, vperm]]
 
 
 def normalize_levelset_domain(levelset_domain: dict):
@@ -121,9 +124,10 @@ def Integrate(levelset_domain=None, cf=None, mesh=None, order=5,
             ld = normalize_levelset_domain(levelset_domain)
             o = order if ld["force_intorder"] < 0 else ld["force_intorder"]
             lgf = ld["levelset"]
-            slots.slot(lgf, lambda g=lgf: g._arr)
-            from .jitcache import obj_uid
+            slots.slot(lgf, "vec", lambda g=lgf: g._arr)
+            from .jitcache import obj_uid, register_space
 
+            register_space(lgf.space, slots)
             dom_key = ("cut", int(ld["domain_type"]), int(o), obj_uid(lgf.space))
         sig = (mesh_signature(mesh), cf_signature(cf, slots), dom_key,
                bool(element_wise))

@@ -38,24 +38,43 @@ def obj_uid(obj):
 
 
 class DynSlots:
-    """Ordered registry of dynamic array holders discovered in a CF graph."""
+    """Ordered registry of dynamic array holders discovered in a CF graph.
+
+    Keys are (id(holder), attr): every mutable array AND every large static
+    index table is passed as a jit *argument* — embedding even a 14k-row
+    array constant costs ~35x more XLA lowering time than passing it in.
+    """
 
     def __init__(self):
-        self.holders = []  # list of (holder_obj, getter)
+        self.holders = []  # list of (holder_obj, attr, getter)
         self._index = {}
 
-    def slot(self, holder, getter):
-        key = id(holder)
+    def slot(self, holder, attr, getter):
+        key = (id(holder), attr)
         if key not in self._index:
             self._index[key] = len(self.holders)
-            self.holders.append((holder, getter))
+            self.holders.append((holder, attr, getter))
         return self._index[key]
 
     def arrays(self):
-        return [jnp.asarray(get(h)) for h, get in self.holders]
+        return [jnp.asarray(get()) for _, _, get in self.holders]
 
     def env(self, args):
-        return {id(h): a for (h, _), a in zip(self.holders, args)}
+        return {(id(h), attr): a for (h, attr, _), a in zip(self.holders, args)}
+
+
+def dyn_get(dyn, holder, attr, default):
+    if not dyn:
+        return default
+    return dyn.get((id(holder), attr), default)
+
+
+def register_space(space, slots: DynSlots):
+    """Register a space's index tables as dynamic jit inputs."""
+    slots.slot(space, "el2dof", lambda s=space: s.el2dof)
+    for extra in ("eldof_dom", "eldof_active"):
+        if hasattr(space, extra):
+            slots.slot(space, extra, lambda s=space, a=extra: getattr(s, a))
 
 
 def cf_signature(cf, slots: DynSlots):
@@ -70,7 +89,7 @@ def cf_signature(cf, slots: DynSlots):
     if isinstance(cf, C.Constant):
         return ("c", cf.value)
     if isinstance(cf, C.Parameter):
-        s = slots.slot(cf, lambda p=cf: jnp.asarray(p.value))
+        s = slots.slot(cf, "value", lambda p=cf: jnp.asarray(p.value))
         return ("par", s)
     if isinstance(cf, C.Coord):
         return ("x", cf.axis)
@@ -94,18 +113,21 @@ def cf_signature(cf, slots: DynSlots):
     if isinstance(cf, C.SpecialCF):
         return ("sp", cf.kind, cf.dims)
     if isinstance(cf, C.ElementValuesCF):
-        s = slots.slot(cf, lambda e=cf: e.values)
+        s = slots.slot(cf, "values", lambda e=cf: e.values)
         return ("ev", s)
     if isinstance(cf, C.FacetValuesCF):
-        s = slots.slot(cf, lambda e=cf: e.values)
+        s = slots.slot(cf, "values", lambda e=cf: e.values)
         return ("fv", s)
     if isinstance(cf, GridFunction):
-        s = slots.slot(cf, lambda g=cf: g._arr)
+        s = slots.slot(cf, "vec", lambda g=cf: g._arr)
+        register_space(cf.space, slots)
         return ("gf", obj_uid(cf.space), s)
     if isinstance(cf, GradGF):
-        s = slots.slot(cf.gf, lambda g=cf.gf: g._arr)
+        s = slots.slot(cf.gf, "vec", lambda g=cf.gf: g._arr)
+        register_space(cf.gf.space, slots)
         return ("dgf", obj_uid(cf.gf.space), s)
     if isinstance(cf, ProxyFunction):
+        register_space(cf.space, slots)
         return ("px", obj_uid(cf.space), cf.test, cf.block_key, cf.op, cf.op_args)
     # binary nodes
     for name, cls in (("+", C.Add), ("*", C.Mul), ("ip", C.InnerProduct),
@@ -123,8 +145,10 @@ def mesh_signature(mesh):
 
 
 def register_mesh_dynamics(mesh, slots: DynSlots):
-    """Register mesh vertices (+ deformation dofs) as dynamic inputs."""
-    slots.slot(mesh, lambda m=mesh: m.vertices)
+    """Register mesh vertices + element table (+ deformation) as inputs."""
+    slots.slot(mesh, "vertices", lambda m=mesh: m.vertices)
+    slots.slot(mesh, "elements", lambda m=mesh: m.elements)
     if mesh.deformation is not None:
         d = mesh.deformation
-        slots.slot(d, lambda g=d: g._arr)
+        slots.slot(d, "vec", lambda g=d: g._arr)
+        register_space(d.space, slots)

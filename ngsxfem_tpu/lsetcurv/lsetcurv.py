@@ -31,16 +31,17 @@ _PS_CACHE = {}
 
 def _project_shift_kernel(mesh, space, order, threshold, blending_alpha=0.0,
                           niter=8):
-    """Build the jitted shift kernel for (mesh, deform-space) once."""
+    """Build the jitted shift kernel for (mesh, deform-space) once.
+
+    All index tables are jit arguments (constant embedding is pathologically
+    slow to lower, see jitcache.py).
+    """
     et = mesh.et
     d = mesh.dim
-    rep_e = jnp.asarray(space.dof_rep_elem)
-    rep_p = jnp.asarray(space.dof_rep_ref, dtype=config.dtype)  # (nd, d)
-    el2dof = jnp.asarray(space.el2dof_np)
-    elements = jnp.asarray(mesh.elements_np)
     vperm = jnp.asarray(vertex_local_ids(et, 1))
 
-    def kernel(vertices, ho_vec, p1space_el2dof, p1_vec):
+    def kernel(vertices, ho_vec, p1space_el2dof, p1_vec, rep_e, rep_p,
+               el2dof, elements):
         nd = rep_e.shape[0]
         coords = vertices[elements[rep_e]]  # (nd, nv, d)
         pts = rep_p[:, None, :]  # (nd,1,d)
@@ -143,6 +144,10 @@ class LevelSetMeshAdaptation:
             self.lset_ho._arr,
             jnp.asarray(self.p1_space.el2dof_np),
             self.lset_p1._arr,
+            jnp.asarray(self.ho_space.dof_rep_elem),
+            jnp.asarray(self.ho_space.dof_rep_ref, dtype=config.dtype),
+            jnp.asarray(self.ho_space.el2dof_np),
+            jnp.asarray(self.mesh.elements_np),
         )
         self.deform._set_array(vec)
         return self.deform

@@ -1,0 +1,19 @@
+"""TraceFEM surface Laplace-Beltrami (port of py_tutorials/tracefem3d.py /
+traceconverg.py): manufactured solution on the unit sphere, L2 accuracy."""
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from examples import tracefem3d
+
+
+def test_tracefem3d():
+    err = tracefem3d.run(nx=6, order=2, verbose=False)
+    assert err < 0.06, err
+
+
+def test_tracefem3d_converges():
+    e1 = tracefem3d.run(nx=6, order=2, verbose=False)
+    e2 = tracefem3d.run(nx=12, order=2, verbose=False)
+    assert e2 < e1 / 6, (e1, e2)
