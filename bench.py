@@ -29,22 +29,33 @@ NGSOLVE_BASELINE_ELTS_PER_SEC = 2.0e4
 def main():
     from ngsxfem_tpu.models.poisson import UnfittedPoisson
 
-    nx = int(os.environ.get("BENCH_NX", "20"))
+    import numpy as np
+
+    nx = int(os.environ.get("BENCH_NX", "32"))
     model = UnfittedPoisson(nx=nx, dim=3, order=1, dtype=jnp.float32)
+
+    # fixed-capacity compaction of cut elements (20% headroom)
+    vals = model.lset_np[model.mesh.elements_np]
+    ncut = int((((vals < 0).any(1)) & ((vals > 0).any(1))).sum())
+    cap = int(ncut * 1.2) + 8
 
     @jax.jit
     def assemble(vertices, lset):
-        return model.elmats(vertices, lset), model.gp_mats(vertices)
+        A_std, A_cut, cut_ids, n = model.elmats_compact(
+            vertices, lset, model.mesh.elements, model.el2dof, cap
+        )
+        return A_std, A_cut, model.gp_mats(vertices), n
 
     v, l = model.vertices, model.lset
     # warmup / compile
-    A, G = assemble(v, l)
+    A, C, G, n = assemble(v, l)
     A.block_until_ready()
+    assert int(n) <= cap, "cut capacity overflow"
 
     reps = int(os.environ.get("BENCH_REPS", "10"))
     t0 = time.perf_counter()
     for _ in range(reps):
-        A, G = assemble(v, l)
+        A, C, G, n = assemble(v, l)
     A.block_until_ready()
     dt = (time.perf_counter() - t0) / reps
 

@@ -96,7 +96,7 @@ class EvalCtx:
             if "normal" not in self._cache:
                 n = jnp.einsum("eqdg,eqd->eqg", self.Jinv, self._nref)
                 nn = jnp.linalg.norm(n, axis=-1, keepdims=True)
-                self._cache["normal"] = n / jnp.where(nn < 1e-300, 1.0, nn)
+                self._cache["normal"] = n / jnp.where(nn < 1e-30, 1.0, nn)
             return self._cache["normal"]
         raise ValueError("no normal available in this context")
 

@@ -204,6 +204,68 @@ class UnfittedPoisson:
         A = cut_poisson_elmats(self.et, self.order, coords, vals, self.lam_nitsche)
         return A
 
+    def elmats_compact(self, vertices, lset_vertex, elements, el2dof, cut_capacity):
+        """Two-tier assembly: cheap standard rule on uncut-NEG elements, full
+        cut kernel only on a fixed-capacity compaction of cut elements.
+
+        Returns (A_std (ne,nd,nd), A_cut (cap,nd,nd), cut_ids (cap,), ncut).
+        The capacity is static; `ncut` lets the caller detect overflow.
+        """
+        from ..ops.straightcut import eps_guard
+        from ..ops.gauss import reference_rule
+
+        et, order = self.et, self.order
+        vals = eps_guard(lset_vertex[elements])
+        has_neg = jnp.any(vals < 0, axis=1)
+        has_pos = jnp.any(vals > 0, axis=1)
+        cut = has_neg & has_pos
+        neg_uncut = has_neg & ~has_pos
+        ncut = jnp.sum(cut)
+        cut_ids = jnp.nonzero(cut, size=cut_capacity, fill_value=0)[0]
+        # slot i is valid iff i < ncut (fill slots duplicate element 0)
+        cmask = (jnp.arange(cut_capacity) < ncut).astype(vertices.dtype)
+
+        # tier 1: standard stiffness on all elements, weight-masked to
+        # uncut-NEG (exact: polynomial integrand)
+        rp, rw = reference_rule(et, max(2 * order - 2, 0))
+        rp = jnp.asarray(rp, dtype=vertices.dtype)
+        rw = jnp.asarray(rw, dtype=vertices.dtype)
+        coords = vertices[elements]
+        E = coords.shape[0]
+        pts = jnp.broadcast_to(rp[None], (E,) + rp.shape)
+        _, J = map_points(et, coords, pts)
+        detJ, Jinv = det_and_inv(J)
+        G = dshapes(et, order, pts)
+        Gp = jnp.einsum("eqid,eqdg->eqig", G, Jinv)
+        W = rw[None, :] * jnp.abs(detJ) * neg_uncut[:, None]
+        A_std = jnp.einsum("eq,eqig,eqjg->eij", W, Gp, Gp)
+
+        # tier 2: full cut kernel on the compacted cut elements
+        ccoords = coords[cut_ids]
+        cvals = vals[cut_ids]
+        A_cut = cut_poisson_elmats(et, order, ccoords, cvals, self.lam_nitsche)
+        A_cut = A_cut * cmask[:, None, None]
+        return A_std, A_cut, cut_ids, ncut
+
+    def apply_compact(self, vertices, lset_vertex, x, cut_capacity):
+        elements, el2dof = self.mesh.elements, self.el2dof
+        A_std, A_cut, cut_ids, ncut = self.elmats_compact(
+            vertices, lset_vertex, elements, el2dof, cut_capacity
+        )
+        ye = jnp.einsum("eij,ej->ei", A_std, x[el2dof])
+        y = jnp.zeros_like(x).at[el2dof.reshape(-1)].add(ye.reshape(-1))
+        cd = el2dof[cut_ids]
+        yc = jnp.einsum("eij,ej->ei", A_cut, x[cd])
+        y = y.at[cd.reshape(-1)].add(yc.reshape(-1))
+        G = self.gp_mats(vertices)
+        dmap = jnp.concatenate(
+            [el2dof[jnp.asarray(self.gp_e1)], el2dof[jnp.asarray(self.gp_e2)]],
+            axis=1,
+        )
+        yf = jnp.einsum("fij,fj->fi", G, x[dmap])
+        y = y.at[dmap.reshape(-1)].add(yf.reshape(-1))
+        return jnp.where(self.active_dofs, y, x)
+
     def gp_mats(self, vertices):
         coords1 = vertices[self.mesh.elements][jnp.asarray(self.gp_e1)]
         coords2 = vertices[self.mesh.elements][jnp.asarray(self.gp_e2)]

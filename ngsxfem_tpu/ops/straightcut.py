@@ -103,13 +103,13 @@ def _solve_gradient(edges, dvals):
     d = edges.shape[-1]
     if d == 1:
         det = edges[..., 0, 0]
-        g = dvals[..., 0] / jnp.where(jnp.abs(det) < 1e-300, 1.0, det)
+        g = dvals[..., 0] / jnp.where(jnp.abs(det) < 1e-30, 1.0, det)
         return g[..., None]
     if d == 2:
         a, b = edges[..., 0, 0], edges[..., 0, 1]
         c, dd = edges[..., 1, 0], edges[..., 1, 1]
         det = a * dd - b * c
-        det = jnp.where(jnp.abs(det) < 1e-300, 1.0, det)
+        det = jnp.where(jnp.abs(det) < 1e-30, 1.0, det)
         g0 = (dvals[..., 0] * dd - dvals[..., 1] * b) / det
         g1 = (dvals[..., 1] * a - dvals[..., 0] * c) / det
         return jnp.stack([g0, g1], axis=-1)
@@ -120,7 +120,7 @@ def _solve_gradient(edges, dvals):
         - e[..., 0, 1] * (e[..., 1, 0] * e[..., 2, 2] - e[..., 1, 2] * e[..., 2, 0])
         + e[..., 0, 2] * (e[..., 1, 0] * e[..., 2, 1] - e[..., 1, 1] * e[..., 2, 0])
     )
-    det = jnp.where(jnp.abs(det) < 1e-300, 1.0, det)
+    det = jnp.where(jnp.abs(det) < 1e-30, 1.0, det)
     cols = []
     for j in range(3):
         mj = jnp.concatenate(
@@ -173,7 +173,7 @@ def cut_rule_simplices(coords, vals, d: int, order: int):
     # 2. all candidate points: P[a,b] = cut point of edge (a,b); P[a,a] = V_a
     #    t = phi_a / (phi_a - phi_b), guarded
     den = vals[:, :, None] - vals[:, None, :]  # (M, nv, nv)
-    den = jnp.where(jnp.abs(den) < 1e-300, 1.0, den)
+    den = jnp.where(jnp.abs(den) < 1e-30, 1.0, den)
     t = vals[:, :, None] / den  # (M, nv, nv)
     t = jnp.clip(t, 0.0, 1.0)
     P = (1.0 - t[..., None]) * coords[:, :, None, :] + t[..., None] * coords[:, None, :, :]
@@ -231,7 +231,7 @@ def cut_rule_simplices(coords, vals, d: int, order: int):
     dv = vals[:, 1:] - vals[:, 0:1]  # (M,d)
     g = _solve_gradient(Eel, dv)  # (M,d)
     gn = jnp.linalg.norm(g, axis=-1, keepdims=True)
-    nref = g / jnp.where(gn < 1e-300, 1.0, gn)
+    nref = g / jnp.where(gn < 1e-30, 1.0, gn)
     nref = jnp.broadcast_to(nref[:, None, :], (M, nif * nqi, d))
 
     return CutRule(pts, w, sidep, pts_if, w_if, nref)

@@ -27,7 +27,7 @@ def cg(matvec, b, x0=None, M=None, maxiter=500, tol=1e-10):
     p0 = z0
     rz0 = jnp.vdot(r0, z0)
     bnorm = jnp.sqrt(jnp.vdot(b, b))
-    atol2 = (tol * jnp.maximum(bnorm, 1e-300)) ** 2
+    atol2 = (tol * jnp.maximum(bnorm, 1e-30)) ** 2
 
     def cond(state):
         x, r, z, p, rz, k = state
@@ -51,7 +51,7 @@ def cg(matvec, b, x0=None, M=None, maxiter=500, tol=1e-10):
 
 
 def jacobi_preconditioner(diag, free_mask=None):
-    inv = jnp.where(jnp.abs(diag) > 1e-300, 1.0 / diag, 0.0)
+    inv = jnp.where(jnp.abs(diag) > 1e-30, 1.0 / diag, 0.0)
     if free_mask is not None:
         inv = jnp.where(free_mask, inv, 0.0)
 
