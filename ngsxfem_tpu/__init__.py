@@ -103,6 +103,17 @@ from .forms.proxies import dn, div  # noqa: F401
 from .solvers.sparse import SparseMatrix  # noqa: F401
 from .solvers.krylov import CGSolver  # noqa: F401
 from .lsetcurv import LevelSetMeshAdaptation  # noqa: F401
+from .spacetime import (  # noqa: F401
+    ScalarTimeFE,
+    SpaceTimeFESpace,
+    ReferenceTimeVariable,
+    tref,
+    dt,
+    fix_t,
+    CreateTimeRestrictedGF,
+    RestrictGFInTime,
+    SpaceTimeInterpolateToP1,
+)
 from .fem.xfespace import (  # noqa: F401
     XFESpace,
     XToNegPos,

@@ -226,6 +226,9 @@ class GridFunction(CF):
 
     # -- CF evaluation ------------------------------------------------------
     def _eval_pure(self, ctx: EvalCtx):
+        hook = getattr(self.space, "gf_eval_hook", None)
+        if hook is not None:
+            return hook(self, ctx)
         return gf_value(self, ctx.elem_ids, ctx.ref_pts, ctx)
 
     def __repr__(self):
@@ -316,6 +319,10 @@ def gf_ref_value_and_grad(gf: GridFunction, elem_ids, ref_pts, dyn=None):
 def grad(obj):
     """grad() for GridFunctions and proxies (NGSolve-style free function)."""
     if isinstance(obj, GridFunction):
+        if hasattr(obj.space, "gf_eval_hook"):  # space-time GF
+            from ..spacetime.space import STGFValueCF
+
+            return STGFValueCF(obj, grad=True)
         return GradGF(obj)
     g = getattr(obj, "grad_op", None)
     if g is not None:

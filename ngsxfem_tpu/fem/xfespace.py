@@ -86,6 +86,10 @@ class XFESpace:
     def GetCutInfo(self):
         return self.cutinfo
 
+    def gf_eval_hook(self, gf, ctx, **kw):
+        """Default GF evaluation = `extend` (active-masked base basis)."""
+        return _XGFOp(gf, None)._eval_pure(ctx)
+
     def FreeDofs(self, coupling=False):
         return BitArray(~self.dirichlet_dofs)
 

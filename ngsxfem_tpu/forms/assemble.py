@@ -126,7 +126,8 @@ def _volume_ctx(integral: Integral, mesh, order, dyn=None):
         if integral.force_intorder > 0:
             o = integral.force_intorder
         ctx, w_phys, mask = _cut_ctx_and_weights(
-            mesh, ld["levelset"], ld["domain_type"], o, dyn=dyn
+            mesh, ld["levelset"], ld["domain_type"], o, dyn=dyn,
+            time_order=integral.time_order,
         )
     else:
         o = order if integral.force_intorder < 0 else integral.force_intorder
@@ -148,19 +149,27 @@ def _volume_ctx(integral: Integral, mesh, order, dyn=None):
     return ctx, w_phys, mask
 
 
-def _facet_patch_ctx(integral: Integral, mesh, order, dyn=None):
+def _facet_patch_fids(integral: Integral, mesh):
+    """Selected interior facets of a facet-patch integral (host numpy)."""
+    f2e = mesh.facet2el_np
+    sel = f2e[:, 1] >= 0
+    if integral.definedonelements is not None:  # facet mask here
+        sel = sel & integral.definedonelements
+    return np.nonzero(sel)[0]
+
+
+def _facet_patch_ctx(integral: Integral, mesh, order, dyn=None, fids=None):
     """Contexts for facet-patch integrals: union of both neighbor volume rules.
 
     Returns (ctx_self, elem_ids_self, elem_ids_other, w_phys, mask); ctx has
     `other_ctx` attached.  Affine map-to-neighbor with Newton refinement for
     multilinear cells (cf. MapPatchIntegrationPoint, symboliccutbfi.cpp:1116).
+    With time_order >= 0 the rule is tensorized with time Gauss points
+    (cf. the space-time variant, symboliccutbfi.cpp:1256-1324).
     """
     f2e = mesh.facet2el_np
-    interior = f2e[:, 1] >= 0
-    sel = interior.copy()
-    if integral.definedonelements is not None:  # facet mask here
-        sel &= integral.definedonelements
-    fids = np.nonzero(sel)[0]
+    if fids is None:
+        fids = _facet_patch_fids(integral, mesh)
     e1 = jnp.asarray(f2e[fids, 0])
     e2 = jnp.asarray(f2e[fids, 1])
     from ..jitcache import dyn_get
@@ -202,15 +211,28 @@ def _facet_patch_ctx(integral: Integral, mesh, order, dyn=None):
     self_pts = jnp.concatenate([base_pts, pts2_in_1], axis=1)  # on e1
     other_pts = jnp.concatenate([pts1_in_2, base_pts], axis=1)  # on e2
 
-    ctx = EvalCtx(mesh, self_pts, elem_ids=e1, dyn=dyn)
-    ctx.other_ctx = EvalCtx(mesh, other_pts, elem_ids=e2, dyn=dyn)
-    ctx.facet_ids = jnp.asarray(fids)
-
     _, J1 = map_points(mesh.et, coords1, base_pts)
     _, J2 = map_points(mesh.et, coords2, base_pts)
     det1, _ = det_and_inv(J1)
     det2, _ = det_and_inv(J2)
     w = jnp.concatenate([jnp.abs(det1) * rw[None], jnp.abs(det2) * rw[None]], axis=1)
+    times = None
+    if integral.time_order >= 0:
+        from ..ops.gauss import gauss_legendre_01
+
+        tg, tw = gauss_legendre_01(max(1, (integral.time_order + 2) // 2))
+        tg = jnp.asarray(tg, dtype=config.dtype)
+        tw = jnp.asarray(tw, dtype=config.dtype)
+        nt = tg.shape[0]
+        Q = self_pts.shape[1]
+        self_pts = jnp.repeat(self_pts, nt, axis=1)
+        other_pts = jnp.repeat(other_pts, nt, axis=1)
+        w = (w[:, :, None] * tw[None, None, :]).reshape(F, Q * nt)
+        times = jnp.broadcast_to(tg[None, None, :], (F, Q, nt)).reshape(F, Q * nt)
+
+    ctx = EvalCtx(mesh, self_pts, elem_ids=e1, dyn=dyn, time=times)
+    ctx.other_ctx = EvalCtx(mesh, other_pts, elem_ids=e2, dyn=dyn, time=times)
+    ctx.facet_ids = jnp.asarray(fids)
     mask = jnp.ones(w.shape, dtype=bool)
     return ctx, e1, e2, w, mask
 
@@ -250,7 +272,8 @@ def _assembly_signature(space, mesh, integrals, kind):
                     integral.levelset_domain["force_intorder"],
                 )
             )
-        p.append(("fp", integral.facet_patch, integral.force_intorder))
+        p.append(("fp", integral.facet_patch, integral.force_intorder,
+                  integral.time_order))
         p.append(cf_signature(integral.form, slots))
         parts.append(tuple(p))
     sig = (kind, obj_uid(space), mesh_signature(mesh), tuple(parts))

@@ -49,6 +49,10 @@ class CutInfo:
     def Update(self, levelset, time_order=-1, heapsize=None):
         mesh = self.mesh
         self._lset_gf = levelset
+        from ..spacetime.space import SpaceTimeFESpace
+
+        if isinstance(getattr(levelset, "space", None), SpaceTimeFESpace):
+            return self._update_spacetime(levelset, time_order)
         vals = lset_vertex_values(levelset)
         has_neg_j, has_pos_j, ratio, vg = _classify(mesh.et, vals)
         has_neg, has_pos = np.asarray(has_neg_j), np.asarray(has_pos_j)
@@ -75,6 +79,44 @@ class CutInfo:
         bits_l = np.left_shift(1, dtl.astype(np.int32))
         bits_r = np.left_shift(1, dtr.astype(np.int32))
         self.cdt_of_facet = (bits_l | bits_r).astype(np.int8)
+
+    def _update_spacetime(self, levelset, time_order):
+        """Space-time classification: an element is IF if it is cut at any
+        time in the slab (sampled at time nodes + interior Gauss points,
+        cf. reference cutinfo.cpp space-time ratios)."""
+        from ..integrate import lset_st_vertex_values
+        from ..ops.gauss import gauss_legendre_01
+
+        mesh = self.mesh
+        vals_st = np.asarray(lset_st_vertex_values(levelset))  # (E, ndt, nv)
+        sp = levelset.space
+        ts = np.concatenate([sp.tfe.nodes, gauss_legendre_01(max(2, sp.k_t + 1))[0]])
+        Bt = sp.tfe.eval_np(ts)  # (nt, ndt)
+        vals_t = np.einsum("tm,emv->etv", Bt, vals_st)  # (E, nt, nvel)
+        guard = np.where(np.abs(vals_t) < 1e-14, 1e-14, vals_t)
+        has_neg = (guard < 0).any(axis=(1, 2))
+        has_pos = (guard > 0).any(axis=(1, 2))
+        dt = np.where(has_neg & has_pos, int(IF),
+                      np.where(has_neg, int(NEG), int(POS)))
+        self.dt_of_elem = dt.astype(np.int8)
+        # space-time cut ratio from the order-0 space-time rule
+        from ..ops.spacetimecut import spacetime_cut_rule
+
+        rule = spacetime_cut_rule(
+            mesh.et, jnp.asarray(vals_st), sp.k_t, 0,
+            max(0, time_order) if time_order >= 0 else sp.k_t,
+        )
+        wneg = jnp.sum(rule.w * (rule.side == 0), axis=1)
+        wtot = jnp.sum(rule.w, axis=1)
+        self.cut_ratio = np.asarray(wneg / wtot)
+        f2e = mesh.facet2el_np
+        dtl = self.dt_of_elem[f2e[:, 0]]
+        dtr = np.where(f2e[:, 1] >= 0, self.dt_of_elem[np.maximum(f2e[:, 1], 0)], dtl)
+        self.cdt_of_facet = (
+            np.left_shift(1, dtl.astype(np.int32))
+            | np.left_shift(1, dtr.astype(np.int32))
+        ).astype(np.int8)
+        self.dt_of_vertex = None
 
     # -- queries -------------------------------------------------------------
     def GetElementsOfType(self, dt=IF, VOL_or_BND=VOL) -> BitArray:

@@ -73,11 +73,48 @@ def normalize_levelset_domain(levelset_domain: dict):
     return ld
 
 
-def _cut_ctx_and_weights(mesh, lset_gf, domain_type, order, dyn=None):
+def lset_st_vertex_values(lset_gf, dyn=None):
+    """(E, ndt, nvel) level-set values of a space-time P1 GridFunction."""
+    from .jitcache import dyn_get
+    from .spacetime.space import SpaceTimeFESpace
+
+    sp = lset_gf.space
+    if not isinstance(sp, SpaceTimeFESpace) or sp.spacefes.order != 1:
+        raise TypeError("space-time levelset must live on SpaceTimeFESpace "
+                        "over H1(order=1)")
+    vperm = jnp.asarray(vertex_local_ids(sp.mesh.et, 1))
+    vec = dyn_get(dyn, lset_gf, "vec", lset_gf._arr)
+    el2dof_s = dyn_get(dyn, sp.spacefes, "el2dof", sp.spacefes.el2dof)
+    sdofs = el2dof_s[:, vperm]  # (E, nvel) spatial dofs
+    blocks = [vec[t * sp.ndof_s + sdofs] for t in range(sp.ndof_t)]
+    return jnp.stack(blocks, axis=1)
+
+
+def _cut_ctx_and_weights(mesh, lset_gf, domain_type, order, dyn=None,
+                         time_order=-1):
     """Build (ctx, physical weights, validity mask) for a cut domain."""
+    dt = DOMAIN_TYPE(int(domain_type))
+    if time_order >= 0:
+        from .ops.spacetimecut import spacetime_cut_rule
+        from .spacetime.space import SpaceTimeFESpace
+
+        vals_st = lset_st_vertex_values(lset_gf, dyn)
+        kt = lset_gf.space.k_t
+        rule = spacetime_cut_rule(mesh.et, vals_st, kt, order, time_order)
+        if dt == IF:
+            ctx = EvalCtx(mesh, rule.pts_if, nref=rule.nref, dyn=dyn,
+                          time=rule.times_if)
+            w_ref = rule.w_if
+            w_phys = w_ref * jnp.abs(ctx.detJ) * ctx.if_scale
+        else:
+            ctx = EvalCtx(mesh, rule.pts, dyn=dyn, time=rule.times)
+            sidesel = (rule.side == int(dt)).astype(rule.w.dtype)
+            w_ref = rule.w * sidesel
+            w_phys = w_ref * jnp.abs(ctx.detJ)
+        return ctx, w_phys, w_ref > 0
+
     vals = lset_vertex_values(lset_gf, dyn)
     rule = cut_rule_element(mesh.et, vals, order)
-    dt = DOMAIN_TYPE(int(domain_type))
     if dt == IF:
         ctx = EvalCtx(mesh, rule.pts_if, nref=rule.nref, dyn=dyn)
         w_ref = rule.w_if
@@ -123,12 +160,15 @@ def Integrate(levelset_domain=None, cf=None, mesh=None, order=5,
         else:
             ld = normalize_levelset_domain(levelset_domain)
             o = order if ld["force_intorder"] < 0 else ld["force_intorder"]
+            if "time_order" in ld:
+                time_order = ld["time_order"]
             lgf = ld["levelset"]
             slots.slot(lgf, "vec", lambda g=lgf: g._arr)
             from .jitcache import obj_uid, register_space
 
             register_space(lgf.space, slots)
-            dom_key = ("cut", int(ld["domain_type"]), int(o), obj_uid(lgf.space))
+            dom_key = ("cut", int(ld["domain_type"]), int(o), obj_uid(lgf.space),
+                       int(time_order))
         sig = (mesh_signature(mesh), cf_signature(cf, slots), dom_key,
                bool(element_wise))
         fn = _INT_CACHE.get(sig)
@@ -153,7 +193,8 @@ def Integrate(levelset_domain=None, cf=None, mesh=None, order=5,
                 else:
                     oo = order if ld_c["force_intorder"] < 0 else ld_c["force_intorder"]
                     ctx, w_phys, mask = _cut_ctx_and_weights(
-                        mesh_c, ld_c["levelset"], ld_c["domain_type"], oo, dyn=dyn
+                        mesh_c, ld_c["levelset"], ld_c["domain_type"], oo, dyn=dyn,
+                        time_order=time_order,
                     )
                 f = eval_pure(cf_c, ctx)
                 f = jnp.broadcast_to(f, w_phys.shape)

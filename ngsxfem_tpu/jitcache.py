@@ -75,6 +75,8 @@ def register_space(space, slots: DynSlots):
     for extra in ("eldof_dom", "eldof_active"):
         if hasattr(space, extra):
             slots.slot(space, extra, lambda s=space, a=extra: getattr(s, a))
+    if hasattr(space, "spacefes"):  # space-time tensor space
+        register_space(space.spacefes, slots)
 
 
 def cf_signature(cf, slots: DynSlots):

@@ -39,9 +39,13 @@ def gauss_lobatto_01(n: int):
     if n == 2:
         x = np.array([-1.0, 1.0])
     else:
-        k = np.arange(1, n - 2 + 1, dtype=np.float64)
+        # interior nodes = roots of P'_{n-1} = Jacobi(1,1) polynomial roots;
+        # (n-2) x (n-2) Jacobi matrix with (n-3) off-diagonal entries
+        k = np.arange(1, n - 2, dtype=np.float64)
         a = np.sqrt(k * (k + 2.0) / ((2.0 * k + 1.0) * (2.0 * k + 3.0)))
         J = np.diag(a, 1) + np.diag(a, -1)
+        if J.shape[0] == 0:
+            J = np.zeros((n - 2, n - 2))
         xi = np.linalg.eigvalsh(J)
         x = np.concatenate([[-1.0], np.sort(xi), [1.0]])
     # weights: w_i = 2 / (n(n-1) [P_{n-1}(x_i)]^2)

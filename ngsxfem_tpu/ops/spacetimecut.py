@@ -1,0 +1,184 @@
+"""Space-time cut quadrature rules.
+
+Re-design of the reference space-time rule
+(``cutint/spacetimecutrule.cpp:97-196``): the level set on a tensor-product
+space-time element is a matrix of (time-node x space-vertex) values; the
+spatial sign pattern changes only when a *vertex* time-polynomial crosses
+zero, so the time axis is sliced at those roots (closed-form for k_t <= 2,
+fixed-iteration bisection above, ref. root_finding :6-95), a Gauss rule is
+placed on each slice, and the spatial straight-cut rule is built at every
+time point — all as fixed-shape batched tensors.
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..config import config
+from .cuttables import ET_SPLIT, REF_VERTS
+from .gauss import gauss_legendre_01, ET_DIM
+from .straightcut import cut_rule_simplices, eps_guard, CutRule
+
+
+class SpaceTimeCutRule(NamedTuple):
+    """Padded space-time quadrature tensors (element-reference coords + time).
+
+    Volume: pts (E,Q,d), times (E,Q), w (E,Q), side (E,Q).
+    Lateral interface: pts_if (E,QI,d), times_if (E,QI), w_if (E,QI)
+    (reference weights; physical scaling as in CutRule, measured as
+    dt x spatial interface measure), nref (E,QI,d).
+    """
+
+    pts: jax.Array
+    times: jax.Array
+    w: jax.Array
+    side: jax.Array
+    pts_if: jax.Array
+    times_if: jax.Array
+    w_if: jax.Array
+    nref: jax.Array
+
+
+def _poly_roots_in_01(coefs, kt: int, nbisect: int = 40):
+    """Roots of per-vertex time polynomials inside (0,1).
+
+    coefs (..., kt+1) monomial coefficients (c0 + c1 t + ...).  Returns
+    (..., kt) candidate roots, clamped to [0,1] (invalid roots -> 0).
+    Closed form for kt <= 2; bisection on [0,1] sign-change for higher kt
+    (captures one root per polynomial per sweep — matching the reference's
+    subdivision fallback granularity).
+    """
+    if kt == 0:
+        return jnp.zeros(coefs.shape[:-1] + (1,), coefs.dtype)
+    if kt == 1:
+        a, b = coefs[..., 0], coefs[..., 1]
+        t = -a / jnp.where(jnp.abs(b) < 1e-30, 1.0, b)
+        return jnp.clip(t, 0.0, 1.0)[..., None]
+    if kt == 2:
+        c, b, a = coefs[..., 0], coefs[..., 1], coefs[..., 2]
+        # a t^2 + b t + c = 0
+        lin = -c / jnp.where(jnp.abs(b) < 1e-30, 1.0, b)  # fallback for a ~ 0
+        disc = b * b - 4 * a * c
+        sq = jnp.sqrt(jnp.maximum(disc, 0.0))
+        den = 2 * jnp.where(jnp.abs(a) < 1e-30, 1.0, a)
+        t1 = (-b - sq) / den
+        t2 = (-b + sq) / den
+        small_a = jnp.abs(a) < 1e-12
+        no_root = disc < 0
+        t1 = jnp.where(small_a, lin, jnp.where(no_root, 0.0, t1))
+        t2 = jnp.where(small_a, 0.0, jnp.where(no_root, 0.0, t2))
+        return jnp.stack([jnp.clip(t1, 0, 1), jnp.clip(t2, 0, 1)], axis=-1)
+
+    # kt >= 3: bisection for a single root per vertex polynomial
+    def peval(t):
+        out = jnp.zeros(t.shape, coefs.dtype)
+        for j in range(kt, -1, -1):
+            out = out * t + coefs[..., j]
+        return out
+
+    lo = jnp.zeros(coefs.shape[:-1], coefs.dtype)
+    hi = jnp.ones(coefs.shape[:-1], coefs.dtype)
+    flo = peval(lo)
+
+    def body(_, lohif):
+        lo, hi, flo = lohif
+        mid = 0.5 * (lo + hi)
+        fm = peval(mid)
+        go_left = (flo * fm) < 0
+        lo2 = jnp.where(go_left, lo, mid)
+        hi2 = jnp.where(go_left, mid, hi)
+        flo2 = jnp.where(go_left, flo, fm)
+        return lo2, hi2, flo2
+
+    lo, hi, flo = jax.lax.fori_loop(0, nbisect, body, (lo, hi, flo))
+    root = 0.5 * (lo + hi)
+    has = (peval(jnp.zeros_like(root)) * peval(jnp.ones_like(root))) < 0
+    out = jnp.where(has, root, 0.0)[..., None]
+    pad = jnp.zeros(coefs.shape[:-1] + (kt - 1,), coefs.dtype)
+    return jnp.concatenate([out, pad], axis=-1)
+
+
+def spacetime_cut_rule(et: str, vals_st, kt: int, order_space: int,
+                       order_time: int):
+    """Space-time cut rule for a batch of elements.
+
+    vals_st (E, nd_t, nvel): level-set values at (time-node, space-vertex);
+    kt = time order of the level set.  Returns a SpaceTimeCutRule.
+    """
+    from ..spacetime.timefe import _time_coeff
+
+    d = ET_DIM[et]
+    E, ndt, nvel = vals_st.shape
+    dtype = vals_st.dtype
+    vals_st = eps_guard(vals_st)
+
+    # vertex time polynomials in monomial form: coef (E, nvel, kt+1)
+    C = jnp.asarray(_time_coeff(kt), dtype=dtype)  # (nm, nd_t) mono->nodal
+    coefs = jnp.einsum("mt,etv->evm", C, vals_st)  # phi_v(t) = sum c_m t^m
+
+    roots = _poly_roots_in_01(coefs, kt).reshape(E, -1)  # (E, nvel*kt')
+    K = roots.shape[1]
+    # slice boundaries: sorted {0, roots..., 1}
+    bnds = jnp.sort(
+        jnp.concatenate(
+            [jnp.zeros((E, 1), dtype), roots, jnp.ones((E, 1), dtype)], axis=1
+        ),
+        axis=1,
+    )  # (E, K+2)
+    t0 = bnds[:, :-1]  # (E, K+1) interval starts
+    dt = bnds[:, 1:] - bnds[:, :-1]  # lengths (>= 0)
+
+    tg, tw = gauss_legendre_01(max(1, (order_time + 2) // 2))
+    tg = jnp.asarray(tg, dtype=dtype)
+    tw = jnp.asarray(tw, dtype=dtype)
+    nt = tg.shape[0]
+    # all time points: (E, K+1, nt)
+    tpts = t0[:, :, None] + dt[:, :, None] * tg[None, None, :]
+    twts = dt[:, :, None] * tw[None, None, :]
+    T = (K + 1) * nt
+    tpts = tpts.reshape(E, T)
+    twts = twts.reshape(E, T)
+
+    # spatial vertex values at each time point: (E, T, nvel)
+    tm = jnp.stack([tpts**j for j in range(kt + 1)], axis=-1)  # (E,T,nm)
+    vv = jnp.einsum("etm,evm->etv", tm, coefs)
+
+    # spatial cut rules at all (element, time) pairs (with QUAD/HEX split)
+    split = ET_SPLIT[et]
+    nsplit = split.shape[0]
+    refv = jnp.asarray(REF_VERTS[et], dtype=dtype)
+    scoords = refv[jnp.asarray(split)]  # (nsplit, d+1, d)
+    M = E * T * nsplit
+    coords = jnp.broadcast_to(scoords[None, None], (E, T, nsplit, d + 1, d)).reshape(
+        M, d + 1, d
+    )
+    svals = vv[:, :, jnp.asarray(split)].reshape(M, d + 1)
+    r = cut_rule_simplices(coords, eps_guard(svals), d, order_space)
+
+    def merge(a):
+        # (M, q, ...) -> (E, T*nsplit*q, ...)
+        q = a.shape[1]
+        a = a.reshape(E, T, nsplit * q, *a.shape[2:])
+        return a.reshape(E, T * nsplit * q, *a.shape[3:])
+
+    def fold_time(w):
+        q = w.shape[1]
+        w = w.reshape(E, T, nsplit * q) * twts[:, :, None]
+        return w.reshape(E, -1)
+
+    def time_of(qn):
+        return jnp.broadcast_to(tpts[:, :, None], (E, T, qn)).reshape(E, -1)
+
+    pts = merge(r.pts)
+    w = fold_time(r.w)
+    side = merge(r.side)
+    times = time_of(nsplit * r.pts.shape[1])
+    pts_if = merge(r.pts_if)
+    w_if = fold_time(r.w_if)
+    times_if = time_of(nsplit * r.pts_if.shape[1])
+    nref = merge(r.nref)
+    return SpaceTimeCutRule(pts, times, w, side, pts_if, times_if, w_if, nref)

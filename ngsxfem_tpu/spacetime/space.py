@@ -1,0 +1,271 @@
+"""Space-time tensor-product FE spaces, diff-ops and time-restriction utils.
+
+Re-design of the reference space-time layer (``spacetime/SpaceTimeFESpace.*``,
+``diffopDt.*``, ``timecf.*``, python bindings ``python_spacetime.cpp``):
+the space is the tensor product (time-major dof blocks, cf.
+SpaceTimeFESpace.cpp:109-122), basis evaluation is one outer product of the
+time basis with the spatial basis at explicit time tensors — the reference's
+weight-slot convention is gone.
+"""
+from __future__ import annotations
+
+import numpy as np
+import jax.numpy as jnp
+
+from ..config import config
+from ..cf.coefficient import CF, wrap
+from ..fem.space import FESpace, BitArray
+from ..fem.basis import shapes, dshapes
+from ..forms.evaluate import Factor
+from .timefe import ScalarTimeFE
+
+
+class SpaceTimeFESpace:
+    """V_space (x) P_k(time); ndof = ndof_space * ndof_time."""
+
+    vdim = 1
+
+    def __init__(self, spacefes: FESpace, timefe: ScalarTimeFE, dirichlet=None,
+                 dgjumps=False, **kw):
+        self.spacefes = spacefes
+        self.tfe = timefe
+        self.mesh = spacefes.mesh
+        self.order = spacefes.order
+        self.order_time = timefe.order
+        self.ndof_t = timefe.ndof
+        self.ndof_s = spacefes.ndof
+        self.ndof = self.ndof_s * self.ndof_t
+        maps = [spacefes.el2dof_np + t * self.ndof_s for t in range(self.ndof_t)]
+        self.el2dof_np = np.concatenate(maps, axis=1).astype(np.int32)
+        self.el2dof = jnp.asarray(self.el2dof_np)
+        self.dirichlet_dofs = np.tile(spacefes.dirichlet_dofs, self.ndof_t)
+        self.bc_of_dof = np.tile(spacefes.bc_of_dof, self.ndof_t)
+        self.dgjumps = dgjumps
+
+    @property
+    def k_t(self):
+        return self.order_time
+
+    def TimeFE_nodes(self):
+        return list(self.tfe.nodes)
+
+    def IsTimeNodeActive(self, i):
+        return True
+
+    def FreeDofs(self, coupling=False):
+        return BitArray(~self.dirichlet_dofs)
+
+    def TrialFunction(self):
+        from ..forms.proxies import make_proxies
+
+        return make_proxies(self, test=False)
+
+    def TestFunction(self):
+        from ..forms.proxies import make_proxies
+
+        return make_proxies(self, test=True)
+
+    def TnT(self):
+        return self.TrialFunction(), self.TestFunction()
+
+    # -- proxy evaluation -----------------------------------------------------
+    def _time_basis(self, proxy, pctx, deriv=False):
+        if proxy.op_args and proxy.op.startswith("fix"):
+            t = jnp.full((pctx.E, pctx.Q), float(proxy.op_args[0]),
+                         dtype=pctx.ref_pts.dtype)
+        else:
+            if pctx.time is None:
+                raise ValueError(
+                    "space-time proxy evaluated without a time context; "
+                    "use time_order>=0 integrals or fix_t"
+                )
+            t = jnp.broadcast_to(pctx.time, (pctx.E, pctx.Q))
+        return self.tfe.deval(t) if deriv else self.tfe.eval(t)
+
+    def proxy_factor_hook(self, proxy, ctx, pctx):
+        et, ks = self.mesh.et, self.order
+        op = proxy.op
+        E, Q = pctx.E, pctx.Q
+        if op in ("val", "fixt"):
+            Bs = shapes(et, ks, pctx.ref_pts)
+            Bt = self._time_basis(proxy, pctx)
+            arr = jnp.einsum("eqt,eqi->eqti", Bt, Bs).reshape(E, Q, -1)
+        elif op in ("grad", "fixtgrad"):
+            G = dshapes(et, ks, pctx.ref_pts)
+            Gp = jnp.einsum("eqid,eqdg->eqig", G, pctx.Jinv)
+            Bt = self._time_basis(proxy, pctx)
+            arr = jnp.einsum("eqt,eqig->eqtig", Bt, Gp).reshape(E, Q, -1,
+                                                               self.mesh.dim)
+        elif op == "dt":
+            Bs = shapes(et, ks, pctx.ref_pts)
+            dBt = self._time_basis(proxy, pctx, deriv=True)
+            arr = jnp.einsum("eqt,eqi->eqti", dBt, Bs).reshape(E, Q, -1)
+        else:
+            raise NotImplementedError(f"space-time proxy op {op}")
+        return Factor(block=proxy.block_key, arr=arr, space=self)
+
+    # -- GridFunction evaluation ----------------------------------------------
+    def gf_eval_hook(self, gf, ctx, grad=False, deriv_t=False, fixed_time=None):
+        vec = ctx.lookup(gf, "vec", gf._arr)
+        e2d = ctx.lookup(self, "el2dof", self.el2dof)
+        if ctx.elem_ids is not None:
+            e2d = e2d[ctx.elem_ids]
+        dofs = vec[e2d].reshape(ctx.E, self.ndof_t, -1)  # (E, ndt, ndl)
+        if fixed_time is not None:
+            t = jnp.full((ctx.E, ctx.Q), float(fixed_time), dtype=ctx.ref_pts.dtype)
+        else:
+            if ctx.time is None:
+                raise ValueError("space-time GridFunction needs a time context")
+            t = jnp.broadcast_to(ctx.time, (ctx.E, ctx.Q))
+        Bt = self.tfe.deval(t) if deriv_t else self.tfe.eval(t)  # (E,Q,ndt)
+        if not grad:
+            Bs = shapes(self.mesh.et, self.order, ctx.ref_pts)
+            return jnp.einsum("eqt,eqi,eti->eq", Bt, Bs, dofs)
+        G = dshapes(self.mesh.et, self.order, ctx.ref_pts)
+        gref = jnp.einsum("eqt,eqid,eti->eqd", Bt, G, dofs)
+        return jnp.einsum("eqd,eqdg->eqg", gref, ctx.Jinv)
+
+    def RestrictGFInTime(self, spacetime_gf, reference_time, space_gf):
+        bt = self.tfe.eval_np(np.array([reference_time]))[0]  # (ndt,)
+        vec = spacetime_gf._arr.reshape(self.ndof_t, self.ndof_s)
+        space_gf._set_array(jnp.einsum("t,ts->s", jnp.asarray(bt, vec.dtype), vec))
+
+    def __repr__(self):
+        return (f"SpaceTimeFESpace(ndof={self.ndof} = {self.ndof_s} x "
+                f"{self.ndof_t}, k_t={self.k_t})")
+
+
+# -- CF nodes ---------------------------------------------------------------
+
+
+class TimeVariableCF(CF):
+    """tref in [0,1] (cf. spacetime/timecf.hpp TimeVariableCoefficientFunction)."""
+
+    dims = ()
+
+    def _eval_pure(self, ctx):
+        if ctx.time is None:
+            raise ValueError("ReferenceTimeVariable evaluated without time context")
+        return jnp.broadcast_to(ctx.time, (ctx.E, ctx.Q))
+
+    def _signature(self, slots):
+        return ("tref",)
+
+
+def ReferenceTimeVariable():
+    return TimeVariableCF()
+
+
+tref = TimeVariableCF()
+
+
+class TimeFixedCF(CF):
+    """Evaluate a (time-dependent) CF at a fixed reference time."""
+
+    def __init__(self, child, t):
+        self.child = wrap(child)
+        self.t = float(t)
+        self.dims = self.child.dims
+
+    def children(self):
+        return (self.child,)
+
+    def _signature(self, slots):
+        from ..jitcache import cf_signature
+
+        return ("tfix", self.t, cf_signature(self.child, slots))
+
+    def _eval_pure(self, ctx):
+        from ..cf.context import EvalCtx, eval_pure
+
+        sub = EvalCtx(ctx.mesh, ctx.ref_pts, elem_ids=ctx.elem_ids,
+                      nref=ctx._nref, normal=ctx._normal,
+                      facet_ids=ctx.facet_ids, dyn=ctx.dyn,
+                      time=jnp.full((ctx.E, ctx.Q), self.t,
+                                    dtype=ctx.ref_pts.dtype))
+        return eval_pure(self.child, sub)
+
+
+class STGFValueCF(CF):
+    """Value / spatial-grad / dt of a space-time GridFunction."""
+
+    def __init__(self, gf, grad=False, deriv_t=False, fixed_time=None):
+        self.gf = gf
+        self.grad = grad
+        self.deriv_t = deriv_t
+        self.fixed_time = fixed_time
+        self.dims = (gf.space.mesh.dim,) if grad else ()
+
+    def _signature(self, slots):
+        from ..jitcache import obj_uid, register_space
+
+        s = slots.slot(self.gf, "vec", lambda g=self.gf: g._arr)
+        register_space(self.gf.space, slots)
+        return ("stgf", obj_uid(self.gf.space), self.grad, self.deriv_t,
+                self.fixed_time, s)
+
+    def _eval_pure(self, ctx):
+        return self.gf.space.gf_eval_hook(
+            self.gf, ctx, grad=self.grad, deriv_t=self.deriv_t,
+            fixed_time=self.fixed_time,
+        )
+
+
+def dt(u):
+    """Time derivative w.r.t. tref (reference diffopDt.hpp DiffOpDt)."""
+    from ..forms.proxies import ProxyFunction
+    from ..fem.gridfunction import GridFunction
+
+    if isinstance(u, ProxyFunction):
+        if not isinstance(u.space, SpaceTimeFESpace):
+            raise TypeError("dt needs a space-time function")
+        return u._clone(op="dt", dims=())
+    if isinstance(u, GridFunction) and isinstance(u.space, SpaceTimeFESpace):
+        return STGFValueCF(u, deriv_t=True)
+    raise TypeError("dt expects a space-time proxy or GridFunction")
+
+
+def fix_t(u, time):
+    """Trace at fixed reference time (reference DiffOpFixt / fix_t)."""
+    from ..forms.proxies import ProxyFunction
+    from ..fem.gridfunction import GridFunction
+
+    if isinstance(u, ProxyFunction):
+        if not isinstance(u.space, SpaceTimeFESpace):
+            raise TypeError("fix_t needs a space-time function")
+        op = "fixtgrad" if u.op == "grad" else "fixt"
+        return u._clone(op=op, op_args=(float(time),))
+    if isinstance(u, GridFunction) and isinstance(u.space, SpaceTimeFESpace):
+        return STGFValueCF(u, fixed_time=float(time))
+    if isinstance(u, CF):
+        return TimeFixedCF(u, time)
+    raise TypeError("fix_t expects a space-time function or CF")
+
+
+def CreateTimeRestrictedGF(gf_st, reference_time=0.0):
+    from ..fem.gridfunction import GridFunction
+
+    sp = gf_st.space
+    out = GridFunction(sp.spacefes, name=f"{gf_st.name}@t={reference_time}")
+    sp.RestrictGFInTime(gf_st, reference_time, out)
+    return out
+
+
+def RestrictGFInTime(spacetime_gf=None, reference_time=0.0, space_gf=None):
+    spacetime_gf.space.RestrictGFInTime(spacetime_gf, reference_time, space_gf)
+
+
+def SpaceTimeInterpolateToP1(levelset, tref_var, gf_st):
+    """Interpolate a time-dependent level set into a space-time P1 GF
+    (cf. SpaceTimeFESpace::InterpolateToP1, SpaceTimeFESpace.cpp:202-230)."""
+    sp = gf_st.space
+    if not isinstance(sp, SpaceTimeFESpace) or sp.spacefes.order != 1:
+        raise TypeError("target must be a space-time GF over H1(order=1)")
+    from ..fem.gridfunction import GridFunction
+
+    blocks = []
+    tmp = GridFunction(sp.spacefes)
+    for tn in sp.tfe.nodes:
+        tmp.Set(TimeFixedCF(levelset, float(tn)))
+        blocks.append(tmp._arr)
+    gf_st._set_array(jnp.concatenate(blocks))
