@@ -217,10 +217,16 @@ class H1(FESpace):
 
     def _build(self):
         keys, ndl = _node_fingerprints(self.mesh, self.order)
-        uniq, first, inv = np.unique(
-            keys, axis=0, return_index=True, return_inverse=True
-        )
-        self.ndof = uniq.shape[0]
+        from ..mesh.native import dedup_rows
+
+        out = dedup_rows(keys)
+        if out is not None:
+            self.ndof, inv, first = out
+        else:
+            uniq, first, inv = np.unique(
+                keys, axis=0, return_index=True, return_inverse=True
+            )
+            self.ndof = uniq.shape[0]
         self.el2dof_np = inv.reshape(self.mesh.ne, ndl).astype(np.int32)
         b = lagrange_element(self.mesh.et, self.order)
         self.dof_rep_elem = (first // ndl).astype(np.int32)

@@ -83,6 +83,16 @@ class Mesh:
     def _build_facets(self):
         fv = np.array(FACET_VERTS[self.et], dtype=np.int32)  # (nfel, nvf)
         nfel, nvf = fv.shape
+        from .native import build_facets as native_build
+
+        out = native_build(self.elements_np, fv)
+        if out is not None:
+            self.facets_np, self.el2facet_np, self.facet2el_np, self.facet2elloc_np = out
+            self.nfacets = self.facets_np.shape[0]
+            self.boundary_facets_np = np.nonzero(
+                self.facet2el_np[:, 1] < 0
+            )[0].astype(np.int32)
+            return
         # all facets with duplicates: (ne*nfel, nvf)
         allf = self.elements_np[:, fv.reshape(-1)].reshape(self.ne, nfel, nvf)
         key = np.sort(allf.reshape(-1, nvf), axis=1)

@@ -1,0 +1,105 @@
+"""Misc utilities: level-set example zoo and convergence-reporting helpers.
+
+Mirrors the reference ``utils/utils.py:5-27`` (named level-set geometries +
+bounding boxes) and the reporting pieces of ``lsetcurving/calcgeomerrors``
+(StatisticContainer, PrintConvergenceTable).
+"""
+from __future__ import annotations
+
+from math import log as _mlog
+
+from ..cf.coefficient import x, y, z, sqrt, sin, cos, CoefficientFunction, IfPos, Norm
+
+
+def _r2(cx=0.0, cy=0.0, cz=0.0):
+    return (x - cx) ** 2 + (y - cy) ** 2 + (z - cz) ** 2
+
+
+LevelsetExamples = {
+    "sphere": sqrt(x * x + y * y + z * z) - 1.0,
+    "circle": sqrt(x * x + y * y) - 1.0,
+    "torus": sqrt((sqrt(x * x + y * y) - 1.0) ** 2 + z * z) - 0.5,
+    "ellipsoid": sqrt(x * x / 1.69 + y * y + z * z) - 1.0,
+    "cheese": None,  # built below
+    "gyroid": None,
+    "dziukelliott": sqrt(0.25 * x * x + y * y + 4 * z * z / ((1 + 0.5 * sin(1.0 * x)) ** 2)) - 1.0,
+    "spheres": None,
+}
+
+LevelsetExamples["gyroid"] = (
+    cos(2.0 * x) * sin(2.0 * y) + cos(2.0 * y) * sin(2.0 * z)
+    + cos(2.0 * z) * sin(2.0 * x) + 0.25
+)
+LevelsetExamples["cheese"] = (
+    (_r2() - 2.0) ** 2
+    - 0.5 * ((x - 1) ** 2 + y * y) * ((x + 1) ** 2 + y * y)
+    / ((_r2() + 1.0))
+    - 1.0
+)
+LevelsetExamples["spheres"] = IfPos(
+    sqrt(_r2(-1.0)) - sqrt(_r2(1.0)),
+    sqrt(_r2(1.0)) - 0.75,
+    sqrt(_r2(-1.0)) - 0.75,
+)
+
+BoundingBoxes = {
+    "sphere": [-1.2, -1.2, -1.2, 1.2, 1.2, 1.2],
+    "circle": [-1.2, -1.2, 1.2, 1.2],
+    "torus": [-1.6, -1.6, -0.8, 1.6, 1.6, 0.8],
+    "ellipsoid": [-1.5, -1.2, -1.2, 1.5, 1.2, 1.2],
+    "cheese": [-2.0, -2.0, -2.0, 2.0, 2.0, 2.0],
+    "gyroid": [-1.6, -1.6, -1.6, 1.6, 1.6, 1.6],
+    "dziukelliott": [-2.2, -1.2, -1.2, 2.2, 1.2, 1.2],
+    "spheres": [-2.0, -1.2, -1.2, 2.0, 1.2, 1.2],
+}
+
+
+class StatisticContainer:
+    """Collects error series over refinements (cf. calcgeomerrors.hpp:19-25)."""
+
+    def __init__(self):
+        self.errors = {}
+
+    def Add(self, name, value):
+        self.errors.setdefault(name, []).append(float(value))
+
+    def __getitem__(self, name):
+        return self.errors[name]
+
+
+def PrintConvergenceTable(errors, label="error"):
+    """Print an error/EOC table (cf. PrintConvergenceTable binding)."""
+    print(f"{'lvl':>4} {label:>14} {'eoc':>7}")
+    for i, e in enumerate(errors):
+        eoc = ""
+        if i > 0 and errors[i - 1] > 0 and e > 0:
+            eoc = f"{_mlog(errors[i - 1] / e) / _mlog(2):7.2f}"
+        print(f"{i:>4} {e:14.6e} {eoc:>7}")
+    if len(errors) > 1 and errors[-1] > 0:
+        return _mlog(errors[-2] / errors[-1]) / _mlog(2)
+    return None
+
+
+def kappa(mesh, lset_approx, subdivlvl=0):
+    """Deprecated Hansbo-weight helper (python/__init__.py kappa): use
+    CutRatioGF(CutInfo(mesh, lset)) instead."""
+    from ..geom.cutinfo import CutInfo, CutRatioGF
+
+    ci = CutInfo(mesh, lset_approx)
+    k = CutRatioGF(ci)
+    return (k, 1.0 - k)
+
+
+def SpaceTimeWeakSet(gf, cf, space):
+    """Reference helper (python/__init__.py SpaceTimeWeakSet): set the
+    bottom-time-node spatial component of a space-time GF."""
+    import jax.numpy as jnp
+
+    tmp_space = gf.space
+    from ..fem.gridfunction import GridFunction
+
+    tmp = GridFunction(space)
+    tmp.Set(cf)
+    arr = gf._arr
+    arr = arr.at[: space.ndof].set(tmp._arr)
+    gf._set_array(arr)
