@@ -253,7 +253,7 @@ def _assembly_signature(space, mesh, integrals, kind):
     for integral in integrals:
         p = []
         if integral.definedonelements is not None:
-            if integral.facet_patch:
+            if integral.facet_patch or integral.skeleton:
                 # facet selection determines compaction shapes -> static key
                 p.append(("fpsel", integral.definedonelements.tobytes()))
             else:
@@ -272,8 +272,8 @@ def _assembly_signature(space, mesh, integrals, kind):
                     integral.levelset_domain["force_intorder"],
                 )
             )
-        p.append(("fp", integral.facet_patch, integral.force_intorder,
-                  integral.time_order))
+        p.append(("fp", integral.facet_patch, integral.skeleton,
+                  integral.force_intorder, integral.time_order))
         p.append(cf_signature(integral.form, slots))
         parts.append(tuple(p))
     sig = (kind, obj_uid(space), mesh_signature(mesh), tuple(parts))
@@ -285,6 +285,90 @@ def _msk(arr, mask):
     coefficients absorbed into factors must not poison 0-weight points)."""
     m = mask.reshape(mask.shape + (1,) * (arr.ndim - 2))
     return jnp.where(m, arr, 0.0)
+
+
+def _skeleton_ctx(integral: Integral, mesh, order, dyn=None):
+    """Facet (skeleton) quadrature mapped into both neighbor elements.
+
+    The non-cut part of the reference's facet machinery
+    (SymbolicFacetBilinearFormIntegrator2, xfem/symboliccutbfi.cpp:948-1102):
+    a rule on the facet itself, consistent physical points on both sides,
+    facet normal provided for dn()-jump ghost penalties.
+    """
+    from ..mesh.mesh import (
+        FACET_VERTS, FACET_ET, map_points, det_and_inv, geom_shapes, geom_dshapes,
+    )
+    from ..ops.straightcut import _gram_measure
+    from ..jitcache import dyn_get
+
+    f2e = mesh.facet2el_np
+    sel = f2e[:, 1] >= 0
+    if integral.definedonelements is not None:
+        sel = sel & integral.definedonelements
+    fids = np.nonzero(sel)[0]
+    F = len(fids)
+    d = mesh.dim
+    fet = FACET_ET[mesh.et]
+    o = order if integral.force_intorder < 0 else integral.force_intorder
+    rp, rw = reference_rule(fet, o)  # (nqf, d-1)
+    nqf = rw.shape[0]
+
+    # element-local reference coordinates of each facet's vertices, per side
+    from ..ops.cuttables import REF_VERTS
+
+    refv = REF_VERTS[mesh.et]
+    fverts = mesh.facets_np[fids]  # (F, nvf) global vertex ids
+    nvf = fverts.shape[1]
+    loc_ref = np.zeros((2, F, nvf, d))
+    for s in range(2):
+        els = mesh.elements_np[f2e[fids, s]]  # (F, nvel)
+        for k in range(nvf):
+            idx = np.argmax(els == fverts[:, k][:, None], axis=1)
+            loc_ref[s, :, k, :] = refv[idx]
+    loc_ref = jnp.asarray(loc_ref, dtype=config.dtype)
+
+    # facet geometry map (multilinear in the facet ref coords)
+    Nf = jnp.asarray(geom_shapes(fet, np.asarray(rp), xp=np), dtype=config.dtype)
+    pts1 = jnp.einsum("qk,fkd->fqd", Nf, loc_ref[0])  # (F,nqf,d) in e1 ref
+    pts2 = jnp.einsum("qk,fkd->fqd", Nf, loc_ref[1])
+
+    dyn = dyn or {}
+    verts = dyn_get(dyn, mesh, "vertices", mesh.vertices)
+    e1 = jnp.asarray(f2e[fids, 0])
+    e2 = jnp.asarray(f2e[fids, 1])
+
+    ctx = EvalCtx(mesh, pts1, elem_ids=e1, dyn=dyn)
+    ctx.other_ctx = EvalCtx(mesh, pts2, elem_ids=e2, dyn=dyn)
+    ctx.facet_ids = jnp.asarray(fids)
+
+    # physical facet measure + normal (from the e1 side geometry)
+    phys_fverts = verts[jnp.asarray(fverts)]  # (F, nvf, d)
+    dNf = jnp.asarray(geom_dshapes(fet, np.asarray(rp), xp=np),
+                      dtype=config.dtype)  # (nqf, nvf, d-1)
+    tang = jnp.einsum("qks,fkd->fqsd", dNf, phys_fverts)  # (F,nqf,d-1,d)
+    scale = _gram_measure(tang)  # (F, nqf)
+    w = scale * jnp.asarray(rw, dtype=config.dtype)[None, :]
+    # normal: orthogonal to tangents, oriented from e1 to e2
+    if d == 2:
+        t = tang[:, :, 0, :]
+        n = jnp.stack([t[..., 1], -t[..., 0]], axis=-1)
+    else:
+        n = jnp.cross(tang[:, :, 0, :], tang[:, :, 1, :])
+    nn = jnp.linalg.norm(n, axis=-1, keepdims=True)
+    n = n / jnp.where(nn < 1e-30, 1.0, nn)
+    # orient: away from e1 centroid
+    els1 = dyn_get(dyn, mesh, "elements", mesh.elements)[e1]
+    cent1 = jnp.mean(verts[els1], axis=1)  # (F, d)
+    fc = jnp.mean(phys_fverts, axis=1)
+    sign = jnp.sign(jnp.einsum("fqd,fd->fq", n, fc - cent1))
+    sign = jnp.where(sign == 0, 1.0, sign)
+    n = n * sign[..., None]
+    ctx._normal = n
+    # each side sees its own outward normal (reference dn convention, so
+    # dnjump(u,k) = dn(u,k) -/+ dn(u.Other(),k) ports verbatim)
+    ctx.other_ctx._normal = -n
+    mask = jnp.ones(w.shape, dtype=bool)
+    return ctx, e1, e2, w, mask
 
 
 def _term_elmat(term, W, mask):
@@ -350,6 +434,10 @@ class BilinearForm:
                         ctx, e1, e2, w_phys, mask = _facet_patch_ctx(
                             integral, mesh, 2 * order, dyn=dyn
                         )
+                    elif integral.skeleton:
+                        ctx, e1, e2, w_phys, mask = _skeleton_ctx(
+                            integral, mesh, 2 * order, dyn=dyn
+                        )
                     else:
                         ctx, w_phys, mask = _volume_ctx(
                             integral, mesh, 2 * order, dyn=dyn
@@ -380,7 +468,7 @@ class BilinearForm:
         rows, cols, vals = [], [], []
         fp_elems = {}
         for k, integral in enumerate(integrals):
-            if integral.facet_patch:
+            if integral.facet_patch or integral.skeleton:
                 f2e = mesh.facet2el_np
                 sel = f2e[:, 1] >= 0
                 if integral.definedonelements is not None:
