@@ -102,7 +102,14 @@ from .forms.assemble import (  # noqa: F401
 from .forms.proxies import dn, div  # noqa: F401
 from .solvers.sparse import SparseMatrix  # noqa: F401
 from .solvers.krylov import CGSolver  # noqa: F401
-from .lsetcurv import LevelSetMeshAdaptation  # noqa: F401
+from .lsetcurv import LevelSetMeshAdaptation, shifted_eval  # noqa: F401
+from .utils.utils import (  # noqa: F401
+    LevelsetExamples,
+    BoundingBoxes,
+    StatisticContainer,
+    PrintConvergenceTable,
+    SpaceTimeWeakSet,
+)
 from .spacetime import (  # noqa: F401
     ScalarTimeFE,
     SpaceTimeFESpace,

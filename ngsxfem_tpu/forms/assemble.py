@@ -310,8 +310,6 @@ def _skeleton_ctx(integral: Integral, mesh, order, dyn=None):
     d = mesh.dim
     fet = FACET_ET[mesh.et]
     o = order if integral.force_intorder < 0 else integral.force_intorder
-    rp, rw = reference_rule(fet, o)  # (nqf, d-1)
-    nqf = rw.shape[0]
 
     # element-local reference coordinates of each facet's vertices, per side
     from ..ops.cuttables import REF_VERTS
@@ -327,10 +325,47 @@ def _skeleton_ctx(integral: Integral, mesh, order, dyn=None):
             loc_ref[s, :, k, :] = refv[idx]
     loc_ref = jnp.asarray(loc_ref, dtype=config.dtype)
 
+    # facet-parametric quadrature: plain rule, or a cut rule on the facet
+    # itself for SymbolicCutFacetBFI (xfem/symboliccutbfi.cpp:682-946)
+    if integral.levelset_domain is not None:
+        from ..ops.straightcut import cut_rule_simplices, eps_guard
+        from ..ops.cuttables import ET_SPLIT
+        from ..integrate import _p1_vertex_dofs
+
+        ld = integral.levelset_domain
+        dtq = int(ld["domain_type"])
+        if dtq == int(IF):
+            raise NotImplementedError("codim-2 (IF-on-facet) rules")
+        lgf = ld["levelset"]
+        vdofs = _p1_vertex_dofs(lgf.space)  # (nv,) vertex -> P1 dof
+        vec = dyn_get(dyn, lgf, "vec", lgf._arr)
+        fvals = vec[jnp.asarray(vdofs[fverts])]  # (F, nvf)
+        split = ET_SPLIT[fet]
+        nsplit = split.shape[0]
+        refvf = jnp.asarray(REF_VERTS[fet], dtype=config.dtype)
+        fc = jnp.broadcast_to(
+            refvf[jnp.asarray(split)][None], (F, nsplit, split.shape[1], d - 1)
+        ).reshape(F * nsplit, split.shape[1], d - 1)
+        fv = eps_guard(fvals[:, jnp.asarray(split)].reshape(F * nsplit, -1))
+        r = cut_rule_simplices(fc, fv, d - 1, o)
+        qn = r.pts.shape[1]
+        rp_dyn = r.pts.reshape(F, nsplit * qn, d - 1)
+        rw_dyn = (r.w * (r.side == dtq)).reshape(F, nsplit * qn)
+        nqf = nsplit * qn
+    else:
+        rp_s, rw_s = reference_rule(fet, o)  # (nqf, d-1)
+        nqf = rw_s.shape[0]
+        rp_dyn = jnp.broadcast_to(
+            jnp.asarray(rp_s, dtype=config.dtype)[None], (F, nqf, d - 1)
+        )
+        rw_dyn = jnp.broadcast_to(
+            jnp.asarray(rw_s, dtype=config.dtype)[None], (F, nqf)
+        )
+
     # facet geometry map (multilinear in the facet ref coords)
-    Nf = jnp.asarray(geom_shapes(fet, np.asarray(rp), xp=np), dtype=config.dtype)
-    pts1 = jnp.einsum("qk,fkd->fqd", Nf, loc_ref[0])  # (F,nqf,d) in e1 ref
-    pts2 = jnp.einsum("qk,fkd->fqd", Nf, loc_ref[1])
+    Nf = geom_shapes(fet, rp_dyn)  # (F, nqf, nvf)
+    pts1 = jnp.einsum("fqk,fkd->fqd", Nf, loc_ref[0])  # (F,nqf,d) in e1 ref
+    pts2 = jnp.einsum("fqk,fkd->fqd", Nf, loc_ref[1])
 
     dyn = dyn or {}
     verts = dyn_get(dyn, mesh, "vertices", mesh.vertices)
@@ -343,11 +378,10 @@ def _skeleton_ctx(integral: Integral, mesh, order, dyn=None):
 
     # physical facet measure + normal (from the e1 side geometry)
     phys_fverts = verts[jnp.asarray(fverts)]  # (F, nvf, d)
-    dNf = jnp.asarray(geom_dshapes(fet, np.asarray(rp), xp=np),
-                      dtype=config.dtype)  # (nqf, nvf, d-1)
-    tang = jnp.einsum("qks,fkd->fqsd", dNf, phys_fverts)  # (F,nqf,d-1,d)
+    dNf = geom_dshapes(fet, rp_dyn)  # (F, nqf, nvf, d-1)
+    tang = jnp.einsum("fqks,fkd->fqsd", dNf, phys_fverts)  # (F,nqf,d-1,d)
     scale = _gram_measure(tang)  # (F, nqf)
-    w = scale * jnp.asarray(rw, dtype=config.dtype)[None, :]
+    w = scale * rw_dyn
     # normal: orthogonal to tangents, oriented from e1 to e2
     if d == 2:
         t = tang[:, :, 0, :]
@@ -359,15 +393,15 @@ def _skeleton_ctx(integral: Integral, mesh, order, dyn=None):
     # orient: away from e1 centroid
     els1 = dyn_get(dyn, mesh, "elements", mesh.elements)[e1]
     cent1 = jnp.mean(verts[els1], axis=1)  # (F, d)
-    fc = jnp.mean(phys_fverts, axis=1)
-    sign = jnp.sign(jnp.einsum("fqd,fd->fq", n, fc - cent1))
+    fcm = jnp.mean(phys_fverts, axis=1)
+    sign = jnp.sign(jnp.einsum("fqd,fd->fq", n, fcm - cent1))
     sign = jnp.where(sign == 0, 1.0, sign)
     n = n * sign[..., None]
     ctx._normal = n
     # each side sees its own outward normal (reference dn convention, so
     # dnjump(u,k) = dn(u,k) -/+ dn(u.Other(),k) ports verbatim)
     ctx.other_ctx._normal = -n
-    mask = jnp.ones(w.shape, dtype=bool)
+    mask = w > 0
     return ctx, e1, e2, w, mask
 
 

@@ -61,6 +61,22 @@ def lset_vertex_values(lset_gf: GridFunction, dyn=None):
     return vec[el2dof[:, vperm]]
 
 
+@lru_cache(maxsize=None)
+def _p1_vertex_dofs_cached(space_uid, space_ref):
+    sp = space_ref
+    vperm = vertex_local_ids(sp.mesh.et, 1)
+    vd = np.zeros(sp.mesh.nv, dtype=np.int32)
+    vd[sp.mesh.elements_np] = sp.el2dof_np[:, vperm]
+    return vd
+
+
+def _p1_vertex_dofs(space):
+    """vertex id -> P1 dof id (host numpy)."""
+    from .jitcache import obj_uid
+
+    return _p1_vertex_dofs_cached(obj_uid(space), space)
+
+
 def normalize_levelset_domain(levelset_domain: dict):
     ld = dict(levelset_domain)
     ld.setdefault("subdivlvl", 0)

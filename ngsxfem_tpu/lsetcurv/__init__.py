@@ -1,1 +1,2 @@
 from .lsetcurv import LevelSetMeshAdaptation  # noqa: F401
+from .shifted import shifted_eval  # noqa: F401

@@ -181,6 +181,39 @@ class LevelSetMeshAdaptation:
     def ProjectOnUpdate(self, gfs):
         pass
 
+    def CalcDistances(self, levelset=None, order=None):
+        """Distance statistics of the deformed P1 zero set (cf. reference
+        CalcDistances, lsetcurving/calcgeomerrors.cpp): returns
+        (max, mean) of |phi| over interface quadrature points."""
+        from ..cf.coefficient import wrap
+        from ..integrate import _cut_ctx_and_weights
+        from ..cf.context import eval_pure
+
+        levelset = levelset if levelset is not None else self.levelset
+        lv = wrap(levelset)
+        o = order if order is not None else 2 * self.order
+        self.mesh.SetDeformation(self.deform)
+        try:
+            ctx, w_phys, mask = _cut_ctx_and_weights(self.mesh, self.lset_p1, 2, o)
+            vals = jnp.abs(jnp.broadcast_to(eval_pure(lv, ctx), w_phys.shape))
+            vals = jnp.where(w_phys > 0, vals, 0.0)
+            tot = jnp.sum(w_phys)
+            return float(jnp.max(vals)), float(jnp.sum(vals * w_phys) / tot)
+        finally:
+            self.mesh.UnsetDeformation()
+
     def MarkForRefinement(self, levelset=None, refine_threshold=0.1,
                           absolute=False):
-        raise NotImplementedError("adaptive refinement not yet supported")
+        raise NotImplementedError(
+            "adaptive refinement not yet supported; use nested structured "
+            "hierarchies (solvers.mg.mesh_hierarchy)"
+        )
+
+
+def RefineAtLevelSet(gf, lower=0.0, upper=0.0):
+    """Adaptive refinement marker (reference lsetcurving/lsetrefine.cpp):
+    not supported on structured tensor meshes — raises with guidance."""
+    raise NotImplementedError(
+        "local refinement is not available; build a finer structured mesh or "
+        "a nested hierarchy (solvers.mg.mesh_hierarchy)"
+    )

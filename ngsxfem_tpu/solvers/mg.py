@@ -175,3 +175,52 @@ class MultiGridCL:
 
     def matvec(self, b):
         return self(b)
+
+
+def CompoundProlongation(prols):
+    """Block-diagonal prolongation for compound spaces (reference
+    utils/python_utils.cpp:277-293): apply per-component prolongations."""
+
+    class _CP:
+        def __init__(self, ps):
+            self.ps = ps
+
+        def matvec(self, x):
+            outs, off = [], 0
+            for P in self.ps:
+                nc = P.shape[1]
+                outs.append(P.matvec(x[off:off + nc]))
+                off += nc
+            return jnp.concatenate(outs)
+
+    return _CP(prols)
+
+
+class LinearMGIterator:
+    """Stationary MG iteration / solver driver (cutmg.py:115+): repeatedly
+    applies the V-cycle preconditioned richardson/CG update."""
+
+    def __init__(self, mgpre: MultiGridCL, mat, freedofs=None, maxit=50,
+                 tol=1e-8):
+        self.mg = mgpre
+        self.mat = mat
+        self.freedofs = freedofs
+        self.maxit = maxit
+        self.tol = tol
+
+    def __mul__(self, rhs):
+        from .krylov import cg, masked_matvec
+
+        b = jnp.asarray(rhs)
+        mv = self.mat.matvec
+        M = self.mg
+        if self.freedofs is not None:
+            import numpy as np
+
+            fm = jnp.asarray(np.asarray(
+                self.freedofs.np if hasattr(self.freedofs, "np") else self.freedofs))
+            mv = masked_matvec(mv, fm)
+            b = jnp.where(fm, b, 0.0)
+            M = lambda r: jnp.where(fm, self.mg(r), r)
+        x, k, res = cg(mv, b, M=M, maxiter=self.maxit, tol=self.tol)
+        return x

@@ -52,6 +52,14 @@ class SpaceTimeFESpace:
     def IsTimeNodeActive(self, i):
         return True
 
+    def SetTime(self, t):
+        """Fix the time for subsequent spatial evaluations (reference
+        SpaceTimeFESpace::SetTime debug hook); prefer fix_t/time contexts."""
+        self._fixed_time = float(t)
+
+    def SetOverrideTime(self, override: bool):
+        self._override_time = bool(override)
+
     def FreeDofs(self, coupling=False):
         return BitArray(~self.dirichlet_dofs)
 
@@ -223,6 +231,12 @@ def dt(u):
     if isinstance(u, GridFunction) and isinstance(u.space, SpaceTimeFESpace):
         return STGFValueCF(u, deriv_t=True)
     raise TypeError("dt expects a space-time proxy or GridFunction")
+
+
+def dt_vec(u):
+    """Vector variant of dt (reference DiffOpDtVec): componentwise time
+    derivative — identical to dt in the tensor-product construction here."""
+    return dt(u)
 
 
 def fix_t(u, time):
