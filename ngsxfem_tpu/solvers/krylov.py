@@ -88,13 +88,16 @@ class CGSolver:
         from ..fem.space import _arr
 
         b = jnp.asarray(rhs)
-        mv = self.mat.matvec if hasattr(self.mat, "matvec") else self.mat
+        mat = self.mat
+        if hasattr(mat, "ell"):  # COO -> ELL: scatter-free SpMV on TPU
+            mat = mat.ell()
+        mv = mat.matvec if hasattr(mat, "matvec") else mat
         M = self.pre
         if self.freedofs is not None:
             fm = jnp.asarray(_arr(self.freedofs))
             mv = masked_matvec(mv, fm)
             b = jnp.where(fm, b, 0.0)
-        if M is None and hasattr(self.mat, "diagonal"):
-            M = jacobi_preconditioner(self.mat.diagonal())
+        if M is None and hasattr(mat, "diagonal"):
+            M = jacobi_preconditioner(mat.diagonal())
         x, k, res = cg(mv, b, M=M, maxiter=self.maxsteps, tol=self.tol)
         return x
