@@ -110,6 +110,8 @@ from .utils.utils import (  # noqa: F401
     PrintConvergenceTable,
     SpaceTimeWeakSet,
 )
+from .utils.vtkout import Draw, VTKOutput  # noqa: F401
+from .lsetcurv.lsetcurv import RefineAtLevelSet  # noqa: F401
 from .spacetime import (  # noqa: F401
     ScalarTimeFE,
     SpaceTimeFESpace,

@@ -1,0 +1,71 @@
+"""Remaining workload smoke/accuracy tests (tutorial-parity coverage)."""
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def test_fictdom3d():
+    from examples import fictdom3d
+
+    err = fictdom3d.run(nx=8, verbose=False)
+    assert err < 0.06, err
+
+
+def test_xfespaces_demo():
+    from examples import xfespaces
+
+    nxdof, ncdof = xfespaces.run(verbose=False)
+    assert nxdof > 0 and ncdof > 0
+
+
+def test_cut_facet_rule_exact():
+    """SymbolicCutFacetBFI analog: NEG-part measure of the cut diagonal."""
+    import numpy as np
+    from ngsxfem_tpu import (
+        NEG, H1, BilinearForm, GridFunction, InterpolateToP1,
+        MakeStructured2DMesh, SymbolicBFI, x,
+    )
+
+    mesh = MakeStructured2DMesh(quads=False, nx=1, ny=1)
+    lset = GridFunction(H1(mesh, order=1))
+    InterpolateToP1(1 - 2 * x, lset)
+    Vh = H1(mesh, order=1, dgjumps=True)
+    u, v = Vh.TnT()
+    a = BilinearForm(Vh)
+    a += SymbolicBFI({"levelset": lset, "domain_type": NEG}, form=u * v,
+                     skeleton=True)
+    a.Assemble()
+    tot = float(np.asarray(a.mat.todense()).sum())
+    assert abs(tot - 2**0.5 / 2) < 1e-13
+
+
+def test_shifted_eval():
+    from ngsxfem_tpu import (
+        H1, VectorH1, CoefficientFunction, GridFunction, Integrate,
+        MakeStructured2DMesh, shifted_eval, x, y,
+    )
+
+    mesh = MakeStructured2DMesh(quads=False, nx=8, ny=8)
+    g = GridFunction(H1(mesh, order=2))
+    g.Set(x * x + y)
+    dgf = GridFunction(VectorH1(mesh, order=1))
+    dgf.Set(CoefficientFunction((0.05, 0.0)))
+    err = Integrate(None, (shifted_eval(g, forth=dgf)
+                           - ((x + 0.05) * (x + 0.05) + y)) ** 2, mesh, order=6)
+    assert err < 1e-15
+
+
+def test_ell_matvec():
+    import numpy as np
+    import jax.numpy as jnp
+    from ngsxfem_tpu.solvers.sparse import SparseMatrix
+
+    rng = np.random.default_rng(0)
+    rows = rng.integers(0, 50, 300)
+    cols = rng.integers(0, 50, 300)
+    vals = rng.standard_normal(300)
+    S = SparseMatrix(rows, cols, jnp.asarray(vals), (50, 50))
+    xv = jnp.asarray(rng.standard_normal(50))
+    d = jnp.max(jnp.abs(S.matvec(xv) - S.ell().matvec(xv)))
+    assert float(d) < 1e-12
