@@ -112,6 +112,18 @@ from .utils.utils import (  # noqa: F401
 )
 from .utils.vtkout import Draw, VTKOutput  # noqa: F401
 from .lsetcurv.lsetcurv import RefineAtLevelSet  # noqa: F401
+
+from .ops.straightcut import cut_rule_element as CreateCutIntegrationRule  # noqa: F401
+
+
+def SFESpace(*args, **kwargs):
+    """Experimental 1D-on-levelset space of the reference
+    (xfem/sFESpace.hpp) — not reproduced; use TraceFEM
+    (H1 + IF integrals + normal-diffusion stabilization) instead."""
+    raise NotImplementedError(
+        "SFESpace (experimental in the reference) is not provided; "
+        "use the TraceFEM pattern (see examples/tracefem3d.py)"
+    )
 from .spacetime import (  # noqa: F401
     ScalarTimeFE,
     SpaceTimeFESpace,
