@@ -154,8 +154,9 @@ class LevelSetMeshAdaptation:
 
     def CalcMaxDistance(self, levelset=None, deform=None, heapsize=None,
                         order=None):
-        """max |phi| / ||grad phi|| over the deformed P1 zero set — the
-        geometric distance estimate (cf. lsetcurving/calcgeomerrors.cpp)."""
+        """max |phi| over the deformed P1 zero set — the geometric distance
+        estimate (cf. lsetcurving/calcgeomerrors.cpp; agrees with the true
+        distance to first order when ||grad phi|| ~ 1 near the interface)."""
         from ..cf.coefficient import wrap, Norm
         from ..fem.gridfunction import grad
 
