@@ -1,0 +1,66 @@
+"""Misc ports: single-element decomposition (test_localgeom analog),
+force_intorder (test_num_nxfem analog), legacy-path guard (test_backuprule
+deviation), VTK output."""
+import os
+import sys
+
+import numpy as np
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax.numpy as jnp
+
+from ngsxfem_tpu import (
+    NEG, POS, IF, H1, CoefficientFunction, GridFunction, Integrate,
+    InterpolateToP1, Make1DMesh, MakeStructured2DMesh, VTKOutput, x, y,
+)
+from ngsxfem_tpu.ops.straightcut import cut_rule_simplices
+from ngsxfem_tpu.ops.cuttables import REF_VERTS
+
+
+def test_single_trig_decomposition():
+    """One cut reference triangle: sub-rule measures match analytics
+    (cf. reference test_localgeom.py:24)."""
+    coords = jnp.asarray(REF_VERTS["trig"])[None]
+    vals = jnp.asarray([[-1.0, 1.0, 1.0]])  # cut at midpoints of both edges
+    r = cut_rule_simplices(coords, vals, 2, 2)
+    wneg = float(jnp.sum(r.w * (r.side == 0)))
+    wpos = float(jnp.sum(r.w * (r.side == 1)))
+    wif = float(jnp.sum(r.w_if))
+    assert abs(wneg - 0.125) < 1e-14  # quarter of the triangle
+    assert abs(wpos - 0.375) < 1e-14
+    assert abs(wif - np.sqrt(2) / 2) < 1e-14  # segment (0.5,0)-(0,0.5)
+
+
+@pytest.mark.parametrize("force", [2, 5, 9])
+def test_force_intorder(force):
+    """`force_intorder` in the levelset_domain dict overrides the order
+    (cf. reference test_num_nxfem quadrature-order variants)."""
+    mesh = Make1DMesh(1)
+    g = GridFunction(H1(mesh, order=1))
+    g.Set(0.6 - x)
+    val = Integrate(
+        {"levelset": g, "domain_type": NEG, "force_intorder": force},
+        x**2, mesh, order=0,
+    )
+    exact = (1 - 0.6**3) / 3
+    assert abs(val - exact) < 1e-13
+
+
+def test_subdivlvl_rejected():
+    mesh = Make1DMesh(2)
+    g = GridFunction(H1(mesh, order=1))
+    g.Set(0.5 - x)
+    with pytest.raises(NotImplementedError):
+        Integrate({"levelset": g, "domain_type": NEG, "subdivlvl": 2},
+                  x, mesh, order=2)
+
+
+def test_vtk_output(tmp_path):
+    mesh = MakeStructured2DMesh(quads=False, nx=3, ny=3)
+    g = GridFunction(H1(mesh, order=1))
+    g.Set(x * y)
+    fn = VTKOutput(ma=mesh, coefs=[g], names=["u"],
+                   filename=str(tmp_path / "o")).Do()
+    assert os.path.getsize(fn) > 100
