@@ -71,6 +71,7 @@ from .fem.space import (  # noqa: F401
     GetDofsOfElements,
     FESpaceFactory,
 )
+from .fem.facetspace import FacetFESpace  # noqa: F401
 from .fem.gridfunction import (  # noqa: F401
     GridFunction,
     grad,
@@ -102,7 +103,11 @@ from .forms.assemble import (  # noqa: F401
 from .forms.proxies import dn, div  # noqa: F401
 from .solvers.sparse import SparseMatrix  # noqa: F401
 from .solvers.krylov import CGSolver  # noqa: F401
-from .lsetcurv import LevelSetMeshAdaptation, shifted_eval  # noqa: F401
+from .lsetcurv import (  # noqa: F401
+    LevelSetMeshAdaptation,
+    LevelSetMeshAdaptation_Spacetime,
+    shifted_eval,
+)
 from .utils.utils import (  # noqa: F401
     LevelsetExamples,
     BoundingBoxes,
@@ -114,6 +119,12 @@ from .utils.vtkout import Draw, VTKOutput  # noqa: F401
 from .lsetcurv.lsetcurv import RefineAtLevelSet  # noqa: F401
 
 from .ops.straightcut import cut_rule_element as CreateCutIntegrationRule  # noqa: F401
+
+# QUAD_DIRECTION_POLICY values (reference python_ngsxfem.cpp:33-36): the axis
+# selection policy of the multilinear QUAD/HEX iterated-integral cut rule.
+FIRST = "FIRST"
+OPTIMAL = "OPTIMAL"
+FALLBACK = "FALLBACK"
 
 
 def SFESpace(*args, **kwargs):

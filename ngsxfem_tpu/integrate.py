@@ -81,6 +81,12 @@ def normalize_levelset_domain(levelset_domain: dict):
     ld = dict(levelset_domain)
     ld.setdefault("subdivlvl", 0)
     ld.setdefault("force_intorder", -1)
+    ld["quad_dir_policy"] = str(ld.get("quad_dir_policy", "OPTIMAL"))
+    if ld["quad_dir_policy"] not in ("FIRST", "OPTIMAL", "FALLBACK"):
+        raise ValueError(
+            f"unknown quad_dir_policy {ld['quad_dir_policy']!r}; "
+            "expected FIRST, OPTIMAL or FALLBACK"
+        )
     if ld["subdivlvl"] != 0:
         raise NotImplementedError(
             "subdivlvl>0 (legacy adaptive quadrature) is not supported; "
@@ -107,7 +113,7 @@ def lset_st_vertex_values(lset_gf, dyn=None):
 
 
 def _cut_ctx_and_weights(mesh, lset_gf, domain_type, order, dyn=None,
-                         time_order=-1):
+                         time_order=-1, quad_dir_policy="OPTIMAL"):
     """Build (ctx, physical weights, validity mask) for a cut domain."""
     dt = DOMAIN_TYPE(int(domain_type))
     if time_order >= 0:
@@ -130,7 +136,7 @@ def _cut_ctx_and_weights(mesh, lset_gf, domain_type, order, dyn=None,
         return ctx, w_phys, w_ref > 0
 
     vals = lset_vertex_values(lset_gf, dyn)
-    rule = cut_rule_element(mesh.et, vals, order)
+    rule = cut_rule_element(mesh.et, vals, order, quad_dir_policy)
     if dt == IF:
         ctx = EvalCtx(mesh, rule.pts_if, nref=rule.nref, dyn=dyn)
         w_ref = rule.w_if
@@ -184,7 +190,7 @@ def Integrate(levelset_domain=None, cf=None, mesh=None, order=5,
 
             register_space(lgf.space, slots)
             dom_key = ("cut", int(ld["domain_type"]), int(o), obj_uid(lgf.space),
-                       int(time_order))
+                       int(time_order), ld["quad_dir_policy"])
         sig = (mesh_signature(mesh), cf_signature(cf, slots), dom_key,
                bool(element_wise))
         fn = _INT_CACHE.get(sig)
@@ -211,6 +217,7 @@ def Integrate(levelset_domain=None, cf=None, mesh=None, order=5,
                     ctx, w_phys, mask = _cut_ctx_and_weights(
                         mesh_c, ld_c["levelset"], ld_c["domain_type"], oo, dyn=dyn,
                         time_order=time_order,
+                        quad_dir_policy=ld_c["quad_dir_policy"],
                     )
                 f = eval_pure(cf_c, ctx)
                 f = jnp.broadcast_to(f, w_phys.shape)

@@ -237,17 +237,25 @@ def cut_rule_simplices(coords, vals, d: int, order: int):
     return CutRule(pts, w, sidep, pts_if, w_if, nref)
 
 
-@partial(jax.jit, static_argnames=("et", "order"))
-def cut_rule_element(et: str, elem_vals, order: int):
+@partial(jax.jit, static_argnames=("et", "order", "policy"))
+def cut_rule_element(et: str, elem_vals, order: int, policy: str = "OPTIMAL"):
     """Cut rule for a batch of elements of type `et` in *element-reference*
     coordinates.
 
     elem_vals (E, nvel): level-set values at element vertices.
-    QUAD/HEX are decomposed into simplices (fallback route); the resulting
-    rules are concatenated along the quadrature axis.
+    QUAD/HEX get the genuine multilinear iterated-integral rule
+    (ops/multilinear.py) under `policy` in {"FIRST", "OPTIMAL", "FALLBACK"}
+    (reference SWAP_DIMENSIONS_POLICY); simplices ignore the policy.
     """
     d = ET_DIM[et]
     E = elem_vals.shape[0]
+    if et in ("quad", "hex"):
+        from .multilinear import quad_cut_rule, hex_cut_rule
+
+        vals = eps_guard(elem_vals)
+        fn = quad_cut_rule if et == "quad" else hex_cut_rule
+        return fn(vals, order, policy)
+
     split = ET_SPLIT[et]  # (nsplit, d+1)
     nsplit = split.shape[0]
     refv = jnp.asarray(REF_VERTS[et], dtype=elem_vals.dtype)  # (nvel, d)
