@@ -51,7 +51,8 @@ class EvalCtx:
                 from ..fem.gridfunction import gf_ref_value_and_grad
 
                 disp, dgrad = gf_ref_value_and_grad(
-                    self.mesh.deformation, self.elem_ids, self.ref_pts, dyn=self.dyn
+                    self.mesh.deformation, self.elem_ids, self.ref_pts,
+                    dyn=self.dyn, time=self.time
                 )
                 phys = phys + disp
                 J = J + dgrad

@@ -300,8 +300,46 @@ def gf_value(gf: GridFunction, elem_ids, ref_pts, ctx=None):
     return jnp.stack(comps, axis=-1)
 
 
-def gf_ref_value_and_grad(gf: GridFunction, elem_ids, ref_pts, dyn=None):
-    """(value (E,Q,vdim), ref-grad (E,Q,vdim,d)) of gf at ref points."""
+def gf_ref_value_and_grad(gf: GridFunction, elem_ids, ref_pts, dyn=None,
+                          time=None):
+    """(value (E,Q,vdim), ref-grad (E,Q,vdim,d)) of gf at ref points.
+
+    Space-time GridFunctions (e.g. the space-time mesh deformation of
+    LevelSetMeshAdaptation_Spacetime, reference spacetime/lset_spacetime.py)
+    are evaluated at the per-point `time` by contracting the time basis with
+    the time-major dof blocks.
+    """
+    from ..spacetime.space import SpaceTimeFESpace
+
+    sp = gf.space
+    if isinstance(sp, SpaceTimeFESpace):
+        if time is None:
+            raise ValueError(
+                "space-time GridFunction evaluated without a time context "
+                "(use time_order>=0 integrals or RestrictGFInTime first)")
+        ssp = sp.spacefes
+        dyn = dyn or {}
+        vec = dyn.get((id(gf), "vec"), gf._arr)
+        el2dof = dyn.get((id(ssp), "el2dof"), ssp.el2dof)
+        vdim = getattr(ssp, "vdim", 1)
+        e2d = el2dof if elem_ids is None else el2dof[elem_ids]
+        B = shapes(ssp.mesh.et, ssp.order, ref_pts)
+        G = dshapes(ssp.mesh.et, ssp.order, ref_pts)
+        Bt = sp.tfe.eval(jnp.broadcast_to(time, ref_pts.shape[:2]))  # (E,Q,nt)
+        nscal = ssp.nscal if vdim > 1 else ssp.ndof
+        vals, grads = [], []
+        for c in range(vdim):
+            v_c, g_c = 0.0, 0.0
+            for t in range(sp.ndof_t):
+                off = t * sp.ndof_s + (c * nscal if vdim > 1 else 0)
+                dofs = vec[off + e2d]
+                v_c = v_c + Bt[..., t] * jnp.einsum("eqi,ei->eq", B, dofs)
+                g_c = g_c + Bt[..., t, None] * jnp.einsum(
+                    "eqid,ei->eqd", G, dofs)
+            vals.append(v_c)
+            grads.append(g_c)
+        return jnp.stack(vals, axis=-1), jnp.stack(grads, axis=-2)
+
     sp, el2dof, vec = _space_el2dof_and_vec(gf, dyn)
     vdim = getattr(sp, "vdim", 1)
     e2d = el2dof if elem_ids is None else el2dof[elem_ids]

@@ -39,6 +39,15 @@ class XFESpace:
         self.base = basefes
         self.mesh = basefes.mesh
         self.order = basefes.order
+        if trace:
+            # the reference flag only downgrades outer-band face bubbles to
+            # LOCAL_DOF for static condensation (xFESpace.cpp:72-97); no
+            # static condensation exists here yet, so refuse rather than
+            # silently ignore (TraceFEM itself works via IF integrals +
+            # normal-gradient stabilization, see examples/tracefem*.py)
+            raise NotImplementedError(
+                "XFESpace(trace=True): static-condensation coupling types "
+                "are not implemented; TraceFEM works without the flag")
         self.trace = trace
         if isinstance(lset_or_cutinfo, CutInfo):
             self.cutinfo = lset_or_cutinfo

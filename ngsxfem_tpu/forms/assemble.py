@@ -47,6 +47,11 @@ class Integral:
         self.force_intorder = force_intorder
         self.deformation = deformation
         self.time_order = time_order
+        if vb != VOL:
+            raise NotImplementedError(
+                "VOL_or_BND=BND integrals are not implemented yet; "
+                "an unsupported option must not silently assemble as VOL"
+            )
         self.vb = vb
 
 
@@ -237,6 +242,134 @@ def _facet_patch_ctx(integral: Integral, mesh, order, dyn=None, fids=None):
     return ctx, e1, e2, w, mask
 
 
+def _element_boundary_ctx(integral: Integral, mesh, order, dyn=None):
+    """Per-facet quadrature on every element's own boundary, single-sided
+    (reference T_CalcElementMatrixEBAdd, ``xfem/symboliccutbfi.cpp:319,
+    491-678``): rows are (element, local facet) pairs; trial and test factors
+    both live on the row's element; the context normal is that element's
+    outward facet normal.
+
+    With a ``levelset_domain`` each facet carries a codim-1 straight-cut rule
+    built from the level-set values at its corners (SEGM facets of 2D
+    elements / TRIG-split facets of 3D elements), matching the live facet
+    loop of the reference.  With ``time_order >= 0`` the rule is tensorized
+    with time Gauss points.
+
+    Returns (ctx, row_elem_ids, w_phys, mask).
+    """
+    from ..mesh.mesh import FACET_VERTS, FACET_ET, geom_shapes, geom_dshapes
+    from ..ops.straightcut import _gram_measure
+    from ..ops.cuttables import REF_VERTS
+    from ..jitcache import dyn_get
+
+    dyn = dyn or {}
+    d = mesh.dim
+    et = mesh.et
+    fet = FACET_ET[et]
+    fv_loc = np.array(FACET_VERTS[et], dtype=np.int32)  # (nfel, nvf)
+    nfel, nvf = fv_loc.shape
+    ne = mesh.ne
+    R = ne * nfel  # rows
+    o = order if integral.force_intorder < 0 else integral.force_intorder
+
+    refv = REF_VERTS[et]
+    # element-local reference coordinates of each local facet's vertices
+    loc_ref = jnp.asarray(refv[fv_loc], dtype=config.dtype)  # (nfel, nvf, d)
+    loc_ref = jnp.broadcast_to(loc_ref[None], (ne, nfel, nvf, d)).reshape(
+        R, nvf, d
+    )
+    row_e = np.repeat(np.arange(ne, dtype=np.int32), nfel)
+    # global facet vertex ids per row (host: static topology)
+    fverts = mesh.elements_np[:, fv_loc].reshape(R, nvf)
+
+    # facet-parametric rule: plain, or a cut rule from lset corner values
+    if integral.levelset_domain is not None:
+        from ..ops.straightcut import cut_rule_simplices, eps_guard
+        from ..ops.cuttables import ET_SPLIT
+        from ..integrate import _p1_vertex_dofs
+
+        ld = integral.levelset_domain
+        dtq = int(ld["domain_type"])
+        if dtq == int(IF):
+            raise NotImplementedError(
+                "codim-2 (IF-on-element-boundary) rules")
+        lgf = ld["levelset"]
+        vdofs = _p1_vertex_dofs(lgf.space)
+        vec = dyn_get(dyn, lgf, "vec", lgf._arr)
+        fvals = vec[jnp.asarray(vdofs[fverts])]  # (R, nvf)
+        split = ET_SPLIT[fet]
+        nsplit = split.shape[0]
+        refvf = jnp.asarray(REF_VERTS[fet], dtype=config.dtype)
+        fc = jnp.broadcast_to(
+            refvf[jnp.asarray(split)][None], (R, nsplit, split.shape[1], d - 1)
+        ).reshape(R * nsplit, split.shape[1], d - 1)
+        fvv = eps_guard(fvals[:, jnp.asarray(split)].reshape(R * nsplit, -1))
+        r = cut_rule_simplices(fc, fvv, d - 1, o)
+        qn = r.pts.shape[1]
+        rp_dyn = r.pts.reshape(R, nsplit * qn, d - 1)
+        rw_dyn = (r.w * (r.side == dtq)).reshape(R, nsplit * qn)
+    else:
+        rp_s, rw_s = reference_rule(fet, o)
+        nqf = rw_s.shape[0]
+        rp_dyn = jnp.broadcast_to(
+            jnp.asarray(rp_s, dtype=config.dtype)[None], (R, nqf, d - 1)
+        )
+        rw_dyn = jnp.broadcast_to(
+            jnp.asarray(rw_s, dtype=config.dtype)[None], (R, nqf)
+        )
+
+    # map facet-parametric points into the element reference cell
+    Nf = geom_shapes(fet, rp_dyn)  # (R, nq, nvf)
+    pts = jnp.einsum("rqk,rkd->rqd", Nf, loc_ref)
+
+    # physical facet measure and outward normal
+    verts = dyn_get(dyn, mesh, "vertices", mesh.vertices)
+    phys_fverts = verts[jnp.asarray(fverts)]  # (R, nvf, d)
+    dNf = geom_dshapes(fet, rp_dyn)  # (R, nq, nvf, d-1)
+    tang = jnp.einsum("rqks,rkd->rqsd", dNf, phys_fverts)
+    scale = _gram_measure(tang)
+    w = scale * rw_dyn
+    if d == 2:
+        t = tang[:, :, 0, :]
+        n = jnp.stack([t[..., 1], -t[..., 0]], axis=-1)
+    else:
+        n = jnp.cross(tang[:, :, 0, :], tang[:, :, 1, :])
+    nn = jnp.linalg.norm(n, axis=-1, keepdims=True)
+    n = n / jnp.where(nn < 1e-30, 1.0, nn)
+    els = dyn_get(dyn, mesh, "elements", mesh.elements)[jnp.asarray(row_e)]
+    cent = jnp.mean(verts[els], axis=1)  # (R, d)
+    fcm = jnp.mean(phys_fverts, axis=1)
+    sign = jnp.sign(jnp.einsum("rqd,rd->rq", n, fcm - cent))
+    sign = jnp.where(sign == 0, 1.0, sign)
+    n = n * sign[..., None]
+
+    times = None
+    if integral.time_order >= 0:
+        from ..ops.gauss import gauss_legendre_01
+
+        tg, tw = gauss_legendre_01(max(1, (integral.time_order + 2) // 2))
+        tg = jnp.asarray(tg, dtype=config.dtype)
+        tw = jnp.asarray(tw, dtype=config.dtype)
+        nt = tg.shape[0]
+        Q = pts.shape[1]
+        pts = jnp.repeat(pts, nt, axis=1)
+        n = jnp.repeat(n, nt, axis=1)
+        w = (w[:, :, None] * tw[None, None, :]).reshape(R, Q * nt)
+        times = jnp.broadcast_to(tg[None, None, :], (R, Q, nt)).reshape(R, Q * nt)
+
+    ctx = EvalCtx(mesh, pts, elem_ids=jnp.asarray(row_e), normal=n, dyn=dyn,
+                  time=times)
+    ctx.facet_ids = jnp.asarray(mesh.el2facet_np.reshape(-1))
+    mask = w > 0
+    if integral.definedonelements is not None:
+        sel_arr = dyn_get(dyn, integral, "mask",
+                          jnp.asarray(integral.definedonelements))
+        sel = sel_arr[jnp.asarray(row_e)][:, None]
+        mask = mask & sel
+        w = jnp.where(sel, w, 0.0)
+    return ctx, row_e, w, mask
+
+
 _ASM_CACHE = {}
 
 
@@ -273,6 +406,7 @@ def _assembly_signature(space, mesh, integrals, kind):
                 )
             )
         p.append(("fp", integral.facet_patch, integral.skeleton,
+                  integral.element_boundary,
                   integral.force_intorder, integral.time_order))
         p.append(cf_signature(integral.form, slots))
         parts.append(tuple(p))
@@ -397,6 +531,28 @@ def _skeleton_ctx(integral: Integral, mesh, order, dyn=None):
     sign = jnp.sign(jnp.einsum("fqd,fd->fq", n, fcm - cent1))
     sign = jnp.where(sign == 0, 1.0, sign)
     n = n * sign[..., None]
+
+    times = None
+    if integral.time_order >= 0:
+        # space-time skeleton rule: tensorize with time Gauss points
+        # (reference SymbolicFacetBilinearFormIntegrator2,
+        # xfem/symboliccutbfi.cpp:948-1102)
+        from ..ops.gauss import gauss_legendre_01
+
+        tg, tw = gauss_legendre_01(max(1, (integral.time_order + 2) // 2))
+        tg = jnp.asarray(tg, dtype=config.dtype)
+        tw = jnp.asarray(tw, dtype=config.dtype)
+        nt = tg.shape[0]
+        Q = pts1.shape[1]
+        rep = lambda a: jnp.repeat(a, nt, axis=1)
+        ctx.ref_pts = rep(pts1)
+        ctx.other_ctx.ref_pts = rep(pts2)
+        ctx.Q = ctx.other_ctx.Q = Q * nt
+        n = rep(n)
+        w = (w[:, :, None] * tw[None, None, :]).reshape(F, Q * nt)
+        times = jnp.broadcast_to(tg[None, None, :], (F, Q, nt)).reshape(F, Q * nt)
+        ctx.time = ctx.other_ctx.time = times
+
     ctx._normal = n
     # each side sees its own outward normal (reference dn convention, so
     # dnjump(u,k) = dn(u,k) -/+ dn(u.Other(),k) ports verbatim)
@@ -472,6 +628,10 @@ class BilinearForm:
                         ctx, e1, e2, w_phys, mask = _skeleton_ctx(
                             integral, mesh, 2 * order, dyn=dyn
                         )
+                    elif integral.element_boundary:
+                        ctx, row_e, w_phys, mask = _element_boundary_ctx(
+                            integral, mesh, 2 * order, dyn=dyn
+                        )
                     else:
                         ctx, w_phys, mask = _volume_ctx(
                             integral, mesh, 2 * order, dyn=dyn
@@ -509,6 +669,10 @@ class BilinearForm:
                     sel = sel & integral.definedonelements
                 fids = np.nonzero(sel)[0]
                 fp_elems[k] = (f2e[fids, 0], f2e[fids, 1])
+            elif integral.element_boundary:
+                nfel = len(mesh.el2facet_np[0])
+                row_e = np.repeat(np.arange(mesh.ne, dtype=np.int32), nfel)
+                fp_elems[k] = (row_e, row_e)
         for elmat, (k, bu, bv) in zip(elmats, meta):
             e1, e2 = fp_elems.get(k, (None, None))
             dm_u = block_dofmap(self.space, bu, e1, e2)
@@ -526,12 +690,19 @@ class BilinearForm:
         return self
 
     def _with_restriction(self, integral: Integral):
-        if self.element_restriction is None or integral.definedonelements is not None:
+        """Apply the form-level restrictions (RestrictedBilinearForm,
+        utils/restrictedblf.hpp:7-30): element_restriction to element-row
+        integrals, facet_restriction to facet-row (skeleton / facet-patch)
+        integrals.  An integral's own definedonelements wins."""
+        facet_rows = integral.facet_patch or integral.skeleton
+        restriction = (self.facet_restriction if facet_rows
+                       else self.element_restriction)
+        if restriction is None or integral.definedonelements is not None:
             return integral
         import copy
 
         ii = copy.copy(integral)
-        ii.definedonelements = _arr(self.element_restriction).copy()
+        ii.definedonelements = _arr(restriction).copy()
         return ii
 
     def Apply(self, x):
@@ -569,6 +740,12 @@ class LinearForm:
                 meta[:] = []
                 out = []
                 for k, integral in enumerate(integrals):
+                    if (integral.element_boundary or integral.skeleton
+                            or integral.facet_patch):
+                        # the reference SymbolicCutLFI also throws for these
+                        # (xfem/symboliccutlfi.cpp:51-160)
+                        raise NotImplementedError(
+                            "LinearForm supports volume integrals only")
                     ctx, w_phys, mask = _volume_ctx(
                         integral, mesh, 2 * order + mesh.dim, dyn=dyn
                     )

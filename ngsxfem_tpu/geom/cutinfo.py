@@ -175,16 +175,10 @@ def GetElementsWithNeighborFacets(mesh, facets) -> BitArray:
 
 
 def GetDofsOfFacets(space, facet_mask) -> BitArray:
-    """Dofs of a FacetFESpace associated with marked facets."""
-    from ..fem.facetspace import FacetFESpace
+    """Dofs associated with marked facets (xfem/cutinfo.cpp:306-329)."""
+    from ..fem.facetspace import GetDofsOfFacets as _impl
 
-    if not isinstance(space, FacetFESpace):
-        raise TypeError("GetDofsOfFacets expects a FacetFESpace")
-    mask = _arr(facet_mask)
-    out = np.zeros(space.ndof, dtype=bool)
-    dofs = space.facet2dof_np[mask]
-    out[dofs.ravel()] = True
-    return BitArray(out)
+    return _impl(space, facet_mask)
 
 
 def IndicatorCF(mesh, ba, facets=False):

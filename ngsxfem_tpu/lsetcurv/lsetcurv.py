@@ -41,7 +41,7 @@ def _project_shift_kernel(mesh, space, order, threshold, blending_alpha=0.0,
     vperm = jnp.asarray(vertex_local_ids(et, 1))
 
     def kernel(vertices, ho_vec, p1space_el2dof, p1_vec, rep_e, rep_p,
-               el2dof, elements):
+               el2dof, elements, cutel):
         nd = rep_e.shape[0]
         coords = vertices[elements[rep_e]]  # (nd, nv, d)
         pts = rep_p[:, None, :]  # (nd,1,d)
@@ -87,14 +87,13 @@ def _project_shift_kernel(mesh, space, order, threshold, blending_alpha=0.0,
 
         # displacement, clamped to threshold * h (ref. shiftintegrators.cpp:107)
         disp = t[:, None] * q_phys  # (nd, d)
-        dn = jnp.linalg.norm(disp, axis=1)
-        lim = threshold * h
-        scale = jnp.where(dn > lim, lim / jnp.where(dn < 1e-30, 1.0, dn), 1.0)
-        disp = disp * scale[:, None]
+        if threshold >= 0:
+            dn = jnp.linalg.norm(disp, axis=1)
+            lim = threshold * h
+            scale = jnp.where(dn > lim, lim / jnp.where(dn < 1e-30, 1.0, dn), 1.0)
+            disp = disp * scale[:, None]
 
-        # restrict to the cut band: nodes of elements cut by lset_p1
-        vvals = eps_guard(p1_vec[p1space_el2dof[:, vperm]])
-        cutel = jnp.any(vvals < 0, axis=1) & jnp.any(vvals > 0, axis=1)
+        # restrict to the band of marked elements (nodal union)
         active = jnp.zeros((space.ndof,), dtype=bool)
         active = active.at[el2dof.reshape(-1)].max(
             jnp.broadcast_to(cutel[:, None], el2dof.shape).reshape(-1)
@@ -130,6 +129,14 @@ class LevelSetMeshAdaptation:
         self.levelset = levelset
         self.lset_ho.Set(levelset)
         InterpolateToP1(self.lset_ho, self.lset_p1)
+        return self._shift_from_nodal(self.lset_ho, self.lset_p1, self.deform,
+                                      blending=blending)
+
+    def _shift_from_nodal(self, lset_ho, lset_p1, deform, blending=None,
+                          band=None):
+        """ProjectShift step for given nodal lset_ho/lset_p1 GridFunctions;
+        `band` optionally overrides the active element set (the space-time
+        adaptation passes the union of IF elements over the slab)."""
         alpha = 0.0 if blending is None else float(blending)
         key = (id(self.mesh), id(self.deform_space), self.order, self.threshold,
                alpha)
@@ -139,18 +146,26 @@ class LevelSetMeshAdaptation:
                 self.mesh, self.ho_space, self.order, self.threshold, alpha
             )
             _PS_CACHE[key] = k
+        if band is None:
+            vperm = vertex_local_ids(self.mesh.et, 1)
+            vv = np.asarray(lset_p1._arr)[self.p1_space.el2dof_np[:, vperm]]
+            vv = np.where(np.abs(vv) < config.lset_eps,
+                          np.where(vv >= 0, config.lset_eps, -config.lset_eps),
+                          vv)
+            band = (vv < 0).any(axis=1) & (vv > 0).any(axis=1)
         vec = k(
             jnp.asarray(self.mesh.vertices_np, dtype=config.dtype),
-            self.lset_ho._arr,
+            lset_ho._arr,
             jnp.asarray(self.p1_space.el2dof_np),
-            self.lset_p1._arr,
+            lset_p1._arr,
             jnp.asarray(self.ho_space.dof_rep_elem),
             jnp.asarray(self.ho_space.dof_rep_ref, dtype=config.dtype),
             jnp.asarray(self.ho_space.el2dof_np),
             jnp.asarray(self.mesh.elements_np),
+            jnp.asarray(np.asarray(band, dtype=bool)),
         )
-        self.deform._set_array(vec)
-        return self.deform
+        deform._set_array(vec)
+        return deform
 
     def CalcMaxDistance(self, levelset=None, deform=None, heapsize=None,
                         order=None):
