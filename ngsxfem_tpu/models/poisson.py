@@ -266,6 +266,69 @@ class UnfittedPoisson:
         y = y.at[dmap.reshape(-1)].add(yf.reshape(-1))
         return jnp.where(self.active_dofs, y, x)
 
+    def ell_structure(self):
+        """Host precompute of the static global-operator structure: ELL column
+        table (ndof, K) plus flat value-slot maps for element matrices
+        (ne*nd*nd) and ghost-penalty facet matrices (F*(2nd)^2).
+
+        The sparsity pattern depends only on topology, so the per-step device
+        work is ONE scatter-add of the element/facet matrices into the ELL
+        value table — the "global operator build" stage of the pipeline.
+        """
+        import numpy as np
+
+        e2d = self.space.el2dof_np
+        ne, nd = e2d.shape
+        rows_e = np.broadcast_to(e2d[:, :, None], (ne, nd, nd)).reshape(-1)
+        cols_e = np.broadcast_to(e2d[:, None, :], (ne, nd, nd)).reshape(-1)
+        fdof = np.concatenate([e2d[self.gp_e1], e2d[self.gp_e2]], axis=1)
+        F, nd2 = fdof.shape
+        rows_f = np.broadcast_to(fdof[:, :, None], (F, nd2, nd2)).reshape(-1)
+        cols_f = np.broadcast_to(fdof[:, None, :], (F, nd2, nd2)).reshape(-1)
+        rows = np.concatenate([rows_e, rows_f]).astype(np.int64)
+        cols = np.concatenate([cols_e, cols_f]).astype(np.int64)
+        # identity rows for inactive dofs
+        inact = np.nonzero(~np.asarray(self.active_dofs))[0].astype(np.int64)
+        rows = np.concatenate([rows, inact])
+        cols = np.concatenate([cols, inact])
+
+        n = self.ndof
+        lin = rows * n + cols
+        uniq, inv = np.unique(lin, return_inverse=True)
+        urows = (uniq // n).astype(np.int64)
+        ucols = (uniq % n).astype(np.int32)
+        counts = np.bincount(urows, minlength=n)
+        K = int(counts.max())
+        row_start = np.zeros(n + 1, dtype=np.int64)
+        np.cumsum(counts, out=row_start[1:])
+        pos = np.arange(len(urows)) - row_start[urows]
+        ell_cols = np.zeros((n, K), dtype=np.int32)
+        ell_cols[urows, pos] = ucols
+        slot_of_uniq = urows * K + pos  # flat slot in the (n, K) value table
+        slots = slot_of_uniq[inv]
+        ns = len(rows_e)
+        return {
+            "ell_cols": jnp.asarray(ell_cols),
+            "elm_slots": jnp.asarray(slots[:ns]),
+            "gp_slots": jnp.asarray(slots[ns:ns + len(rows_f)]),
+            "id_slots": jnp.asarray(slots[ns + len(rows_f):]),
+            "K": K,
+        }
+
+    def assemble_ell_vals(self, vertices, lset_vertex, cut_capacity, struct):
+        """Device pipeline stage 1+2: element matrices -> global ELL values."""
+        A_std, A_cut, cut_ids, n = self.elmats_compact(
+            vertices, lset_vertex, self.mesh.elements, self.el2dof, cut_capacity
+        )
+        A_all = A_std.at[cut_ids].add(A_cut)
+        G = self.gp_mats(vertices)
+        nK = struct["ell_cols"].shape[0] * struct["K"]
+        vals = jnp.zeros((nK,), dtype=vertices.dtype)
+        vals = vals.at[struct["elm_slots"]].add(A_all.reshape(-1))
+        vals = vals.at[struct["gp_slots"]].add(G.reshape(-1))
+        vals = vals.at[struct["id_slots"]].add(1.0)
+        return vals.reshape(struct["ell_cols"].shape), n
+
     def gp_mats(self, vertices):
         coords1 = vertices[self.mesh.elements][jnp.asarray(self.gp_e1)]
         coords2 = vertices[self.mesh.elements][jnp.asarray(self.gp_e2)]

@@ -47,10 +47,11 @@ def _poly_roots_in_01(coefs, kt: int, nbisect: int = 40):
     """Roots of per-vertex time polynomials inside (0,1).
 
     coefs (..., kt+1) monomial coefficients (c0 + c1 t + ...).  Returns
-    (..., kt) candidate roots, clamped to [0,1] (invalid roots -> 0).
-    Closed form for kt <= 2; bisection on [0,1] sign-change for higher kt
-    (captures one root per polynomial per sweep — matching the reference's
-    subdivision fallback granularity).
+    (..., R) candidate roots clamped to [0,1] (invalid slots -> 0, harmless
+    as slice boundaries).  Closed form for kt <= 2 (R = kt); for kt >= 3,
+    subdivision into 2*kt subintervals + bisection per sign change (R = 2*kt),
+    the granularity of the reference's root_finding
+    (cutint/spacetimecutrule.cpp:6-95).
     """
     if kt == 0:
         return jnp.zeros(coefs.shape[:-1] + (1,), coefs.dtype)
@@ -73,16 +74,25 @@ def _poly_roots_in_01(coefs, kt: int, nbisect: int = 40):
         t2 = jnp.where(small_a, 0.0, jnp.where(no_root, 0.0, t2))
         return jnp.stack([jnp.clip(t1, 0, 1), jnp.clip(t2, 0, 1)], axis=-1)
 
-    # kt >= 3: bisection for a single root per vertex polynomial
+    # kt >= 3: subdivision + per-subinterval bisection (the granularity of
+    # the reference's root_finding, cutint/spacetimecutrule.cpp:6-95).  A
+    # degree-kt polynomial has <= kt roots in (0,1); 2*kt equal subintervals
+    # separate them in practice, and every sign-changing subinterval is
+    # bisected to convergence — all in fixed shapes.
+    nsub = 2 * kt
+
     def peval(t):
         out = jnp.zeros(t.shape, coefs.dtype)
         for j in range(kt, -1, -1):
-            out = out * t + coefs[..., j]
+            out = out * t + coefs[..., None, j]
         return out
 
-    lo = jnp.zeros(coefs.shape[:-1], coefs.dtype)
-    hi = jnp.ones(coefs.shape[:-1], coefs.dtype)
+    edges = jnp.linspace(0.0, 1.0, nsub + 1, dtype=coefs.dtype)
+    lo = jnp.broadcast_to(edges[:-1], coefs.shape[:-1] + (nsub,))
+    hi = jnp.broadcast_to(edges[1:], coefs.shape[:-1] + (nsub,))
     flo = peval(lo)
+    fhi = peval(hi)
+    has = (flo * fhi) < 0  # (..., nsub)
 
     def body(_, lohif):
         lo, hi, flo = lohif
@@ -96,10 +106,7 @@ def _poly_roots_in_01(coefs, kt: int, nbisect: int = 40):
 
     lo, hi, flo = jax.lax.fori_loop(0, nbisect, body, (lo, hi, flo))
     root = 0.5 * (lo + hi)
-    has = (peval(jnp.zeros_like(root)) * peval(jnp.ones_like(root))) < 0
-    out = jnp.where(has, root, 0.0)[..., None]
-    pad = jnp.zeros(coefs.shape[:-1] + (kt - 1,), coefs.dtype)
-    return jnp.concatenate([out, pad], axis=-1)
+    return jnp.where(has, root, 0.0)  # (..., nsub) candidates
 
 
 def spacetime_cut_rule(et: str, vals_st, kt: int, order_space: int,

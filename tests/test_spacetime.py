@@ -68,3 +68,97 @@ def test_moving_domain_heat():
     e1 = moving_domain.run(nx=12, nslab=4, verbose=False)
     e2 = moving_domain.run(nx=24, nslab=8, verbose=False)
     assert e2 < e1 / 2, (e1, e2)
+
+
+def test_st_kt3_multiroot_exact():
+    """k_t=3 level set whose vertex time-polynomials have multiple roots in
+    (0,1): subdivision+bisection slicing must capture all of them
+    (reference root_finding, cutint/spacetimecutrule.cpp:6-95)."""
+    import numpy as np
+
+    mesh = MakeStructured2DMesh(quads=False, nx=4, ny=4)
+    st = SpaceTimeFESpace(H1(mesh, order=1), ScalarTimeFE(3))
+    lset = GridFunction(st)
+    a, r0, r1, r2 = 2.5, 0.1, 0.45, 0.95
+    c_cf = 0.55 + a * (tref - r0) * (tref - r1) * (tref - r2)
+    SpaceTimeInterpolateToP1(x - c_cf, tref, lset)
+    c3 = np.polynomial.Polynomial.fromroots([r0, r1, r2]) * a + 0.55
+    exact = c3.integ()(1.0) - c3.integ()(0.0)
+    for dom, ref in ((NEG, exact), (POS, 1 - exact), (IF, 1.0)):
+        v = Integrate({"levelset": lset, "domain_type": dom},
+                      CoefficientFunction(1.0), mesh, order=2, time_order=8)
+        assert abs(v - ref) < 1e-12, (int(dom), v, ref)
+
+
+def _sphere_ST_error(n_steps, i):
+    """Port of area_of_a_sphere_ST_error (reference
+    test_spacetimecutrule.py:332-388): a circle shrinking as a 3D sphere
+    slice; summed slab volumes/lateral areas vs closed forms."""
+    mesh = MakeStructured2DMesh(quads=False, nx=2**i, ny=2**i,
+                                mapping=lambda a, b: (2 * a - 1, 2 * b - 1))
+    r0 = 0.9
+    st = SpaceTimeFESpace(H1(mesh, order=1), ScalarTimeFE(1))
+    lset_p1 = GridFunction(st)
+    delta_t = 1.0 / n_steps
+    sum_vol = sum_int = 0.0
+    for s in range(n_steps):
+        t_abs = s * delta_t + delta_t * tref
+        SpaceTimeInterpolateToP1(
+            sqrt(x**2 + y**2 + t_abs * t_abs) - r0, tref, lset_p1)
+        sum_vol += delta_t * Integrate(
+            {"levelset": lset_p1, "domain_type": NEG},
+            CoefficientFunction(1.0), mesh, time_order=1)
+        sum_int += delta_t * Integrate(
+            {"levelset": lset_p1, "domain_type": IF},
+            CoefficientFunction(1.0), mesh, time_order=1)
+    return (abs(sum_vol - 2.0 / 3 * pi * r0**3),
+            abs(sum_int - 0.5 * pi**2 * r0**2))
+
+
+def test_spacetime_area_of_a_sphere():
+    errs = [_sphere_ST_error(2**(i + 2), i + 1) for i in range(3)]
+    vol_err = [e[0] for e in errs]
+    int_err = [e[1] for e in errs]
+    eocs_v = [mlog(vol_err[i - 1] / vol_err[i]) / mlog(2)
+              for i in range(1, len(vol_err))]
+    eocs_i = [mlog(int_err[i - 1] / int_err[i]) / mlog(2)
+              for i in range(1, len(int_err))]
+    assert sum(eocs_v) / len(eocs_v) > 1.75, (vol_err, eocs_v)
+    assert sum(eocs_i) / len(eocs_i) > 1.75, (int_err, eocs_i)
+
+
+def _hypersphere_ST_error(n_steps, i):
+    """Port of area_of_a_hypersphere_ST_error (reference
+    test_spacetimecutrule.py:415-470): 4D ball sliced in time."""
+    from ngsxfem_tpu import MakeStructured3DMesh, z
+
+    mesh = MakeStructured3DMesh(
+        hexes=False, nx=2**i, ny=2**i, nz=2**i,
+        mapping=lambda a, b, c: (2 * a - 1, 2 * b - 1, 2 * c - 1))
+    r0 = 0.9
+    st = SpaceTimeFESpace(H1(mesh, order=1), ScalarTimeFE(1))
+    lset_p1 = GridFunction(st)
+    delta_t = 1.0 / n_steps
+    sum_vol = sum_int = 0.0
+    for s in range(n_steps):
+        t_abs = s * delta_t + delta_t * tref
+        SpaceTimeInterpolateToP1(
+            sqrt(x**2 + y**2 + z**2 + t_abs * t_abs) - r0, tref, lset_p1)
+        sum_vol += delta_t * Integrate(
+            {"levelset": lset_p1, "domain_type": NEG},
+            CoefficientFunction(1.0), mesh, time_order=1)
+        sum_int += delta_t * Integrate(
+            {"levelset": lset_p1, "domain_type": IF},
+            CoefficientFunction(1.0), mesh, time_order=1)
+    return (abs(sum_vol - pi**2 / 4 * r0**4),
+            abs(sum_int - 8.0 / 3 * pi * r0**3))
+
+
+def test_spacetime_area_of_a_hypersphere():
+    errs = [_hypersphere_ST_error(2**(i + 3), i + 2) for i in range(2)]
+    vol_err = [e[0] for e in errs]
+    int_err = [e[1] for e in errs]
+    eoc_v = mlog(vol_err[0] / vol_err[1]) / mlog(2)
+    eoc_i = mlog(int_err[0] / int_err[1]) / mlog(2)
+    assert eoc_v > 1.7, (vol_err, eoc_v)
+    assert eoc_i > 1.7, (int_err, eoc_i)

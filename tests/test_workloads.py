@@ -69,3 +69,15 @@ def test_ell_matvec():
     xv = jnp.asarray(rng.standard_normal(50))
     d = jnp.max(jnp.abs(S.matvec(xv) - S.ell().matvec(xv)))
     assert float(d) < 1e-12
+
+
+def test_fictdom_dg_ghostpen():
+    """DG fictitious-domain workload (reference py_tutorials/
+    fictdom_dg_ghostpen.py): cut-facet interior penalty + ghost penalty;
+    error small and shrinking under refinement."""
+    from examples import fictdom_dg_ghostpen
+
+    e1 = fictdom_dg_ghostpen.run(nx=20, order=2, verbose=False)
+    e2 = fictdom_dg_ghostpen.run(nx=40, order=2, verbose=False)
+    assert e2 < 0.006, (e1, e2)
+    assert e2 < e1 / 3, (e1, e2)
