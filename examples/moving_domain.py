@@ -17,7 +17,7 @@ import numpy as np
 from ngsxfem_tpu import *
 
 
-def run(nx=16, nslab=8, order=1, kt=1, T=0.5, verbose=True):
+def run(nx=16, nslab=8, order=1, kt=1, T=0.5, verbose=True, deform=False):
     mesh = MakeStructured2DMesh(
         quads=False, nx=nx, ny=nx, mapping=lambda a, b: (2 * a - 1, 2 * b - 1)
     )
@@ -44,12 +44,28 @@ def run(nx=16, nslab=8, order=1, kt=1, T=0.5, verbose=True):
     W = SpaceTimeFESpace(Vh, ScalarTimeFE(kt))
     u, v = W.TnT()
 
-    lset_st = GridFunction(W if order == 1 else SpaceTimeFESpace(H1(mesh, 1), ScalarTimeFE(kt)))
+    levelset = sqrt(rho2) - r
+
     lset_bot = GridFunction(H1(mesh, order=1))
     uold = GridFunction(Vh)
     gfu = GridFunction(W)
 
-    levelset = sqrt(rho2) - r
+    # isoparametric space-time deformation (higher-order geometry,
+    # reference spacetime/lset_spacetime.py)
+    if deform:
+        lsetadap = LevelSetMeshAdaptation_Spacetime(
+            mesh, order_space=order, order_time=kt, threshold=0.5)
+        lset_st = lsetadap.lset_p1
+        deform_st = lsetadap.deform
+        deform_bot = GridFunction(lsetadap.nodal.deform_space)
+        deform_top = GridFunction(lsetadap.nodal.deform_space)
+        utmp = GridFunction(Vh)
+        dfm_st, dfm_bot = deform_st, deform_bot
+    else:
+        lset_st = GridFunction(
+            W if order == 1
+            else SpaceTimeFESpace(H1(mesh, 1), ScalarTimeFE(kt)))
+        dfm_st = dfm_bot = None
 
     # static ghost-penalty facet band: elements near the interface at ANY time
     verts = mesh.vertices_np
@@ -72,32 +88,56 @@ def run(nx=16, nslab=8, order=1, kt=1, T=0.5, verbose=True):
 
     hasneg = np.ones(mesh.ne, dtype=bool)  # updated in place per slab
 
+    # time derivative in reference coordinates; under a time-dependent mesh
+    # deformation psi the physical time derivative needs the mesh-velocity
+    # correction dt(u) - dt(psi).grad(u) (cf. the reference's deformed
+    # space-time DG formulation, xfem jupyter spacetimeDG_unfitted)
+    if deform:
+        dtu = dt(u) - InnerProduct(dt(deform_st), grad(u))
+    else:
+        dtu = dt(u)
     a = BilinearForm(W)
     a += SymbolicBFI(
         lset_dom,
-        form=dt(u) * v + dtt * ((wcf * grad(u)) * v + grad(u) * grad(v)),
-        time_order=2 * kt + 1, definedonelements=hasneg,
+        form=dtu * v + dtt * ((wcf * grad(u)) * v + grad(u) * grad(v)),
+        time_order=2 * kt + 1, definedonelements=hasneg, deformation=dfm_st,
     )
     a += SymbolicBFI(lset_bot_dom, form=fix_t(u, 0.0) * fix_t(v, 0.0),
-                     definedonelements=hasneg)
+                     definedonelements=hasneg, deformation=dfm_bot)
     a += SymbolicFacetPatchBFI(
         form=dtt * 1.0 / (h * h) * (u - u.Other()) * (v - v.Other()),
-        time_order=kt, definedonelements=gp_facets,
+        time_order=kt, definedonelements=gp_facets, deformation=dfm_st,
     )
 
     fl = LinearForm(W)
     fl += SymbolicLFI(lset_dom, form=dtt * f_cf * v, time_order=2 * kt + 1,
-                      definedonelements=hasneg)
+                      definedonelements=hasneg, deformation=dfm_st)
     fl += SymbolicLFI(lset_bot_dom, form=uold * fix_t(v, 0.0),
-                      definedonelements=hasneg)
+                      definedonelements=hasneg, deformation=dfm_bot)
 
     ci = CutInfo(mesh)
-    uold.Set(exact_at(0.0))
 
     for s in range(nslab):
         t0 = s * dtt
         t_start.Set(t0)
-        SpaceTimeInterpolateToP1(levelset, tref, lset_st)
+        if deform:
+            lsetadap.CalcDeformation(levelset)
+            RestrictGFInTime(spacetime_gf=deform_st, reference_time=0.0,
+                             space_gf=deform_bot)
+            if s == 0:
+                mesh.SetDeformation(deform_bot)
+                uold.Set(exact_at(0.0))
+                mesh.UnsetDeformation()
+            else:
+                # transfer across the deformation change at the slab boundary
+                utmp._set_array(uold._arr)
+                uold.Set(shifted_eval(utmp, back=deform_top, forth=deform_bot))
+            RestrictGFInTime(spacetime_gf=deform_st, reference_time=1.0,
+                             space_gf=deform_top)
+        else:
+            if s == 0:
+                uold.Set(exact_at(0.0))
+            SpaceTimeInterpolateToP1(levelset, tref, lset_st)
         RestrictGFInTime(spacetime_gf=lset_st, reference_time=0.0, space_gf=lset_bot)
         ci.Update(lset_st, time_order=kt)
         hn = ci.GetElementsOfType(HASNEG).np
@@ -115,11 +155,22 @@ def run(nx=16, nslab=8, order=1, kt=1, T=0.5, verbose=True):
 
     # error at final time on the final domain
     t_start.Set(T)  # so that lset at tref=0 is the final-time level set
-    SpaceTimeInterpolateToP1(levelset, tref, lset_st)
-    RestrictGFInTime(spacetime_gf=lset_st, reference_time=0.0, space_gf=lset_bot)
+    if deform:
+        lsetadap.interpol_ho(levelset)
+        lsetadap.interpol_p1()
+        RestrictGFInTime(spacetime_gf=lset_st, reference_time=0.0,
+                         space_gf=lset_bot)
+        # deform_top of the last slab equals the deformation at t = T
+        err_dfm = deform_top
+    else:
+        SpaceTimeInterpolateToP1(levelset, tref, lset_st)
+        RestrictGFInTime(spacetime_gf=lset_st, reference_time=0.0,
+                         space_gf=lset_bot)
+        err_dfm = None
     err_cf = (uold - exact_at(T)) * (uold - exact_at(T))
     l2err = Integrate(
-        {"levelset": lset_bot, "domain_type": NEG}, err_cf, mesh, order=2 * order + 2
+        {"levelset": lset_bot, "domain_type": NEG}, err_cf, mesh,
+        order=2 * order + 2, deformation=err_dfm,
     ) ** 0.5
     if verbose:
         print("final-time L2 error:", l2err)

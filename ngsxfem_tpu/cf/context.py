@@ -15,8 +15,14 @@ from . import coefficient as C
 
 class EvalCtx:
     def __init__(self, mesh, ref_pts, elem_ids=None, nref=None, normal=None,
-                 facet_ids=None, proxy_values=None, time=None, dyn=None):
+                 facet_ids=None, proxy_values=None, time=None, dyn=None,
+                 deformation="inherit"):
         self.mesh = mesh
+        # per-integral deformation override (the reference integrators accept
+        # a `deformation` kwarg, xfem/python_xfem.cpp:512-513); "inherit"
+        # means the mesh-level SetDeformation state
+        self.deformation = (mesh.deformation if deformation == "inherit"
+                            else deformation)
         self.ref_pts = ref_pts  # (E,Q,d)
         self.elem_ids = elem_ids  # (E,) or None == all elements
         self._nref = nref  # (E,Q,d) reference-space unit normal (cut IF rules)
@@ -47,11 +53,11 @@ class EvalCtx:
     def _geometry(self):
         if "phys" not in self._cache:
             phys, J = map_points(self.mesh.et, self.elem_coords, self.ref_pts)
-            if self.mesh.deformation is not None:
+            if self.deformation is not None:
                 from ..fem.gridfunction import gf_ref_value_and_grad
 
                 disp, dgrad = gf_ref_value_and_grad(
-                    self.mesh.deformation, self.elem_ids, self.ref_pts,
+                    self.deformation, self.elem_ids, self.ref_pts,
                     dyn=self.dyn, time=self.time
                 )
                 phys = phys + disp

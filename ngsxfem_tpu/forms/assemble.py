@@ -81,13 +81,15 @@ def SymbolicLFI(levelset_domain=None, form=None, VOL_or_BND=VOL, definedonelemen
 
 
 def SymbolicFacetPatchBFI(form=None, skeleton=False, definedonelements=None,
-                          force_intorder=-1, time_order=-1, **kw):
+                          force_intorder=-1, time_order=-1, deformation=None,
+                          **kw):
     """Facet-patch (volumetric ghost penalty) integrator
     (xfem/symboliccutbfi.cpp:1104-1413)."""
     if skeleton:
         raise NotImplementedError("skeleton=True facet integrals: use SymbolicBFI")
     return Integral(form, facet_patch=True, definedonelements=definedonelements,
-                    force_intorder=force_intorder, time_order=time_order)
+                    force_intorder=force_intorder, time_order=time_order,
+                    deformation=deformation)
 
 
 # ---------------------------------------------------------------------------
@@ -125,6 +127,8 @@ def block_dofmap(space, block_key, elem_ids_self, elem_ids_other=None):
 
 def _volume_ctx(integral: Integral, mesh, order, dyn=None):
     """(ctx, w_phys (E,Q), valid mask) for a volume-type integral."""
+    deform = (integral.deformation if integral.deformation is not None
+              else "inherit")
     if integral.levelset_domain is not None:
         ld = integral.levelset_domain
         o = order if ld["force_intorder"] < 0 else ld["force_intorder"]
@@ -133,13 +137,15 @@ def _volume_ctx(integral: Integral, mesh, order, dyn=None):
         ctx, w_phys, mask = _cut_ctx_and_weights(
             mesh, ld["levelset"], ld["domain_type"], o, dyn=dyn,
             time_order=integral.time_order,
+            quad_dir_policy=ld["quad_dir_policy"],
+            deformation=deform,
         )
     else:
         o = order if integral.force_intorder < 0 else integral.force_intorder
         rp, rw = reference_rule(mesh.et, o)
         E = mesh.ne
         pts = jnp.broadcast_to(jnp.asarray(rp, dtype=config.dtype)[None], (E,) + rp.shape)
-        ctx = EvalCtx(mesh, pts, dyn=dyn)
+        ctx = EvalCtx(mesh, pts, dyn=dyn, deformation=deform)
         w_phys = jnp.asarray(rw, dtype=config.dtype)[None, :] * jnp.abs(ctx.detJ)
         mask = jnp.ones(w_phys.shape, dtype=bool)
     if integral.definedonelements is not None:
@@ -167,9 +173,12 @@ def _facet_patch_ctx(integral: Integral, mesh, order, dyn=None, fids=None):
     """Contexts for facet-patch integrals: union of both neighbor volume rules.
 
     Returns (ctx_self, elem_ids_self, elem_ids_other, w_phys, mask); ctx has
-    `other_ctx` attached.  Affine map-to-neighbor with Newton refinement for
-    multilinear cells (cf. MapPatchIntegrationPoint, symboliccutbfi.cpp:1116).
-    With time_order >= 0 the rule is tensorized with time Gauss points
+    `other_ctx` attached.  The map into the neighbor element is a Newton solve
+    on the DEFORMED physical coordinates (cf. MapPatchIntegrationPoint,
+    symboliccutbfi.cpp:1116-1199) — identifying patch points physically is
+    what keeps the penalty consistent at higher order under isoparametric
+    deformation.  With time_order >= 0 the rule is tensorized with time Gauss
+    points first, so a space-time deformation is applied per time point
     (cf. the space-time variant, symboliccutbfi.cpp:1256-1324).
     """
     f2e = mesh.facet2el_np
@@ -182,6 +191,8 @@ def _facet_patch_ctx(integral: Integral, mesh, order, dyn=None, fids=None):
     dyn = dyn or {}
     verts = dyn_get(dyn, mesh, "vertices", mesh.vertices)
     els = dyn_get(dyn, mesh, "elements", mesh.elements)
+    deform = (integral.deformation if integral.deformation is not None
+              else mesh.deformation)
 
     o = order if integral.force_intorder < 0 else integral.force_intorder
     rp, rw = reference_rule(mesh.et, o)
@@ -193,35 +204,12 @@ def _facet_patch_ctx(integral: Integral, mesh, order, dyn=None, fids=None):
 
     coords1 = verts[els[e1]]
     coords2 = verts[els[e2]]
-    base_pts = jnp.broadcast_to(rp[None], (F, nq, d))
 
-    def other_refpts(coords_from, coords_to, refpts):
-        phys, _ = map_points(mesh.et, coords_from, refpts)
-        # initial affine guess using the target cell's center Jacobian
-        center = jnp.full((F, 1, d), 0.5 if mesh.et in ("quad", "hex") else 0.25,
-                          dtype=config.dtype)
-        c_phys, Jc = map_points(mesh.et, coords_to, center)
-        _, Jcinv = det_and_inv(Jc)
-        xr = jnp.einsum("eqg,eodg->eqd", phys - c_phys, Jcinv) + center
-        if mesh.et in ("quad", "hex"):  # Newton refinement for multilinear maps
-            for _ in range(4):
-                p, J = map_points(mesh.et, coords_to, xr)
-                _, Jinv = det_and_inv(J)
-                xr = xr + jnp.einsum("eqg,eqdg->eqd", phys - p, Jinv)
-        return xr
-
-    pts1_in_2 = other_refpts(coords1, coords2, base_pts)
-    pts2_in_1 = other_refpts(coords2, coords1, base_pts)
-
-    self_pts = jnp.concatenate([base_pts, pts2_in_1], axis=1)  # on e1
-    other_pts = jnp.concatenate([pts1_in_2, base_pts], axis=1)  # on e2
-
-    _, J1 = map_points(mesh.et, coords1, base_pts)
-    _, J2 = map_points(mesh.et, coords2, base_pts)
-    det1, _ = det_and_inv(J1)
-    det2, _ = det_and_inv(J2)
-    w = jnp.concatenate([jnp.abs(det1) * rw[None], jnp.abs(det2) * rw[None]], axis=1)
+    # tensorize with time FIRST: the deformed patch mapping is time-dependent
     times = None
+    w_time = None
+    nt = 1
+    base = jnp.broadcast_to(rp[None], (F, nq, d))
     if integral.time_order >= 0:
         from ..ops.gauss import gauss_legendre_01
 
@@ -229,14 +217,62 @@ def _facet_patch_ctx(integral: Integral, mesh, order, dyn=None, fids=None):
         tg = jnp.asarray(tg, dtype=config.dtype)
         tw = jnp.asarray(tw, dtype=config.dtype)
         nt = tg.shape[0]
-        Q = self_pts.shape[1]
-        self_pts = jnp.repeat(self_pts, nt, axis=1)
-        other_pts = jnp.repeat(other_pts, nt, axis=1)
-        w = (w[:, :, None] * tw[None, None, :]).reshape(F, Q * nt)
-        times = jnp.broadcast_to(tg[None, None, :], (F, Q, nt)).reshape(F, Q * nt)
+        base = jnp.repeat(base, nt, axis=1)  # (F, nq*nt, d)
+        times = jnp.broadcast_to(tg[None, None, :], (F, nq, nt)).reshape(F, nq * nt)
+        w_time = jnp.broadcast_to(tw[None, None, :], (F, nq, nt)).reshape(F, nq * nt)
 
-    ctx = EvalCtx(mesh, self_pts, elem_ids=e1, dyn=dyn, time=times)
-    ctx.other_ctx = EvalCtx(mesh, other_pts, elem_ids=e2, dyn=dyn, time=times)
+    def def_map(coords, eids, pts, with_jac=True):
+        phys, J = map_points(mesh.et, coords, pts)
+        if deform is not None:
+            from ..fem.gridfunction import gf_ref_value_and_grad
+
+            disp, dgrad = gf_ref_value_and_grad(deform, eids, pts, dyn=dyn,
+                                                time=times)
+            phys = phys + disp
+            J = J + dgrad
+        return phys, J
+
+    niter = 0
+    if mesh.et in ("quad", "hex"):
+        niter = 4
+    if deform is not None:
+        niter = 8
+
+    def other_refpts(coords_from, e_from, coords_to, e_to, pts):
+        target, _ = def_map(coords_from, e_from, pts)
+        # initial affine guess using the target cell's center Jacobian
+        center = jnp.full((F, 1, d), 0.5 if mesh.et in ("quad", "hex") else 0.25,
+                          dtype=config.dtype)
+        c_phys, Jc = map_points(mesh.et, coords_to, center)
+        _, Jcinv = det_and_inv(Jc)
+        xr = jnp.einsum("eqg,eodg->eqd", target - c_phys, Jcinv) + center
+        for _ in range(niter):
+            p, J = def_map(coords_to, e_to, xr)
+            _, Jinv = det_and_inv(J)
+            xr = xr + jnp.einsum("eqg,eqdg->eqd", target - p, Jinv)
+        return xr
+
+    pts1_in_2 = other_refpts(coords1, e1, coords2, e2, base)
+    pts2_in_1 = other_refpts(coords2, e2, coords1, e1, base)
+
+    self_pts = jnp.concatenate([base, pts2_in_1], axis=1)  # on e1
+    other_pts = jnp.concatenate([pts1_in_2, base], axis=1)  # on e2
+
+    _, J1 = def_map(coords1, e1, base)
+    _, J2 = def_map(coords2, e2, base)
+    det1, _ = det_and_inv(J1)
+    det2, _ = det_and_inv(J2)
+    rwq = rw[None]
+    if nt > 1:
+        rwq = jnp.repeat(rw[None], nt, axis=1).reshape(1, nq * nt) * w_time
+    w = jnp.concatenate([jnp.abs(det1) * rwq, jnp.abs(det2) * rwq], axis=1)
+    if times is not None:
+        times = jnp.concatenate([times, times], axis=1)
+
+    ctx = EvalCtx(mesh, self_pts, elem_ids=e1, dyn=dyn, time=times,
+                  deformation=deform)
+    ctx.other_ctx = EvalCtx(mesh, other_pts, elem_ids=e2, dyn=dyn, time=times,
+                            deformation=deform)
     ctx.facet_ids = jnp.asarray(fids)
     mask = jnp.ones(w.shape, dtype=bool)
     return ctx, e1, e2, w, mask
@@ -405,6 +441,11 @@ def _assembly_signature(space, mesh, integrals, kind):
                     integral.levelset_domain["force_intorder"],
                 )
             )
+        if integral.deformation is not None:
+            dg = integral.deformation
+            slots.slot(dg, "vec", lambda g=dg: g._arr)
+            register_space(dg.space, slots)
+            p.append(("deform", obj_uid(dg.space)))
         p.append(("fp", integral.facet_patch, integral.skeleton,
                   integral.element_boundary,
                   integral.force_intorder, integral.time_order))

@@ -113,7 +113,8 @@ def lset_st_vertex_values(lset_gf, dyn=None):
 
 
 def _cut_ctx_and_weights(mesh, lset_gf, domain_type, order, dyn=None,
-                         time_order=-1, quad_dir_policy="OPTIMAL"):
+                         time_order=-1, quad_dir_policy="OPTIMAL",
+                         deformation="inherit"):
     """Build (ctx, physical weights, validity mask) for a cut domain."""
     dt = DOMAIN_TYPE(int(domain_type))
     if time_order >= 0:
@@ -125,11 +126,12 @@ def _cut_ctx_and_weights(mesh, lset_gf, domain_type, order, dyn=None,
         rule = spacetime_cut_rule(mesh.et, vals_st, kt, order, time_order)
         if dt == IF:
             ctx = EvalCtx(mesh, rule.pts_if, nref=rule.nref, dyn=dyn,
-                          time=rule.times_if)
+                          time=rule.times_if, deformation=deformation)
             w_ref = rule.w_if
             w_phys = w_ref * jnp.abs(ctx.detJ) * ctx.if_scale
         else:
-            ctx = EvalCtx(mesh, rule.pts, dyn=dyn, time=rule.times)
+            ctx = EvalCtx(mesh, rule.pts, dyn=dyn, time=rule.times,
+                          deformation=deformation)
             sidesel = (rule.side == int(dt)).astype(rule.w.dtype)
             w_ref = rule.w * sidesel
             w_phys = w_ref * jnp.abs(ctx.detJ)
@@ -138,11 +140,12 @@ def _cut_ctx_and_weights(mesh, lset_gf, domain_type, order, dyn=None,
     vals = lset_vertex_values(lset_gf, dyn)
     rule = cut_rule_element(mesh.et, vals, order, quad_dir_policy)
     if dt == IF:
-        ctx = EvalCtx(mesh, rule.pts_if, nref=rule.nref, dyn=dyn)
+        ctx = EvalCtx(mesh, rule.pts_if, nref=rule.nref, dyn=dyn,
+                      deformation=deformation)
         w_ref = rule.w_if
         w_phys = w_ref * jnp.abs(ctx.detJ) * ctx.if_scale
     else:
-        ctx = EvalCtx(mesh, rule.pts, dyn=dyn)
+        ctx = EvalCtx(mesh, rule.pts, dyn=dyn, deformation=deformation)
         sidesel = (rule.side == int(dt)).astype(rule.w.dtype)
         w_ref = rule.w * sidesel
         w_phys = w_ref * jnp.abs(ctx.detJ)

@@ -132,6 +132,7 @@ class UnfittedPoisson:
         from ..fem.gridfunction import GridFunction
 
         self.dim, self.order, self.dtype = dim, order, dtype
+        self.nx = nx
         self.lam_nitsche, self.gamma_gp = lam_nitsche, gamma_gp
         if dim == 2:
             self.mesh = MakeStructured2DMesh(quads=False, nx=nx, ny=nx)
@@ -371,6 +372,176 @@ class UnfittedPoisson:
             return x, k, res
 
         return run(self.vertices, self.lset)
+
+    # -- SPMD, dof-sharded ----------------------------------------------------
+    def spmd_step_sharded(self, n_devices=None, devices=None, maxiter=25):
+        """Dof-sharded SPMD assembly+CG: interior dofs live on their chunk's
+        device with zero communication; only the shared (halo-layer) buffer is
+        psum-reduced per matvec (SURVEY §2.8; parallel/halo.py).  Unlike
+        `spmd_step`, the collective payload is proportional to the halo, not
+        to ndof.
+
+        Returns (jitted step fn, args, merge) where merge(x_int, x_sh) gives
+        the global dof vector.
+        """
+        from ..parallel.halo import DofPartition
+        from ..solvers.krylov import cg
+
+        devices = devices if devices is not None else jax.devices()[:n_devices]
+        n = len(devices)
+        dm = DeviceMesh(np.array(devices), ("e",))
+        ne = self.mesh.ne
+        # plane-aligned slab partition: chunk boundaries coincide with cell
+        # planes of the structured mesh, so each boundary shares exactly one
+        # vertex plane — the minimal halo for a 1D device mesh
+        npl = self.nx
+        elems_per_plane = ne // npl
+        plane_of_elem = np.minimum(np.arange(ne) // elems_per_plane, npl - 1)
+        chunk_of_elem = ((plane_of_elem * n) // npl).astype(np.int32)
+        counts = np.bincount(chunk_of_elem, minlength=n)
+        Ec = max(int(counts.max()), 1)
+        epad = np.zeros((n, Ec), dtype=np.int64)
+        pflag = np.ones((n, Ec))
+        off = np.zeros(n, dtype=np.int64)
+        order_e = np.argsort(chunk_of_elem, kind="stable")
+        pos = 0
+        for c in range(n):
+            ids = order_e[pos:pos + counts[c]]
+            pos += counts[c]
+            epad[c, :len(ids)] = ids
+            pflag[c, :len(ids)] = 0.0
+        epad = epad.reshape(-1)
+        pflag = pflag.reshape(-1)
+        ne_pad = n * Ec
+        chunk_of_row = np.repeat(np.arange(n, dtype=np.int32), Ec)
+
+        # ghost-penalty facet rows grouped by the chunk of their first element
+        F = len(self.gp_e1)
+        fd_g = np.concatenate(
+            [self.space.el2dof_np[self.gp_e1], self.space.el2dof_np[self.gp_e2]],
+            axis=1) if F else np.zeros((0, 2 * self.nd), np.int32)
+        cf = chunk_of_elem[self.gp_e1] if F else np.zeros(0, np.int32)
+        order = np.argsort(cf, kind="stable")
+        counts = np.bincount(cf, minlength=n)
+        Fc = max(int(counts.max()), 1) if F else 1
+        gpsel = np.full((n, Fc), -1, dtype=np.int64)
+        off = 0
+        for c in range(n):
+            gpsel[c, :counts[c]] = order[off:off + counts[c]]
+            off += counts[c]
+        gpflat = gpsel.reshape(-1)
+        fflag = (gpflat < 0).astype(np.float64)
+        gpflat = np.where(gpflat < 0, 0, gpflat)
+
+        part = DofPartition(
+            self.ndof,
+            [self.space.el2dof_np, fd_g] if F else [self.space.el2dof_np],
+            [chunk_of_elem, cf] if F else [chunk_of_elem],
+            n,
+        )
+        Ni, S = part.Ni_max, part.S
+        e2d_l = np.zeros((ne_pad, self.nd), np.int32)
+        real_e = pflag == 0
+        e2d_l[real_e] = part.localize_rows(
+            self.space.el2dof_np[epad[real_e]], chunk_of_row[real_e])
+        fd_l = np.zeros((n * Fc, 2 * self.nd), np.int32)
+        if F:
+            real = fflag == 0
+            fd_l[real] = part.localize_rows(
+                fd_g[gpflat[real]], np.repeat(np.arange(n, dtype=np.int32), Fc)[real])
+
+        coords_all = self.mesh.vertices_np[self.mesh.elements_np[epad]]
+        vals_all = self.lset_np[self.mesh.elements_np[epad]].copy()
+        vals_all[pflag > 0] = 1.0
+        c1 = self.mesh.vertices_np[self.mesh.elements_np[self.gp_e1[gpflat]]] \
+            if F else np.zeros((n * Fc, self.nd, self.dim))
+        c2 = self.mesh.vertices_np[self.mesh.elements_np[self.gp_e2[gpflat]]] \
+            if F else np.zeros((n * Fc, self.nd, self.dim))
+
+        act = np.asarray(self.active_dofs)
+        act_int, act_sh = part.split_vector(act)
+        bfull = np.where(act, 1.0, 0.0)
+        b_int, b_sh = part.split_vector(bfull)
+
+        et, pord, nd = self.et, self.order, self.nd
+        lam, gamma = self.lam_nitsche, self.gamma_gp
+
+        def body(coords, vals, e2dl, pfl, cc1, cc2, fdl, ffl,
+                 ai, bi, ash, bsh):
+            ai = ai.astype(bool)
+            ash = ash.astype(bool)
+
+            def mv(x):
+                xi, xs = x[:Ni], x[Ni:]
+                A = cut_poisson_elmats(et, pord, coords, vals, lam)
+                A = A * (1.0 - pfl[:, None, None])
+                xe = jnp.concatenate([xi, xs])[e2dl]
+                ye = jnp.einsum("eij,ej->ei", A, xe)
+                buf = jnp.zeros((Ni + S,), dtype=x.dtype)
+                buf = buf.at[e2dl.reshape(-1)].add(ye.reshape(-1))
+                G = ghost_penalty_elmats(et, pord, cc1, cc2, gamma)
+                G = G * (1.0 - ffl[:, None, None])
+                xf = jnp.concatenate([xi, xs])[fdl]
+                yf = jnp.einsum("fij,fj->fi", G, xf)
+                buf = buf.at[fdl.reshape(-1)].add(yf.reshape(-1))
+                yi = buf[:Ni]
+                ys = jax.lax.psum(buf[Ni:], "e")  # payload = S (halo), not ndof
+                yi = jnp.where(ai, yi, xi)
+                ys = jnp.where(ash, ys, xs)
+                return jnp.concatenate([yi, ys])
+
+            def dots(a, b):
+                return (jax.lax.psum(jnp.vdot(a[:Ni], b[:Ni]), "e")
+                        + jnp.vdot(a[Ni:], b[Ni:]))
+
+            b = jnp.concatenate([bi, bsh])
+            x = jnp.zeros_like(b)
+            r = b - mv(x)
+            p = r
+            rs = dots(r, r)
+
+            def it(_, st):
+                x, r, p, rs = st
+                q = mv(p)
+                alpha = rs / dots(p, q)
+                x = x + alpha * p
+                r = r - alpha * q
+                rs2 = dots(r, r)
+                p = r + (rs2 / rs) * p
+                return x, r, p, rs2
+
+            x, r, p, rs = jax.lax.fori_loop(0, maxiter, it, (x, r, p, rs))
+            return x[:Ni], x[Ni:], jnp.sqrt(rs)
+
+        sharded = shard_map(
+            body, mesh=dm,
+            in_specs=(P("e"), P("e"), P("e"), P("e"), P("e"), P("e"), P("e"),
+                      P("e"), P("e"), P("e"), P(), P()),
+            out_specs=(P("e"), P(), P()),
+            check_rep=False,  # x_sh/res are psum-replicated through the CG loop
+        )
+        jstep = jax.jit(sharded)
+        dt = self.dtype
+        args = (
+            jnp.asarray(coords_all, dtype=dt),
+            jnp.asarray(vals_all, dtype=dt),
+            jnp.asarray(e2d_l),
+            jnp.asarray(pflag, dtype=dt),
+            jnp.asarray(c1, dtype=dt),
+            jnp.asarray(c2, dtype=dt),
+            jnp.asarray(fd_l),
+            jnp.asarray(fflag, dtype=dt),
+            jnp.asarray(act_int.reshape(-1).astype(dt)),
+            jnp.asarray(b_int.reshape(-1), dtype=dt),
+            jnp.asarray(act_sh.astype(dt)),
+            jnp.asarray(b_sh, dtype=dt),
+        )
+
+        def merge(x_int, x_sh):
+            return part.merge_vector(
+                np.asarray(x_int).reshape(n, Ni), np.asarray(x_sh))
+
+        return jstep, args, merge
 
     # -- SPMD ----------------------------------------------------------------
     def spmd_step(self, n_devices=None, devices=None):

@@ -19,6 +19,17 @@ import jax.numpy as jnp
 from jax.sharding import Mesh as DeviceMesh, NamedSharding, PartitionSpec as P
 
 
+def virtual_cpu_devices(n=None):
+    """The virtual CPU device set (--xla_force_host_platform_device_count):
+    requested explicitly by platform, because an auxiliary TPU plugin may be
+    registered as the primary backend even when JAX_PLATFORMS asks for cpu."""
+    try:
+        devs = jax.devices("cpu")
+    except RuntimeError:
+        devs = jax.devices()
+    return devs if n is None else devs[:n]
+
+
 def device_mesh(n_devices=None, devices=None, axis_name="e"):
     devices = devices if devices is not None else jax.devices()[:n_devices]
     return DeviceMesh(np.array(devices), (axis_name,))

@@ -115,10 +115,8 @@ class SpaceTimeFESpace:
     # -- GridFunction evaluation ----------------------------------------------
     def gf_eval_hook(self, gf, ctx, grad=False, deriv_t=False, fixed_time=None):
         vec = ctx.lookup(gf, "vec", gf._arr)
-        e2d = ctx.lookup(self, "el2dof", self.el2dof)
-        if ctx.elem_ids is not None:
-            e2d = e2d[ctx.elem_ids]
-        dofs = vec[e2d].reshape(ctx.E, self.ndof_t, -1)  # (E, ndt, ndl)
+        ssp = self.spacefes
+        vdim = getattr(ssp, "vdim", 1)
         if fixed_time is not None:
             t = jnp.full((ctx.E, ctx.Q), float(fixed_time), dtype=ctx.ref_pts.dtype)
         else:
@@ -126,12 +124,36 @@ class SpaceTimeFESpace:
                 raise ValueError("space-time GridFunction needs a time context")
             t = jnp.broadcast_to(ctx.time, (ctx.E, ctx.Q))
         Bt = self.tfe.deval(t) if deriv_t else self.tfe.eval(t)  # (E,Q,ndt)
-        if not grad:
-            Bs = shapes(self.mesh.et, self.order, ctx.ref_pts)
-            return jnp.einsum("eqt,eqi,eti->eq", Bt, Bs, dofs)
-        G = dshapes(self.mesh.et, self.order, ctx.ref_pts)
-        gref = jnp.einsum("eqt,eqid,eti->eqd", Bt, G, dofs)
-        return jnp.einsum("eqd,eqdg->eqg", gref, ctx.Jinv)
+        if vdim == 1:
+            e2d = ctx.lookup(self, "el2dof", self.el2dof)
+            if ctx.elem_ids is not None:
+                e2d = e2d[ctx.elem_ids]
+            dofs = vec[e2d].reshape(ctx.E, self.ndof_t, -1)  # (E, ndt, ndl)
+            if not grad:
+                Bs = shapes(self.mesh.et, self.order, ctx.ref_pts)
+                return jnp.einsum("eqt,eqi,eti->eq", Bt, Bs, dofs)
+            G = dshapes(self.mesh.et, self.order, ctx.ref_pts)
+            gref = jnp.einsum("eqt,eqid,eti->eqd", Bt, G, dofs)
+            return jnp.einsum("eqd,eqdg->eqg", gref, ctx.Jinv)
+        # vector spatial space (e.g. a space-time deformation): per component,
+        # time block t's component c occupies [t*ndof_s + c*nscal, ...)
+        e2d = ctx.lookup(ssp, "el2dof", ssp.el2dof)
+        if ctx.elem_ids is not None:
+            e2d = e2d[ctx.elem_ids]
+        nscal = ssp.nscal
+        toffs = jnp.arange(self.ndof_t) * self.ndof_s  # (ndt,)
+        Bs = None if grad else shapes(self.mesh.et, self.order, ctx.ref_pts)
+        G = dshapes(self.mesh.et, self.order, ctx.ref_pts) if grad else None
+        outs = []
+        for c in range(vdim):
+            idx = toffs[None, :, None] + c * nscal + e2d[:, None, :]
+            dofs = vec[idx]  # (E, ndt, ndl)
+            if grad:
+                gref = jnp.einsum("eqt,eqid,eti->eqd", Bt, G, dofs)
+                outs.append(jnp.einsum("eqd,eqdg->eqg", gref, ctx.Jinv))
+            else:
+                outs.append(jnp.einsum("eqt,eqi,eti->eq", Bt, Bs, dofs))
+        return jnp.stack(outs, axis=-2 if grad else -1)
 
     def RestrictGFInTime(self, spacetime_gf, reference_time, space_gf):
         bt = self.tfe.eval_np(np.array([reference_time]))[0]  # (ndt,)
@@ -202,7 +224,12 @@ class STGFValueCF(CF):
         self.grad = grad
         self.deriv_t = deriv_t
         self.fixed_time = fixed_time
-        self.dims = (gf.space.mesh.dim,) if grad else ()
+        vdim = getattr(gf.space.spacefes, "vdim", 1)
+        d = gf.space.mesh.dim
+        if grad:
+            self.dims = (d,) if vdim == 1 else (vdim, d)
+        else:
+            self.dims = () if vdim == 1 else (vdim,)
 
     def _signature(self, slots):
         from ..jitcache import obj_uid, register_space
