@@ -127,14 +127,8 @@ OPTIMAL = "OPTIMAL"
 FALLBACK = "FALLBACK"
 
 
-def SFESpace(*args, **kwargs):
-    """Experimental 1D-on-levelset space of the reference
-    (xfem/sFESpace.hpp) — not reproduced; use TraceFEM
-    (H1 + IF integrals + normal-diffusion stabilization) instead."""
-    raise NotImplementedError(
-        "SFESpace (experimental in the reference) is not provided; "
-        "use the TraceFEM pattern (see examples/tracefem3d.py)"
-    )
+from .fem.sfespace import SFESpace  # noqa: F401
+from .fem.space import NumberSpace  # noqa: F401
 from .spacetime import (  # noqa: F401
     ScalarTimeFE,
     SpaceTimeFESpace,

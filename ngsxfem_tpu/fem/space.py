@@ -248,6 +248,26 @@ class L2(FESpace):
         self.dof_rep_ref = b["nodes"][self.dof_rep_local]
 
 
+class NumberSpace(FESpace):
+    """One global dof with constant-1 basis (NGSolve FESpace("number")):
+    the Lagrange multiplier for zero-mean pressure constraints, cf.
+    reference py_tutorials/stokesxfem.py."""
+
+    def __init__(self, mesh, order=0, dirichlet=None, **kw):
+        super().__init__(mesh, order=0, dirichlet=None)
+
+    def _build(self):
+        self.ndof = 1
+        self.el2dof_np = np.zeros((self.mesh.ne, 1), dtype=np.int32)
+        b = lagrange_element(self.mesh.et, 0)
+        self.dof_rep_elem = np.zeros(1, dtype=np.int32)
+        self.dof_rep_local = np.zeros(1, dtype=np.int32)
+        self.dof_rep_ref = b["nodes"]
+
+    def _mark_boundary_dofs(self):
+        self.bc_of_dof = np.zeros(1, dtype=np.int32)
+
+
 class VectorFESpace(FESpace):
     """Vector-valued version of a scalar space; block dof layout
     (component c occupies dofs [c*nscal, (c+1)*nscal))."""

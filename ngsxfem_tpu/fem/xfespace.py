@@ -39,15 +39,6 @@ class XFESpace:
         self.base = basefes
         self.mesh = basefes.mesh
         self.order = basefes.order
-        if trace:
-            # the reference flag only downgrades outer-band face bubbles to
-            # LOCAL_DOF for static condensation (xFESpace.cpp:72-97); no
-            # static condensation exists here yet, so refuse rather than
-            # silently ignore (TraceFEM itself works via IF integrals +
-            # normal-gradient stabilization, see examples/tracefem*.py)
-            raise NotImplementedError(
-                "XFESpace(trace=True): static-condensation coupling types "
-                "are not implemented; TraceFEM works without the flag")
         self.trace = trace
         if isinstance(lset_or_cutinfo, CutInfo):
             self.cutinfo = lset_or_cutinfo
@@ -92,6 +83,34 @@ class XFESpace:
         self.dgjumps = basefes.dgjumps
         self.vdim = 1
 
+        # trace-dof condensation marks (reference xFESpace.cpp:72-97): with
+        # trace=True in 3D, face-interior dofs of faces adjacent to <2 cut
+        # elements (the outer rim of the band) become LOCAL_DOF — they only
+        # carry stabilization coupling and can be statically condensed
+        # (solvers/condense.py).
+        self.local_dofs = np.zeros(self.ndof, dtype=bool)
+        if trace and self.mesh.dim == 3 and self.order >= 1:
+            fnodes = _facet_interior_nodes(self.mesh.et, self.order)
+            f2e = self.mesh.facet2el_np
+            cut = np.asarray(cutels)
+            nb = cut[f2e[:, 0]].astype(np.int32) + np.where(
+                f2e[:, 1] >= 0, cut[np.maximum(f2e[:, 1], 0)], 0
+            )
+            weak = nb < 2  # faces on the outer rim of the cut band
+            for lf, nodeids in enumerate(fnodes):
+                if len(nodeids) == 0:
+                    continue
+                sel = np.nonzero(weak[self.mesh.el2facet_np[:, lf]])[0]
+                if len(sel) == 0:
+                    continue
+                bds = basefes.el2dof_np[np.ix_(sel, np.asarray(nodeids))]
+                xd = self.basedof2xdof[bds.ravel()]
+                self.local_dofs[xd[xd >= 0]] = True
+
+    def LocalDofs(self) -> BitArray:
+        """Dofs marked LOCAL_DOF for static condensation (trace=True)."""
+        return BitArray(self.local_dofs)
+
     def GetCutInfo(self):
         return self.cutinfo
 
@@ -100,7 +119,12 @@ class XFESpace:
         return _XGFOp(gf, None)._eval_pure(ctx)
 
     def FreeDofs(self, coupling=False):
-        return BitArray(~self.dirichlet_dofs)
+        """Free dofs; with coupling=True, LOCAL (condensable) dofs are
+        excluded — NGSolve's FreeDofs(True) convention for condensed solves."""
+        free = ~self.dirichlet_dofs
+        if coupling:
+            free = free & ~self.local_dofs
+        return BitArray(free)
 
     def TrialFunction(self):
         from ..forms.proxies import make_proxies
@@ -145,6 +169,35 @@ class XFESpace:
 
     def __repr__(self):
         return f"XFESpace(ndof={self.ndof}, base={self.base})"
+
+
+def _facet_interior_nodes(et: str, order: int):
+    """Per local facet: local Lagrange node ids lying in the facet's
+    INTERIOR (on exactly that one facet plane) — the analog of NGSolve's
+    GetFaceDofNrs face-bubble sets used by the reference trace flag."""
+    from ..mesh.mesh import FACET_VERTS
+    from ..ops.cuttables import REF_VERTS
+    from .basis import lagrange_element
+
+    nodes = lagrange_element(et, order)["nodes"]  # (ndl, d)
+    refv = np.asarray(REF_VERTS[et], dtype=np.float64)
+    fverts = FACET_VERTS[et]
+    d = nodes.shape[1]
+    on = np.zeros((len(nodes), len(fverts)), dtype=bool)
+    for lf, fv in enumerate(fverts):
+        V = refv[list(fv)]
+        if d == 2:
+            t = V[1] - V[0]
+            n = np.array([t[1], -t[0]])
+        else:
+            n = np.cross(V[1] - V[0], V[2] - V[0])
+        n = n / np.linalg.norm(n)
+        on[:, lf] = np.abs((nodes - V[0]) @ n) < 1e-12
+    ncount = on.sum(axis=1)
+    return [
+        [int(i) for i in np.nonzero(on[:, lf] & (ncount == 1))[0]]
+        for lf in range(len(fverts))
+    ]
 
 
 class _XGFOp(CF):

@@ -47,10 +47,15 @@ class Integral:
         self.force_intorder = force_intorder
         self.deformation = deformation
         self.time_order = time_order
-        if vb != VOL:
+        if vb not in (VOL, BND):
             raise NotImplementedError(
-                "VOL_or_BND=BND integrals are not implemented yet; "
+                f"VOL_or_BND={vb!r} integrals are not supported; "
                 "an unsupported option must not silently assemble as VOL"
+            )
+        if vb == BND and (element_boundary or skeleton or facet_patch):
+            raise NotImplementedError(
+                "VOL_or_BND=BND cannot be combined with element_boundary/"
+                "skeleton/facet_patch integrals"
             )
         self.vb = vb
 
@@ -93,6 +98,17 @@ def SymbolicFacetPatchBFI(form=None, skeleton=False, definedonelements=None,
 
 
 # ---------------------------------------------------------------------------
+
+
+def _ensure_p1_ld(integral: Integral, mesh):
+    """Route a non-P1 level set of an integral to P1 (CF fallback,
+    cf. reference CF2GFForStraightCutRule, cutint/xintegration.cpp:91-103)."""
+    if integral.levelset_domain is None:
+        return
+    from ..integrate import ensure_p1_levelset
+
+    ld = integral.levelset_domain
+    ld["levelset"] = ensure_p1_levelset(ld["levelset"], mesh, cache_on=integral)
 
 
 def _space_order(space):
@@ -145,8 +161,23 @@ def _volume_ctx(integral: Integral, mesh, order, dyn=None):
         rp, rw = reference_rule(mesh.et, o)
         E = mesh.ne
         pts = jnp.broadcast_to(jnp.asarray(rp, dtype=config.dtype)[None], (E,) + rp.shape)
-        ctx = EvalCtx(mesh, pts, dyn=dyn, deformation=deform)
-        w_phys = jnp.asarray(rw, dtype=config.dtype)[None, :] * jnp.abs(ctx.detJ)
+        rwq = jnp.asarray(rw, dtype=config.dtype)[None, :]
+        times = None
+        if integral.time_order >= 0:
+            # plain space-time volume rule: spatial rule x time Gauss
+            from ..ops.gauss import gauss_legendre_01
+
+            tg, tw = gauss_legendre_01(max(1, (integral.time_order + 2) // 2))
+            tg = jnp.asarray(tg, dtype=config.dtype)
+            tw = jnp.asarray(tw, dtype=config.dtype)
+            nt = tg.shape[0]
+            Q = pts.shape[1]
+            pts = jnp.repeat(pts, nt, axis=1)
+            rwq = (rwq[:, :, None] * tw[None, None, :]).reshape(1, Q * nt)
+            times = jnp.broadcast_to(tg[None, None, :], (E, Q, nt)).reshape(
+                E, Q * nt)
+        ctx = EvalCtx(mesh, pts, dyn=dyn, deformation=deform, time=times)
+        w_phys = rwq * jnp.abs(ctx.detJ)
         mask = jnp.ones(w_phys.shape, dtype=bool)
     if integral.definedonelements is not None:
         # dynamic element mask: re-marking (moving domains) needs no recompile
@@ -406,6 +437,142 @@ def _element_boundary_ctx(integral: Integral, mesh, order, dyn=None):
     return ctx, row_e, w, mask
 
 
+def _boundary_ctx(integral: Integral, mesh, order, dyn=None):
+    """Quadrature on the domain boundary ("BND elements" = boundary facets,
+    cf. reference CutInformation's BND loop, ``xfem/cutinfo.cpp:54-188``, and
+    SymbolicCutBFI's VOL_or_BND dispatch): one row per boundary facet, trial
+    and test factors live on the (unique) adjacent volume element, the
+    context normal is the outward boundary normal.
+
+    With a ``levelset_domain`` each boundary facet carries a codim-1
+    straight-cut rule from the level-set values at its corners, so NEG/POS
+    parts of the outer boundary integrate exactly (linear level sets).
+
+    ``definedonelements`` may be a mask over boundary elements (len = #bnd
+    facets) or over volume elements (len = ne, applied via adjacency).
+
+    Returns (ctx, row_elem_ids, w_phys, mask).
+    """
+    from ..mesh.mesh import FACET_ET, geom_shapes, geom_dshapes
+    from ..ops.straightcut import _gram_measure
+    from ..ops.cuttables import REF_VERTS
+    from ..jitcache import dyn_get
+
+    dyn = dyn or {}
+    d = mesh.dim
+    et = mesh.et
+    fet = FACET_ET[et]
+    bf = mesh.boundary_facets_np  # (B,) facet ids
+    B = len(bf)
+    o = order if integral.force_intorder < 0 else integral.force_intorder
+
+    f2e = mesh.facet2el_np
+    row_e = f2e[bf, 0]  # adjacent volume element per boundary facet
+    fverts = mesh.facets_np[bf]  # (B, nvf) global vertex ids
+    nvf = fverts.shape[1]
+
+    # element-local reference coordinates of the facet's vertices
+    refv = REF_VERTS[et]
+    els = mesh.elements_np[row_e]  # (B, nvel)
+    loc_ref = np.zeros((B, nvf, d))
+    for k in range(nvf):
+        idx = np.argmax(els == fverts[:, k][:, None], axis=1)
+        loc_ref[:, k, :] = refv[idx]
+    loc_ref = jnp.asarray(loc_ref, dtype=config.dtype)
+
+    # facet-parametric rule: plain, or codim-1 cut rule from corner values
+    if integral.levelset_domain is not None:
+        from ..ops.straightcut import cut_rule_simplices, eps_guard
+        from ..ops.cuttables import ET_SPLIT
+        from ..integrate import _p1_vertex_dofs
+
+        ld = integral.levelset_domain
+        dtq = int(ld["domain_type"])
+        if dtq == int(IF):
+            raise NotImplementedError("codim-2 (IF-on-boundary) rules")
+        lgf = ld["levelset"]
+        vdofs = _p1_vertex_dofs(lgf.space)
+        vec = dyn_get(dyn, lgf, "vec", lgf._arr)
+        fvals = vec[jnp.asarray(vdofs[fverts])]  # (B, nvf)
+        split = ET_SPLIT[fet]
+        nsplit = split.shape[0]
+        refvf = jnp.asarray(REF_VERTS[fet], dtype=config.dtype)
+        fc = jnp.broadcast_to(
+            refvf[jnp.asarray(split)][None], (B, nsplit, split.shape[1], d - 1)
+        ).reshape(B * nsplit, split.shape[1], d - 1)
+        fvv = eps_guard(fvals[:, jnp.asarray(split)].reshape(B * nsplit, -1))
+        r = cut_rule_simplices(fc, fvv, d - 1, o)
+        qn = r.pts.shape[1]
+        rp_dyn = r.pts.reshape(B, nsplit * qn, d - 1)
+        rw_dyn = (r.w * (r.side == dtq)).reshape(B, nsplit * qn)
+    else:
+        rp_s, rw_s = reference_rule(fet, o)
+        nqf = rw_s.shape[0]
+        rp_dyn = jnp.broadcast_to(
+            jnp.asarray(rp_s, dtype=config.dtype)[None], (B, nqf, d - 1)
+        )
+        rw_dyn = jnp.broadcast_to(
+            jnp.asarray(rw_s, dtype=config.dtype)[None], (B, nqf)
+        )
+
+    # map facet-parametric points into the element reference cell
+    Nf = geom_shapes(fet, rp_dyn)  # (B, nq, nvf)
+    pts = jnp.einsum("bqk,bkd->bqd", Nf, loc_ref)
+
+    # physical facet measure and outward normal
+    verts = dyn_get(dyn, mesh, "vertices", mesh.vertices)
+    phys_fverts = verts[jnp.asarray(fverts)]  # (B, nvf, d)
+    dNf = geom_dshapes(fet, rp_dyn)  # (B, nq, nvf, d-1)
+    tang = jnp.einsum("bqks,bkd->bqsd", dNf, phys_fverts)
+    w = _gram_measure(tang) * rw_dyn
+    if d == 2:
+        t = tang[:, :, 0, :]
+        n = jnp.stack([t[..., 1], -t[..., 0]], axis=-1)
+    else:
+        n = jnp.cross(tang[:, :, 0, :], tang[:, :, 1, :])
+    nn = jnp.linalg.norm(n, axis=-1, keepdims=True)
+    n = n / jnp.where(nn < 1e-30, 1.0, nn)
+    elarr = dyn_get(dyn, mesh, "elements", mesh.elements)[jnp.asarray(row_e)]
+    cent = jnp.mean(verts[elarr], axis=1)
+    fcm = jnp.mean(phys_fverts, axis=1)
+    sign = jnp.sign(jnp.einsum("bqd,bd->bq", n, fcm - cent))
+    sign = jnp.where(sign == 0, 1.0, sign)
+    n = n * sign[..., None]
+
+    times = None
+    if integral.time_order >= 0:
+        from ..ops.gauss import gauss_legendre_01
+
+        tg, tw = gauss_legendre_01(max(1, (integral.time_order + 2) // 2))
+        tg = jnp.asarray(tg, dtype=config.dtype)
+        tw = jnp.asarray(tw, dtype=config.dtype)
+        nt = tg.shape[0]
+        Q = pts.shape[1]
+        pts = jnp.repeat(pts, nt, axis=1)
+        n = jnp.repeat(n, nt, axis=1)
+        w = (w[:, :, None] * tw[None, None, :]).reshape(B, Q * nt)
+        times = jnp.broadcast_to(tg[None, None, :], (B, Q, nt)).reshape(B, Q * nt)
+
+    ctx = EvalCtx(mesh, pts, elem_ids=jnp.asarray(row_e), normal=n, dyn=dyn,
+                  time=times)
+    ctx.facet_ids = jnp.asarray(bf)
+    mask = w > 0
+    if integral.definedonelements is not None:
+        sel_np = np.asarray(integral.definedonelements)
+        if len(sel_np) == mesh.ne:  # volume-element mask via adjacency
+            sel_np = sel_np[row_e]
+        elif len(sel_np) != B:
+            raise ValueError(
+                "definedonelements for a BND integral must mask boundary "
+                f"elements ({B}) or volume elements ({mesh.ne})"
+            )
+        sel_arr = dyn_get(dyn, integral, "mask", jnp.asarray(sel_np))
+        sel = sel_arr[:, None]
+        mask = mask & sel
+        w = jnp.where(sel, w, 0.0)
+    return ctx, row_e, w, mask
+
+
 _ASM_CACHE = {}
 
 
@@ -422,7 +589,7 @@ def _assembly_signature(space, mesh, integrals, kind):
     for integral in integrals:
         p = []
         if integral.definedonelements is not None:
-            if integral.facet_patch or integral.skeleton:
+            if integral.facet_patch or integral.skeleton or integral.vb == BND:
                 # facet selection determines compaction shapes -> static key
                 p.append(("fpsel", integral.definedonelements.tobytes()))
             else:
@@ -447,7 +614,7 @@ def _assembly_signature(space, mesh, integrals, kind):
             register_space(dg.space, slots)
             p.append(("deform", obj_uid(dg.space)))
         p.append(("fp", integral.facet_patch, integral.skeleton,
-                  integral.element_boundary,
+                  integral.element_boundary, integral.vb,
                   integral.force_intorder, integral.time_order))
         p.append(cf_signature(integral.form, slots))
         parts.append(tuple(p))
@@ -650,6 +817,8 @@ class BilinearForm:
         space = self.space
         mesh = space.mesh
         order = _space_order(space)
+        for i in self.integrals:
+            _ensure_p1_ld(i, mesh)
         integrals = [self._with_restriction(i) for i in self.integrals]
         sig, slots = _assembly_signature(space, mesh, integrals, "bfi")
         cached = _ASM_CACHE.get(sig)
@@ -673,6 +842,10 @@ class BilinearForm:
                         ctx, row_e, w_phys, mask = _element_boundary_ctx(
                             integral, mesh, 2 * order, dyn=dyn
                         )
+                    elif integral.vb == BND:
+                        ctx, row_e, w_phys, mask = _boundary_ctx(
+                            integral, mesh, 2 * order, dyn=dyn
+                        )
                     else:
                         ctx, w_phys, mask = _volume_ctx(
                             integral, mesh, 2 * order, dyn=dyn
@@ -692,40 +865,48 @@ class BilinearForm:
             jfn = jax.jit(_impl)
             arrays = slots.arrays()
             elmats = jfn(*arrays)  # traces now; meta populated
-            cached = (jfn, list(meta))
+            # host-side scatter structure is static per signature: build the
+            # concatenated COO row/col index vectors ONCE and cache them
+            # (avoids rebuilding numpy broadcasts in time-stepping loops)
+            rows, cols = [], []
+            fp_elems = {}
+            for k, integral in enumerate(integrals):
+                if integral.facet_patch or integral.skeleton:
+                    f2e = mesh.facet2el_np
+                    sel = f2e[:, 1] >= 0
+                    if integral.definedonelements is not None:
+                        sel = sel & integral.definedonelements
+                    fids = np.nonzero(sel)[0]
+                    fp_elems[k] = (f2e[fids, 0], f2e[fids, 1])
+                elif integral.element_boundary:
+                    nfel = len(mesh.el2facet_np[0])
+                    row_e = np.repeat(np.arange(mesh.ne, dtype=np.int32), nfel)
+                    fp_elems[k] = (row_e, row_e)
+                elif integral.vb == BND:
+                    row_e = mesh.facet2el_np[mesh.boundary_facets_np, 0]
+                    fp_elems[k] = (row_e, row_e)
+            for elmat, (k, bu, bv) in zip(elmats, meta):
+                e1, e2 = fp_elems.get(k, (None, None))
+                dm_u = block_dofmap(self.space, bu, e1, e2)
+                dm_v = block_dofmap(self.space, bv, e1, e2)
+                E, ndv, ndu = elmat.shape
+                rows.append(np.broadcast_to(
+                    dm_v[:, :, None], (E, ndv, ndu)).reshape(-1))
+                cols.append(np.broadcast_to(
+                    dm_u[:, None, :], (E, ndv, ndu)).reshape(-1))
+            if not rows:
+                raise ValueError("no integrals to assemble")
+            rows_cat = np.concatenate(rows)
+            cols_cat = np.concatenate(cols)
+            cached = (jfn, list(meta), rows_cat, cols_cat)
             _ASM_CACHE[sig] = cached
         else:
-            jfn, meta = cached
+            jfn, meta, rows_cat, cols_cat = cached
             elmats = jfn(*slots.arrays())
-            meta = list(meta)
 
-        # host-side scatter structure (static dofmaps)
-        rows, cols, vals = [], [], []
-        fp_elems = {}
-        for k, integral in enumerate(integrals):
-            if integral.facet_patch or integral.skeleton:
-                f2e = mesh.facet2el_np
-                sel = f2e[:, 1] >= 0
-                if integral.definedonelements is not None:
-                    sel = sel & integral.definedonelements
-                fids = np.nonzero(sel)[0]
-                fp_elems[k] = (f2e[fids, 0], f2e[fids, 1])
-            elif integral.element_boundary:
-                nfel = len(mesh.el2facet_np[0])
-                row_e = np.repeat(np.arange(mesh.ne, dtype=np.int32), nfel)
-                fp_elems[k] = (row_e, row_e)
-        for elmat, (k, bu, bv) in zip(elmats, meta):
-            e1, e2 = fp_elems.get(k, (None, None))
-            dm_u = block_dofmap(self.space, bu, e1, e2)
-            dm_v = block_dofmap(self.space, bv, e1, e2)
-            E, ndv, ndu = elmat.shape
-            rows.append(np.broadcast_to(dm_v[:, :, None], (E, ndv, ndu)).reshape(-1))
-            cols.append(np.broadcast_to(dm_u[:, None, :], (E, ndv, ndu)).reshape(-1))
-            vals.append(elmat.reshape(-1))
-        if not rows:
-            raise ValueError("no integrals to assemble")
+        vals = jnp.concatenate([m.reshape(-1) for m in elmats])
         self.mat = SparseMatrix(
-            np.concatenate(rows), np.concatenate(cols), jnp.concatenate(vals),
+            rows_cat, cols_cat, vals,
             (self.space.ndof, self.space.ndof),
         )
         return self
@@ -770,6 +951,8 @@ class LinearForm:
         space = self.space
         mesh = space.mesh
         order = _space_order(space)
+        for i in self.integrals:
+            _ensure_p1_ld(i, mesh)
         sig, slots = _assembly_signature(space, mesh, self.integrals, "lfi")
         cached = _ASM_CACHE.get(sig)
         if cached is None:
@@ -786,10 +969,15 @@ class LinearForm:
                         # the reference SymbolicCutLFI also throws for these
                         # (xfem/symboliccutlfi.cpp:51-160)
                         raise NotImplementedError(
-                            "LinearForm supports volume integrals only")
-                    ctx, w_phys, mask = _volume_ctx(
-                        integral, mesh, 2 * order + mesh.dim, dyn=dyn
-                    )
+                            "LinearForm supports volume and BND integrals only")
+                    if integral.vb == BND:
+                        ctx, _, w_phys, mask = _boundary_ctx(
+                            integral, mesh, 2 * order + mesh.dim, dyn=dyn
+                        )
+                    else:
+                        ctx, w_phys, mask = _volume_ctx(
+                            integral, mesh, 2 * order + mesh.dim, dyn=dyn
+                        )
                     W = _safe_weights(w_phys, mask, None)
                     for t in eval_form(integral.form, ctx):
                         if t.ufac is None and t.vfac is None:
@@ -811,7 +999,10 @@ class LinearForm:
             elvecs = jfn(*slots.arrays())
         out = jnp.zeros((space.ndof,), dtype=config.dtype)
         for elvec, (k, bv) in zip(elvecs, meta):
-            dm_v = block_dofmap(space, bv, None)
+            eids = None
+            if self.integrals[k].vb == BND:
+                eids = mesh.facet2el_np[mesh.boundary_facets_np, 0]
+            dm_v = block_dofmap(space, bv, eids)
             out = out.at[dm_v.reshape(-1)].add(elvec.reshape(-1))
         self._vec = out
         return self

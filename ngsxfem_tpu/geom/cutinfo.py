@@ -48,11 +48,15 @@ class CutInfo:
 
     def Update(self, levelset, time_order=-1, heapsize=None):
         mesh = self.mesh
-        self._lset_gf = levelset
         from ..spacetime.space import SpaceTimeFESpace
 
         if isinstance(getattr(levelset, "space", None), SpaceTimeFESpace):
+            self._lset_gf = levelset
             return self._update_spacetime(levelset, time_order)
+        from ..integrate import ensure_p1_levelset
+
+        levelset = ensure_p1_levelset(levelset, mesh, cache_on=self)
+        self._lset_gf = levelset
         vals = lset_vertex_values(levelset)
         has_neg_j, has_pos_j, ratio, vg = _classify(mesh.et, vals)
         has_neg, has_pos = np.asarray(has_neg_j), np.asarray(has_pos_j)
@@ -79,6 +83,32 @@ class CutInfo:
         bits_l = np.left_shift(1, dtl.astype(np.int32))
         bits_r = np.left_shift(1, dtr.astype(np.int32))
         self.cdt_of_facet = (bits_l | bits_r).astype(np.int8)
+
+        # boundary ("BND") element classification + ratios: the reference
+        # Update loops VOL and BND (xfem/cutinfo.cpp:54-188); BND elements are
+        # the boundary facets, classified by the codim-1 cut rule
+        self._update_bnd(levelset)
+
+    def _update_bnd(self, levelset):
+        from ..mesh.mesh import FACET_ET
+        from ..integrate import _p1_vertex_dofs
+
+        mesh = self.mesh
+        bf = mesh.boundary_facets_np
+        if len(bf) == 0:
+            self.dt_of_belem = np.zeros(0, dtype=np.int8)
+            self.cut_ratio_bnd = np.zeros(0)
+            return
+        fverts = mesh.facets_np[bf]  # (B, nvf)
+        vdofs = _p1_vertex_dofs(levelset.space)
+        fvals = jnp.asarray(levelset._arr)[jnp.asarray(vdofs[fverts])]
+        fet = FACET_ET[mesh.et]
+        has_neg_j, has_pos_j, ratio, _ = _classify(fet, fvals)
+        has_neg, has_pos = np.asarray(has_neg_j), np.asarray(has_pos_j)
+        self.dt_of_belem = np.where(
+            has_neg & has_pos, int(IF), np.where(has_neg, int(NEG), int(POS))
+        ).astype(np.int8)
+        self.cut_ratio_bnd = np.asarray(ratio)
 
     def _update_spacetime(self, levelset, time_order):
         """Space-time classification: an element is IF if it is cut at any
@@ -117,12 +147,18 @@ class CutInfo:
             | np.left_shift(1, dtr.astype(np.int32))
         ).astype(np.int8)
         self.dt_of_vertex = None
+        self.dt_of_belem = None
+        self.cut_ratio_bnd = None
 
     # -- queries -------------------------------------------------------------
     def GetElementsOfType(self, dt=IF, VOL_or_BND=VOL) -> BitArray:
-        if VOL_or_BND != VOL:
-            raise NotImplementedError("BND element queries not yet supported")
         cdt = int(as_cdt(dt))
+        if VOL_or_BND != VOL:
+            if getattr(self, "dt_of_belem", None) is None:
+                raise NotImplementedError(
+                    "BND element queries for space-time level sets")
+            bits = np.left_shift(1, self.dt_of_belem.astype(np.int32))
+            return BitArray((bits & cdt) == bits)
         bits = np.left_shift(1, self.dt_of_elem.astype(np.int32))
         return BitArray((bits & cdt) == bits)
 
@@ -132,6 +168,11 @@ class CutInfo:
         return BitArray((self.cdt_of_facet & ~cdt) == 0)
 
     def GetCutRatios(self, VOL_or_BND=VOL):
+        if VOL_or_BND != VOL:
+            if getattr(self, "cut_ratio_bnd", None) is None:
+                raise NotImplementedError(
+                    "BND cut ratios for space-time level sets")
+            return self.cut_ratio_bnd
         return self.cut_ratio
 
     def GetElementsWithThresholdContribution(self, dt=NEG, threshold=1.0):

@@ -77,6 +77,45 @@ def _p1_vertex_dofs(space):
     return _p1_vertex_dofs_cached(obj_uid(space), space)
 
 
+def ensure_p1_levelset(levelset, mesh, cache_on=None):
+    """Route non-P1 level sets to the straight-cut path by interpolation.
+
+    The reference shortcut (``CF2GFForStraightCutRule``,
+    cutint/xintegration.cpp:91-103) requires a P1 GridFunction and otherwise
+    falls back to the legacy adaptive engine — which this framework does not
+    reproduce (documented deviation).  Raw CoefficientFunctions and
+    higher-order GridFunctions are therefore interpolated to P1 (with a
+    warning): same geometry approximation as InterpolateToP1 + straight cut.
+    Space-time level sets pass through untouched.
+    """
+    import warnings
+
+    sp = getattr(levelset, "space", None)
+    if sp is not None:
+        from .spacetime.space import SpaceTimeFESpace
+
+        if isinstance(sp, SpaceTimeFESpace):
+            return levelset
+        if isinstance(sp, H1) and sp.order == 1:
+            return levelset
+    cached = getattr(cache_on, "_p1_lset_cache", None) if cache_on else None
+    if cached is not None and cached[0] is levelset:
+        gf = cached[1]
+    else:
+        warnings.warn(
+            "level set is not a P1 GridFunction; interpolating to P1 for the "
+            "straight-cut rule (the reference would route to its legacy "
+            "adaptive engine here, cutint/xintegration.cpp:91-103, which is "
+            "not reproduced)", stacklevel=3)
+        gf = GridFunction(H1(mesh, order=1))
+        if cache_on is not None:
+            cache_on._p1_lset_cache = (levelset, gf)
+    from .fem.gridfunction import InterpolateToP1
+
+    InterpolateToP1(levelset, gf)
+    return gf
+
+
 def normalize_levelset_domain(levelset_domain: dict):
     ld = dict(levelset_domain)
     ld.setdefault("subdivlvl", 0)
@@ -184,6 +223,8 @@ def Integrate(levelset_domain=None, cf=None, mesh=None, order=5,
             dom_key = ("vol", int(order))
         else:
             ld = normalize_levelset_domain(levelset_domain)
+            ld["levelset"] = ensure_p1_levelset(ld["levelset"], mesh,
+                                                cache_on=ld.get("_cache_obj"))
             o = order if ld["force_intorder"] < 0 else ld["force_intorder"]
             if "time_order" in ld:
                 time_order = ld["time_order"]

@@ -220,16 +220,43 @@ class LevelSetMeshAdaptation:
 
     def MarkForRefinement(self, levelset=None, refine_threshold=0.1,
                           absolute=False):
-        raise NotImplementedError(
-            "adaptive refinement not yet supported; use nested structured "
-            "hierarchies (solvers.mg.mesh_hierarchy)"
-        )
+        """Mark elements whose interface geometry error exceeds the
+        threshold for the next mesh.Refine() (reference lsetcurv.py
+        MarkForRefinement / CalcDistances refinement flags,
+        lsetcurving/calcgeomerrors.cpp)."""
+        from ..cf.coefficient import wrap
+        from ..integrate import _cut_ctx_and_weights
+        from ..cf.context import eval_pure
+
+        levelset = levelset if levelset is not None else self.levelset
+        lv = wrap(levelset)
+        self.mesh.SetDeformation(self.deform)
+        try:
+            ctx, w_phys, mask = _cut_ctx_and_weights(
+                self.mesh, self.lset_p1, 2, 2 * self.order)
+            vals = jnp.abs(jnp.broadcast_to(eval_pure(lv, ctx), w_phys.shape))
+            vals = jnp.where(w_phys > 0, vals, 0.0)
+            per_el = np.asarray(jnp.max(vals, axis=1))
+        finally:
+            self.mesh.UnsetDeformation()
+        thresh = (refine_threshold if absolute
+                  else refine_threshold * max(per_el.max(), 1e-300))
+        marks = per_el > thresh
+        self.mesh.SetRefinementFlags(marks)
+        from ..fem.space import BitArray
+
+        return BitArray(marks)
 
 
 def RefineAtLevelSet(gf, lower=0.0, upper=0.0):
-    """Adaptive refinement marker (reference lsetcurving/lsetrefine.cpp):
-    not supported on structured tensor meshes — raises with guidance."""
-    raise NotImplementedError(
-        "local refinement is not available; build a finer structured mesh or "
-        "a nested hierarchy (solvers.mg.mesh_hierarchy)"
-    )
+    """Mark elements cut by (or within [lower,upper] of) the level set for
+    the next mesh.Refine() (reference lsetcurving/lsetrefine.cpp:13-42:
+    element marked iff min(phi_vertices) <= upper and max >= lower)."""
+    from ..integrate import lset_vertex_values
+
+    vals = np.asarray(lset_vertex_values(gf))
+    marks = (vals.min(axis=1) <= upper) & (vals.max(axis=1) >= lower)
+    gf.space.mesh.SetRefinementFlags(marks)
+    from ..fem.space import BitArray
+
+    return BitArray(marks)

@@ -119,6 +119,26 @@ class Mesh:
         self.facet2elloc_np = f2eloc
         self.boundary_facets_np = np.nonzero(f2e[:, 1] < 0)[0].astype(np.int32)
 
+    # -- refinement ----------------------------------------------------------
+    def Refine(self, marks=None):
+        """Refine marked elements in place (uniform if no marks and none
+        stored via RefineAtLevelSet/MarkForRefinement).  2D triangle meshes:
+        longest-edge red/green/blue bisection with conformity closure
+        (mesh/refine.py); spaces/GridFunctions must be rebuilt afterwards."""
+        from .refine import refine_mesh
+
+        if marks is None:
+            marks = getattr(self, "_refine_marks", None)
+        return refine_mesh(self, marks)
+
+    def SetRefinementFlags(self, marks):
+        """Store per-element refinement flags for the next Refine() call
+        (netgen-flag analog used by RefineAtLevelSet/MarkForRefinement)."""
+        import numpy as _np
+
+        self._refine_marks = _np.asarray(
+            marks.np if hasattr(marks, "np") else marks, dtype=bool)
+
     # -- deformation -------------------------------------------------------
     def SetDeformation(self, deformation):
         """Apply a (vector) GridFunction as mesh deformation, cf. the

@@ -1,0 +1,170 @@
+"""Adaptive mesh refinement (2D triangles).
+
+TPU-native counterpart of the reference's netgen-backed local refinement
+(``lsetcurving/lsetrefine.cpp:13-42`` RefineAtLevelSet sets per-element
+refinement flags; netgen executes them): here refinement is an explicit
+host-side mesh transformation — longest-edge red/green/blue subdivision with
+a conformity closure (no hanging nodes), the standard Rivara-style scheme.
+
+Triangle cases (after closure, the longest edge of any touched element is
+always split): 1 split edge -> bisection (2 children), 2 -> blue (3),
+3 -> red (4).
+"""
+from __future__ import annotations
+
+import numpy as np
+
+
+def _edge_key(u, v):
+    return (u, v) if u < v else (v, u)
+
+
+def bisect_refine_trig(vertices: np.ndarray, elements: np.ndarray,
+                       marks: np.ndarray,
+                       bc_edges: dict | None = None):
+    """Refine marked triangles; returns (vertices, elements, bc_edges).
+
+    vertices (nv, 2) float64, elements (ne, 3) int, marks (ne,) bool.
+    bc_edges: {sorted-edge-tuple: bc_id} for boundary edges; child boundary
+    edges inherit the parent's bc id.
+    """
+    nv = len(vertices)
+    ne = len(elements)
+    els = np.asarray(elements, dtype=np.int64)
+    V = np.asarray(vertices, dtype=np.float64)
+
+    # local edges: e0=(0,1), e1=(1,2), e2=(0,2)
+    eloc = np.array([[0, 1], [1, 2], [0, 2]])
+    epairs = els[:, eloc]  # (ne, 3, 2)
+    elen = np.linalg.norm(V[epairs[..., 0]] - V[epairs[..., 1]], axis=-1)
+    longest = np.argmax(elen, axis=1)  # (ne,)
+
+    ekeys = np.sort(epairs, axis=-1)  # (ne, 3, 2)
+
+    # marked elements refine red (all edges split); the closure below adds
+    # green/blue transitions in their neighbors
+    split = set()
+    for e in np.nonzero(np.asarray(marks, dtype=bool))[0]:
+        for j in range(3):
+            k = ekeys[e, j]
+            split.add((int(k[0]), int(k[1])))
+    # conformity closure: any element with a split edge must split its
+    # longest edge too
+    changed = True
+    while changed:
+        changed = False
+        for e in range(ne):
+            keys = [tuple(ekeys[e, j]) for j in range(3)]
+            if any(k in split for k in keys):
+                kl = keys[longest[e]]
+                if kl not in split:
+                    split.add(kl)
+                    changed = True
+
+    if not split:
+        return V, els.astype(np.int32), dict(bc_edges or {})
+
+    # midpoints
+    mid_of = {}
+    new_pts = []
+    for k in sorted(split):
+        mid_of[k] = nv + len(new_pts)
+        new_pts.append(0.5 * (V[k[0]] + V[k[1]]))
+    Vnew = np.concatenate([V, np.asarray(new_pts).reshape(-1, 2)], axis=0)
+
+    # child elements
+    out = []
+    rot = {0: (0, 1, 2), 1: (1, 2, 0), 2: (2, 0, 1)}
+    for e in range(ne):
+        keys = [tuple(ekeys[e, j]) for j in range(3)]
+        s = [k in split for k in keys]
+        if not any(s):
+            out.append(tuple(els[e]))
+            continue
+        # rotate so the longest (split, by closure) edge is (a, b)
+        ra, rb, rc = rot[longest[e]]
+        a, b, c = int(els[e, ra]), int(els[e, rb]), int(els[e, rc])
+        k_ab = _edge_key(a, b)
+        k_bc = _edge_key(b, c)
+        k_ac = _edge_key(a, c)
+        m_ab = mid_of[k_ab]
+        s_bc = k_bc in split
+        s_ac = k_ac in split
+        if s_bc and s_ac:  # red
+            m_bc, m_ac = mid_of[k_bc], mid_of[k_ac]
+            out += [(a, m_ab, m_ac), (m_ab, b, m_bc), (m_ac, m_bc, c),
+                    (m_ab, m_bc, m_ac)]
+        elif s_bc:  # blue
+            m_bc = mid_of[k_bc]
+            out += [(a, m_ab, c), (m_ab, b, m_bc), (m_ab, m_bc, c)]
+        elif s_ac:  # blue
+            m_ac = mid_of[k_ac]
+            out += [(m_ab, b, c), (a, m_ab, m_ac), (m_ab, c, m_ac)]
+        else:  # green bisection
+            out += [(a, m_ab, c), (m_ab, b, c)]
+    Enew = np.asarray(out, dtype=np.int32)
+
+    # propagate boundary bc ids to child edges
+    bc_new = {}
+    if bc_edges:
+        for (u, v), bc in bc_edges.items():
+            k = _edge_key(u, v)
+            if k in mid_of:
+                m = mid_of[k]
+                bc_new[_edge_key(u, m)] = bc
+                bc_new[_edge_key(m, v)] = bc
+            else:
+                bc_new[k] = bc
+    return Vnew, Enew, bc_new
+
+
+def refine_mesh(mesh, marks=None):
+    """In-place refinement of a trig Mesh; marks=None refines uniformly.
+
+    FE spaces / GridFunctions built on the old mesh are NOT transferred —
+    rebuild them (the reference tutorials also reconstruct spaces after
+    mesh.Refine()).
+    """
+    if mesh.et != "trig":
+        raise NotImplementedError(
+            "adaptive refinement is implemented for 2D triangle meshes; "
+            "for quad/hex/tet use a finer structured mesh"
+        )
+    if marks is None:
+        marks = np.ones(mesh.ne, dtype=bool)
+    else:
+        marks = np.asarray(marks.np if hasattr(marks, "np") else marks,
+                           dtype=bool)
+
+    # current boundary bc map
+    bc_edges = {}
+    for fi in mesh.boundary_facets_np:
+        u, v = mesh.facets_np[fi]
+        bc_edges[_edge_key(int(u), int(v))] = int(mesh.bc_of_facet_np[fi])
+
+    Vn, En, bc_new = bisect_refine_trig(
+        mesh.vertices_np, mesh.elements_np, marks, bc_edges)
+
+    mesh.vertices_np = np.asarray(Vn, dtype=np.float64)
+    mesh.elements_np = np.asarray(En, dtype=np.int32)
+    mesh.nv = len(Vn)
+    mesh.ne = len(En)
+    mesh._build_facets()
+    bc = np.zeros(mesh.nfacets, dtype=np.int32)
+    for fi in mesh.boundary_facets_np:
+        u, v = mesh.facets_np[fi]
+        bc[fi] = bc_new.get(_edge_key(int(u), int(v)), 1)
+    mesh.bc_of_facet_np = bc
+
+    import jax.numpy as jnp
+    from ..config import config
+
+    mesh.vertices = jnp.asarray(mesh.vertices_np, dtype=config.dtype)
+    mesh.elements = jnp.asarray(mesh.elements_np)
+    mesh.facets = jnp.asarray(mesh.facets_np)
+    mesh.facet2el = jnp.asarray(mesh.facet2el_np)
+    mesh.el2facet = jnp.asarray(mesh.el2facet_np)
+    mesh.deformation = None
+    mesh._version += 1
+    mesh._refine_marks = None
+    return mesh

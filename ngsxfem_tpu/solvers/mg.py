@@ -39,29 +39,32 @@ def prolongation_matrix(coarse_space, fine_space) -> SparseMatrix:
     pts = np.zeros((fine_space.ndof, fm.dim))
     pts[fine_space.el2dof_np.reshape(-1)] = fnodes.reshape(-1, fm.dim)
 
-    # locate each fine node in a coarse element (nested structured grids:
-    # brute force over coarse elements in a bounding-box prefilter)
+    # locate each fine node in a coarse element: kd-tree over coarse element
+    # centroids + vectorized membership test over the k nearest candidates
+    # (O(N log N); replaces the per-element host loop, which did not scale)
+    from scipy.spatial import cKDTree
+
     cverts = cm.vertices_np[cm.elements_np]  # (nec, nv, d)
-    lo = cverts.min(axis=1)
-    hi = cverts.max(axis=1)
+    cents = cverts.mean(axis=1)
+    tree = cKDTree(cents)
+    k = int(min(cm.ne, 16))
+    _, cand = tree.query(pts, k=k)
+    cand = cand.reshape(len(pts), k)
     owner = np.full(fine_space.ndof, -1, dtype=np.int64)
-    tol = 1e-9 * (cm.vertices_np.max() - cm.vertices_np.min() + 1)
-    # simple spatial hash on coarse element bounding boxes
-    for e in range(cm.ne):
-        inside = np.all((pts >= lo[e] - tol) & (pts <= hi[e] + tol), axis=1)
-        cand = np.nonzero(inside & (owner < 0))[0]
-        if len(cand) == 0:
-            continue
-        # local coords via least squares on the (multi)linear map
-        loc = _invert_geom(cm.et, cverts[e], pts[cand])
+    for j in range(k):
+        un = np.nonzero(owner < 0)[0]
+        if len(un) == 0:
+            break
+        e = cand[un, j]
+        loc = _invert_geom_pp(cm.et, cverts[e], pts[un])
         ok = np.all((loc > -1e-8) & (loc < 1 + 1e-8), axis=1)
         if cm.et in ("trig", "tet"):
             ok &= loc.sum(axis=1) < 1 + 1e-8
-        owner[cand[ok]] = e
+        owner[un[ok]] = e[ok]
     if (owner < 0).any():
         raise RuntimeError("prolongation: fine node outside coarse mesh")
 
-    locs = _invert_geom_batched(cm, owner, pts)
+    locs = _invert_geom_pp(cm.et, cverts[owner], pts)
     # coarse basis values at the fine nodes
     B = np.asarray(shapes(cm.et, coarse_space.order, jnp.asarray(locs)[:, None, :]))[:, 0]
     cdofs = coarse_space.el2dof_np[owner]  # (nf, ndl)
@@ -74,42 +77,43 @@ def prolongation_matrix(coarse_space, fine_space) -> SparseMatrix:
                         (fine_space.ndof, coarse_space.ndof))
 
 
-def _invert_geom(et, verts, pts):
-    """Local coords of physical pts in one element (affine exact; Newton for
-    multilinear quads/hexes)."""
+def _invert_geom_pp(et, verts, pts):
+    """Local coords of physical pts, per-point element vertices.
+
+    verts (N, nvel, d), pts (N, d) -> (N, d). Affine exact for simplices;
+    batched Newton for multilinear quads/hexes.
+    """
     d = pts.shape[1]
-    v0 = verts[0]
+    v0 = verts[:, 0]
     if et in ("trig", "tet", "segm"):
-        E = (verts[1:d + 1] - v0).T
-        return np.linalg.solve(E, (pts - v0).T).T
-    # quad/hex: Newton from center
+        E = np.swapaxes(verts[:, 1:d + 1] - v0[:, None], 1, 2)  # (N, d, d)
+        return np.linalg.solve(E, (pts - v0)[..., None])[..., 0]
+    # quad/hex: batched Newton from center
     loc = np.full_like(pts, 0.5)
     from ..mesh.mesh import geom_shapes, geom_dshapes
 
     for _ in range(20):
-        N = geom_shapes(et, loc, xp=np)
-        dN = geom_dshapes(et, loc, xp=np)
-        cur = np.einsum("pv,vd->pd", N, verts)
-        J = np.einsum("pvd,vg->pgd", dN, verts)
-        loc = loc + np.linalg.solve(J, (pts - cur)[..., None])[..., 0]
+        N = geom_shapes(et, loc[:, None, :], xp=np)[:, 0]  # (N, nvel)
+        dN = geom_dshapes(et, loc[:, None, :], xp=np)[:, 0]  # (N, nvel, d)
+        cur = np.einsum("nv,nvd->nd", N, verts)
+        J = np.einsum("nvd,nvg->ndg", dN, verts)  # dx_g / dloc_d
+        loc = loc + np.linalg.solve(
+            np.swapaxes(J, 1, 2), (pts - cur)[..., None])[..., 0]
     return loc
-
-
-def _invert_geom_batched(cm, owner, pts):
-    locs = np.zeros_like(pts)
-    cverts = cm.vertices_np[cm.elements_np]
-    for e in np.unique(owner):
-        sel = owner == e
-        locs[sel] = _invert_geom(cm.et, cverts[e], pts[sel])
-    return locs
 
 
 class CutFemSmoother:
     """Damped Jacobi + optional interface-dof block correction
-    (cutmg.py:61-111)."""
+    (cutmg.py:61-111).
+
+    Scale-ready: the interface block is extracted ONCE as its own sparse
+    matrix (#if-dofs rows, typically O(sqrt(ndof))) and the correction is an
+    inner CG on it — matching the reference's ``ifsolver='cg'`` branch
+    (python/cutmg.py:61-111) — instead of a dense inverse.
+    """
 
     def __init__(self, A: SparseMatrix, freedofs=None, if_dofs=None,
-                 damping=0.6, if_correction=True):
+                 damping=0.6, if_correction=True, if_maxit=40, if_tol=1e-4):
         self.A = A
         self.damping = damping
         diag = np.asarray(A.diagonal())
@@ -119,23 +123,34 @@ class CutFemSmoother:
         self.dinv = jnp.asarray(dinv, dtype=config.dtype)
         self.free = jnp.asarray(free)
         self.ifsolve = None
+        self.if_maxit = if_maxit
+        self.if_tol = if_tol
         if if_correction and if_dofs is not None:
             idx = np.nonzero(np.asarray(if_dofs.np if hasattr(if_dofs, "np")
                                         else if_dofs) & free)[0]
             if len(idx):
-                Ad = np.asarray(A.todense())
-                Aff = Ad[np.ix_(idx, idx)]
-                self.ifsolve = (idx, jnp.asarray(np.linalg.inv(Aff),
-                                                 dtype=config.dtype))
+                # extract the interface sub-block as a small SparseMatrix
+                S = A.to_scipy().tocsr()[idx][:, idx].tocoo()
+                Aff = SparseMatrix(S.row, S.col,
+                                   jnp.asarray(S.data, dtype=config.dtype),
+                                   (len(idx), len(idx)))
+                dsub = np.asarray(Aff.diagonal())
+                dsub = np.where(np.abs(dsub) > 1e-30, 1.0 / np.where(dsub == 0, 1, dsub), 0.0)
+                self.ifsolve = (jnp.asarray(idx), Aff,
+                                jnp.asarray(dsub, dtype=config.dtype))
 
     def smooth(self, x, b, steps=2):
+        from .krylov import cg
+
         for _ in range(steps):
             r = b - self.A.matvec(x)
             x = x + self.damping * self.dinv * r
         if self.ifsolve is not None:
-            idx, Ainv = self.ifsolve
+            idx, Aff, dsub = self.ifsolve
             r = b - self.A.matvec(x)
-            x = x.at[jnp.asarray(idx)].add(Ainv @ r[jnp.asarray(idx)])
+            z, _, _ = cg(Aff.matvec, r[idx], M=lambda s: dsub * s,
+                         maxiter=self.if_maxit, tol=self.if_tol)
+            x = x.at[idx].add(z)
         return x
 
 
@@ -148,19 +163,35 @@ class MultiGridCL:
         self.prols = prols  # prols[l]: level l -> level l+1
         self.smoothers = smoothers  # per level (None on the coarsest)
         self.nsmooth = nsmooth
-        A0 = np.asarray(mats[0].todense())
-        free = (np.ones(A0.shape[0], bool) if coarse_freedofs is None
+        # coarse solve: device Cholesky of the coarse FREE block only.
+        # Memory is O(nc^2) with nc = #free dofs on the COARSEST grid — which
+        # is small by construction; the factorization happens once, the
+        # per-cycle work is two triangular solves, fully on device and
+        # jit-safe (host callbacks are unsupported on the TPU backend).
+        n0 = mats[0].shape[0]
+        free = (np.ones(n0, bool) if coarse_freedofs is None
                 else np.asarray(coarse_freedofs.np
                                 if hasattr(coarse_freedofs, "np")
                                 else coarse_freedofs))
         idx = np.nonzero(free)[0]
-        inv = np.zeros_like(A0)
-        inv[np.ix_(idx, idx)] = np.linalg.inv(A0[np.ix_(idx, idx)])
-        self.coarse_inv = jnp.asarray(inv, dtype=config.dtype)
+        A0 = mats[0].to_scipy().tocsr()[idx][:, idx].toarray()
+        # symmetrize (COO duplicates / roundoff) and factor
+        A0 = 0.5 * (A0 + A0.T)
+        self._coarse_chol = jnp.linalg.cholesky(
+            jnp.asarray(A0, dtype=config.dtype))
+        self._coarse_idx = jnp.asarray(idx)
+        self._coarse_n = n0
+
+    def _coarse_solve(self, b):
+        from jax.scipy.linalg import cho_solve
+
+        z = cho_solve((self._coarse_chol, True), b[self._coarse_idx])
+        out = jnp.zeros((self._coarse_n,), dtype=config.dtype)
+        return out.at[self._coarse_idx].set(z)
 
     def _cycle(self, l, b):
         if l == 0:
-            return self.coarse_inv @ b
+            return self._coarse_solve(b)
         A, P, S = self.mats[l], self.prols[l - 1], self.smoothers[l]
         x = S.smooth(jnp.zeros_like(b), b, self.nsmooth)
         r = b - A.matvec(x)

@@ -50,7 +50,7 @@ class SpaceTimeFESpace:
         return list(self.tfe.nodes)
 
     def IsTimeNodeActive(self, i):
-        return True
+        return self.tfe.IsNodeActive(i)
 
     def SetTime(self, t):
         """Fix the time for subsequent spatial evaluations (reference

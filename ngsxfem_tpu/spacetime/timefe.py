@@ -33,22 +33,50 @@ def _time_coeff(order: int):
 
 
 class ScalarTimeFE:
-    """Nodal Lagrange FE in time (factory ala reference ScalarTimeFE)."""
+    """Nodal Lagrange FE in time (factory ala reference ScalarTimeFE).
+
+    CG-in-time variants (reference NodalTimeFE, SpaceTimeFE.hpp:50-97 and
+    SpaceTimeFE.cpp:116-150): the shape functions are always the FULL
+    Lagrange basis on the Gauss-Lobatto nodes, but `skip_first_node` drops
+    the dof at t=0 (its value is prescribed from the previous slab) and
+    `only_first_node` keeps only that dof.
+    """
 
     def __init__(self, order: int, skip_first_node=False, only_first_node=False):
         self.order = int(order)
+        if skip_first_node and only_first_node:
+            raise ValueError("skip_first_node and only_first_node are exclusive")
         self.skip_first_node = skip_first_node
         self.only_first_node = only_first_node
-        if skip_first_node or only_first_node:
-            raise NotImplementedError("CG-in-time node variants not yet supported")
-        self.nodes = time_nodes(self.order)
-        self.ndof = len(self.nodes)
+        self.all_nodes = time_nodes(self.order)
+        if skip_first_node:
+            self._active = np.arange(1, len(self.all_nodes))
+        elif only_first_node:
+            self._active = np.arange(0, 1)
+        else:
+            self._active = np.arange(len(self.all_nodes))
+        self.nodes = self.all_nodes[self._active]
+        self.ndof = len(self._active)
+
+    def IsNodeActive(self, i: int) -> bool:
+        if i < 0 or i > self.order + 1:
+            raise IndexError("node outside node range")
+        if i == 0 and self.skip_first_node:
+            return False
+        if i != 0 and self.only_first_node:
+            return False
+        return True
+
+    def _select(self, full):
+        if len(self._active) == full.shape[-1]:
+            return full
+        return full[..., self._active]
 
     def eval(self, t):
         """shapes (..., nd_t) at times t (...)."""
         C = jnp.asarray(_time_coeff(self.order), dtype=t.dtype)
         mono = jnp.stack([t**j for j in range(self.order + 1)], axis=-1)
-        return mono @ C
+        return self._select(mono @ C)
 
     def deval(self, t):
         """d/dt shapes (..., nd_t)."""
@@ -57,10 +85,10 @@ class ScalarTimeFE:
             [jnp.zeros_like(t)] + [j * t ** (j - 1) for j in range(1, self.order + 1)],
             axis=-1,
         )
-        return mono @ C
+        return self._select(mono @ C)
 
     def eval_np(self, t):
         C = _time_coeff(self.order)
         t = np.asarray(t, dtype=np.float64)
         mono = np.stack([t**j for j in range(self.order + 1)], axis=-1)
-        return mono @ C
+        return self._select(mono @ C)

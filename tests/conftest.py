@@ -7,11 +7,24 @@ multi-device sharding paths are validated on 8 virtual devices.
 import os
 import sys
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# FORCE the cpu backend.  The ambient env may pin the TPU plugin via
+# JAX_PLATFORMS=axon AND pre-import jax in sitecustomize — so setting
+# os.environ here is too late; the jax config must be updated directly.
+# Override with NGSXFEM_TEST_PLATFORM if needed.
+_plat = os.environ.get("NGSXFEM_TEST_PLATFORM", "cpu")
+os.environ["JAX_PLATFORMS"] = _plat
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+
+import jax  # noqa: E402  (possibly already imported by sitecustomize)
+
+jax.config.update("jax_platforms", _plat)
+assert jax.devices()[0].platform == _plat, (
+    f"test suite must run on {_plat!r}, got {jax.devices()[:2]} — was a "
+    "backend already initialized before conftest?"
+)
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))

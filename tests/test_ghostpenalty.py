@@ -22,3 +22,40 @@ def test_fictdom_dn_ghostpen_order2():
 
     err = fictdom_dn_ghostpen.run(nx=20, order=2, verbose=False)
     assert err < 0.02, err
+
+
+def test_dn_exactness():
+    """dn(u,k) is EXACT for polynomials up to the space order (the
+    Chebyshev-Vandermonde directional derivative, forms/evaluate.py
+    _dnk_factor — replacing the reference's FD stencils,
+    xfem/ghostpenalty.cpp:8-130)."""
+    import jax.numpy as jnp
+    from ngsxfem_tpu import MakeStructured2DMesh, H1, GridFunction, x, y
+    from ngsxfem_tpu.forms.assemble import Integral, _skeleton_ctx
+    from ngsxfem_tpu.forms.evaluate import _dnk_factor
+    from ngsxfem_tpu.cf.context import eval_pure
+    from ngsxfem_tpu.cf.coefficient import wrap
+
+    mesh = MakeStructured2DMesh(quads=False, nx=3, ny=3)
+    order = 3
+    V = H1(mesh, order=order)
+    gf = GridFunction(V)
+    gf.Set(x**3 + x * y * y)  # degree 3: in the space exactly
+
+    integ = Integral(form=wrap(0.0), skeleton=True)
+    ctx, e1, e2, w, mask = _skeleton_ctx(integ, mesh, 2 * order)
+    n = ctx._normal  # (F, Q, 2)
+    xs = jnp.broadcast_to(eval_pure(wrap(x), ctx), w.shape)
+    ys = jnp.broadcast_to(eval_pure(wrap(y), ctx), w.shape)
+
+    dofs = jnp.asarray(gf._arr)[V.el2dof[e1]]  # (F, ndl)
+    for k, exact in [
+        (1, (3 * xs**2 + ys**2) * n[..., 0] + 2 * xs * ys * n[..., 1]),
+        (2, 6 * xs * n[..., 0] ** 2 + 2 * ys * 2 * n[..., 0] * n[..., 1]
+            + 2 * xs * n[..., 1] ** 2),
+        (3, 6 * n[..., 0] ** 3 + 6 * n[..., 0] * n[..., 1] ** 2),
+    ]:
+        arr = _dnk_factor(mesh.et, order, k, ctx)  # (F, Q, ndl)
+        num = jnp.einsum("fqi,fi->fq", arr, dofs)
+        err = float(jnp.max(jnp.abs(num - exact)))
+        assert err < 5e-11 * (10 ** k), (k, err)

@@ -64,3 +64,27 @@ def test_vtk_output(tmp_path):
     fn = VTKOutput(ma=mesh, coefs=[g], names=["u"],
                    filename=str(tmp_path / "o")).Do()
     assert os.path.getsize(fn) > 100
+
+
+def test_raw_cf_levelset_falls_back_to_p1():
+    """Raw-CF level sets route to InterpolateToP1 + straight cut with a
+    warning (reference CF2GF shortcut, cutint/xintegration.cpp:91-103)."""
+    import warnings
+    import math
+    from ngsxfem_tpu import (
+        MakeStructured2DMesh, Integrate, CutInfo, NEG, sqrt, x, y,
+        CoefficientFunction,
+    )
+
+    mesh = MakeStructured2DMesh(
+        quads=False, nx=24, ny=24, mapping=lambda a, b: (2 * a - 1, 2 * b - 1))
+    phi = sqrt(x * x + y * y) - 0.7  # raw CF, not a GridFunction
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        area = Integrate(levelset_domain={"levelset": phi, "domain_type": NEG},
+                         cf=CoefficientFunction(1.0), mesh=mesh, order=2)
+        assert any("P1" in str(wi.message) for wi in w)
+    assert abs(area - math.pi * 0.49) < 5e-3
+
+    ci = CutInfo(mesh, phi)  # CF accepted here too
+    assert ci.GetElementsOfType(NEG).NumSet() > 0

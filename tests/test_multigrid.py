@@ -12,3 +12,17 @@ def test_cutmg_accelerates():
     it_mg, it_j, diff = cutmg.run(nx0=8, levels=2, verbose=False)
     assert diff < 1e-7
     assert it_mg < it_j / 2, (it_mg, it_j)
+
+
+def test_cutmg_scale_1e5_dofs():
+    """Scale demo (VERDICT r1 item 10): level-3 hierarchy, fine ndof >= 1e5,
+    sparse coarse factorization + sparse interface-CG smoother (no dense
+    inverse anywhere)."""
+    import time
+
+    t0 = time.time()
+    it_mg, it_j, diff = cutmg.run(nx0=80, levels=3, verbose=False)
+    # fine space: (2*80*4+1)^2 = 103k dofs >= 1e5 (validated inside run)
+    assert diff < 1e-6
+    assert it_mg < it_j / 2, (it_mg, it_j)
+    assert time.time() - t0 < 600

@@ -1,0 +1,84 @@
+"""Adaptive refinement: longest-edge red/green/blue bisection +
+RefineAtLevelSet / MarkForRefinement (reference lsetcurving/lsetrefine.cpp)."""
+import numpy as np
+
+from ngsxfem_tpu import (
+    MakeStructured2DMesh, H1, GridFunction, InterpolateToP1, RefineAtLevelSet,
+    LevelSetMeshAdaptation, Integrate, CutInfo, IF, NEG, sqrt, x, y,
+    CoefficientFunction,
+)
+
+
+def _mesh_valid(mesh):
+    # conforming: every interior facet has exactly 2 elements, areas positive
+    v = mesh.vertices_np[mesh.elements_np]
+    areas = 0.5 * np.abs(
+        (v[:, 1, 0] - v[:, 0, 0]) * (v[:, 2, 1] - v[:, 0, 1])
+        - (v[:, 2, 0] - v[:, 0, 0]) * (v[:, 1, 1] - v[:, 0, 1])
+    )
+    assert (areas > 1e-14).all()
+    return areas.sum()
+
+
+def test_uniform_refine_preserves_measure():
+    mesh = MakeStructured2DMesh(quads=False, nx=3, ny=3)
+    ne0 = mesh.ne
+    mesh.Refine()
+    assert mesh.ne == 4 * ne0  # uniform red
+    assert abs(_mesh_valid(mesh) - 1.0) < 1e-13
+    # integration on the refined mesh
+    val = Integrate(cf=CoefficientFunction(1.0), mesh=mesh, order=2)
+    assert abs(val - 1.0) < 1e-13
+
+
+def test_refine_at_levelset():
+    mesh = MakeStructured2DMesh(quads=False, nx=8, ny=8)
+    for _ in range(2):
+        lsetp1 = GridFunction(H1(mesh, order=1))
+        InterpolateToP1(sqrt((x - 0.5) ** 2 + (y - 0.5) ** 2) - 0.3, lsetp1)
+        marks = RefineAtLevelSet(lsetp1)
+        assert 0 < marks.NumSet() < mesh.ne
+        mesh.Refine()
+        assert abs(_mesh_valid(mesh) - 1.0) < 1e-13
+    # the cut band is now resolved finer: circle area error shrinks
+    lsetp1 = GridFunction(H1(mesh, order=1))
+    InterpolateToP1(sqrt((x - 0.5) ** 2 + (y - 0.5) ** 2) - 0.3, lsetp1)
+    area = Integrate(
+        levelset_domain={"levelset": lsetp1, "domain_type": NEG},
+        cf=CoefficientFunction(1.0), mesh=mesh, order=2)
+    import math
+
+    assert abs(area - math.pi * 0.09) < 2e-3
+
+
+def test_refine_improves_geometry():
+    # adaptive loop drives the P1 interface error down without uniform cost
+    import math
+
+    mesh = MakeStructured2DMesh(quads=False, nx=8, ny=8)
+    errs, nes = [], []
+    for _ in range(3):
+        lsetp1 = GridFunction(H1(mesh, order=1))
+        InterpolateToP1(sqrt((x - 0.5) ** 2 + (y - 0.5) ** 2) - 0.3, lsetp1)
+        area = Integrate(
+            levelset_domain={"levelset": lsetp1, "domain_type": NEG},
+            cf=CoefficientFunction(1.0), mesh=mesh, order=2)
+        errs.append(abs(area - math.pi * 0.09))
+        nes.append(mesh.ne)
+        RefineAtLevelSet(lsetp1)
+        mesh.Refine()
+    assert errs[2] < errs[0] / 8
+    # adaptivity: far fewer elements than two uniform refinements
+    assert nes[2] < 16 * nes[0] / 2
+
+
+def test_mark_for_refinement():
+    mesh = MakeStructured2DMesh(
+        quads=False, nx=8, ny=8, mapping=lambda a, b: (2 * a - 1, 2 * b - 1))
+    lsetmeshadap = LevelSetMeshAdaptation(mesh, order=2, threshold=1000)
+    phi = sqrt(x * x + y * y) - 0.6
+    lsetmeshadap.CalcDeformation(phi)
+    marks = lsetmeshadap.MarkForRefinement(phi, refine_threshold=0.5)
+    assert 0 < marks.NumSet() < mesh.ne
+    mesh.Refine()
+    assert abs(_mesh_valid(mesh) - 4.0) < 1e-12

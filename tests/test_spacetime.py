@@ -162,3 +162,47 @@ def test_spacetime_area_of_a_hypersphere():
     eoc_i = mlog(int_err[0] / int_err[1]) / mlog(2)
     assert eoc_v > 1.7, (vol_err, eoc_v)
     assert eoc_i > 1.7, (int_err, eoc_i)
+
+
+def test_cg_in_time_variants():
+    """skip_first_node/only_first_node (reference NodalTimeFE,
+    SpaceTimeFE.hpp:50-97): the reduced bases are the corresponding full
+    Lagrange polynomials, and a CG-in-time slab solve reproduces u = t."""
+    import numpy as np
+    import jax.numpy as jnp
+    from ngsxfem_tpu import (
+        MakeStructured2DMesh, H1, GridFunction, ScalarTimeFE, SpaceTimeFESpace,
+        BilinearForm, LinearForm, SymbolicBFI, SymbolicLFI, dt, fix_t,
+        CoefficientFunction,
+    )
+
+    mesh = MakeStructured2DMesh(quads=False, nx=2, ny=2)
+    Vs = H1(mesh, order=1)
+    tfe = ScalarTimeFE(1, skip_first_node=True)
+    W = SpaceTimeFESpace(Vs, tfe)
+    assert W.ndof == Vs.ndof  # one active time node
+    assert not W.IsTimeNodeActive(0) and W.IsTimeNodeActive(1)
+
+    u, v = W.TnT()
+    a = BilinearForm(W)
+    a += SymbolicBFI(form=dt(u) * v, time_order=2)
+    a.Assemble()
+    f = LinearForm(W)
+    f += SymbolicLFI(form=CoefficientFunction(1.0) * v, time_order=2)
+    f.Assemble()
+    gfu = GridFunction(W)
+    gfu.vec.data = a.mat.Inverse() * f.vec.data
+    # u(x,t) = t (initial value 0 is built into the space)
+    # trace at t=1 should be identically 1, at t=0 identically 0
+    u1 = GridFunction(Vs)
+    from ngsxfem_tpu import RestrictGFInTime
+
+    RestrictGFInTime(gfu, 1.0, u1)
+    assert np.max(np.abs(np.asarray(u1._arr) - 1.0)) < 1e-12
+    RestrictGFInTime(gfu, 0.0, u1)
+    assert np.max(np.abs(np.asarray(u1._arr))) < 1e-12
+
+    only = ScalarTimeFE(2, only_first_node=True)
+    Wo = SpaceTimeFESpace(Vs, only)
+    assert Wo.ndof == Vs.ndof
+    assert Wo.IsTimeNodeActive(0) and not Wo.IsTimeNodeActive(1)

@@ -17,3 +17,16 @@ def test_tracefem3d_converges():
     e1 = tracefem3d.run(nx=6, order=2, verbose=False)
     e2 = tracefem3d.run(nx=12, order=2, verbose=False)
     assert e2 < e1 / 6, (e1, e2)
+
+
+def test_tracefem2d_eoc():
+    """2D traceconverg port (py_tutorials/traceconverg.py): optimal L2(Gamma)
+    convergence of the surface PDE u - lap_Gamma(u) = 2(x+y)."""
+    from examples import tracefem
+
+    errs, eocs = tracefem.converg(order=1, levels=3, nx0=8, verbose=False)
+    assert sum(eocs) / len(eocs) > 1.75, (errs, eocs)
+
+    errs2, eocs2 = tracefem.converg(order=2, levels=3, nx0=8, verbose=False)
+    assert sum(eocs2) / len(eocs2) > 2.7, (errs2, eocs2)
+    assert errs2[-1] < 1e-4

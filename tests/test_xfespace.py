@@ -40,3 +40,52 @@ def test_xfem_equals_cutfem():
     e1 = cutfem.run(nx=10, order=1, verbose=False)
     e2 = nxfem.run(nx=10, order=1, verbose=False)
     assert abs(e1 - e2) < 1e-9, (e1, e2)
+
+
+def test_xfespace_trace_local_dofs_and_condense():
+    """trace=True marks outer-rim face bubbles LOCAL (xFESpace.cpp:72-97);
+    the condensed solve must match the full solve."""
+    import numpy as np
+    import jax.numpy as jnp
+    from ngsxfem_tpu import (
+        MakeStructured3DMesh, H1, GridFunction, InterpolateToP1, CutInfo,
+        XFESpace, sqrt, x, y, z,
+    )
+    from ngsxfem_tpu.solvers.condense import condensed_solve
+    from ngsxfem_tpu.solvers.sparse import SparseMatrix
+
+    mesh = MakeStructured3DMesh(hexes=False, nx=4, ny=4, nz=4)
+    base = H1(mesh, order=3)  # order 3: tets have face bubbles
+    lsetp1 = GridFunction(H1(mesh, order=1))
+    InterpolateToP1(sqrt((x - 0.5) ** 2 + (y - 0.5) ** 2 + (z - 0.5) ** 2) - 0.3,
+                    lsetp1)
+    ci = CutInfo(mesh, lsetp1)
+    Vx = XFESpace(base, ci, trace=True)
+    loc = Vx.LocalDofs().np
+    assert loc.any(), "no LOCAL dofs marked"
+    assert not loc.all()
+    # free-with-coupling excludes the local dofs
+    assert Vx.FreeDofs(coupling=True).np.sum() == (~loc).sum()
+
+    # condensed solve == direct solve on an SPD test matrix with the same
+    # sparsity role (A = stiffness-like random SPD in COO form)
+    rng = np.random.default_rng(0)
+    n = Vx.ndof
+    k = min(n, 400)
+    sel = rng.choice(n, size=k, replace=False)
+    import scipy.sparse as sp
+
+    D = sp.random(k, k, density=0.05, random_state=0)
+    A = (D @ D.T + 10 * sp.eye(k)).tocoo()
+    rows = sel[A.row]
+    cols = sel[A.col]
+    full_rows = np.concatenate([rows, np.arange(n)])
+    full_cols = np.concatenate([cols, np.arange(n)])
+    full_vals = np.concatenate([A.data, np.full(n, 5.0)])
+    Asp = SparseMatrix(full_rows, full_cols, jnp.asarray(full_vals), (n, n))
+    b = jnp.asarray(rng.standard_normal(n))
+    x_c = condensed_solve(Asp, b, Vx.LocalDofs())
+    import scipy.sparse.linalg as spla
+
+    x_ref = spla.spsolve(Asp.to_scipy().tocsc(), np.asarray(b))
+    assert np.max(np.abs(np.asarray(x_c) - x_ref)) < 1e-8
