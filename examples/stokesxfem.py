@@ -65,34 +65,45 @@ def run(nx=16, order=2, verbose=True, deform=False):
     n_lset = 1.0 / Norm(grad(lsetp1)) * grad(lsetp1)
     kappa = [CutRatioGF(ci), 1.0 - CutRatioGF(ci)]
 
+    nl0, nl1 = n_lset[0], n_lset[1]
+
     u1 = [u1s + op(u1x) for op in [neg, pos]]
     u2 = [u2s + op(u2x) for op in [neg, pos]]
-    u = [CoefficientFunction((u1[i], u2[i])) for i in range(2)]
     p = [ps + op(px) for op in [neg, pos]]
     gradu1 = [grad(u1s) + op(u1x) for op in [neg_grad, pos_grad]]
     gradu2 = [grad(u2s) + op(u2x) for op in [neg_grad, pos_grad]]
     divu = [gradu1[i][0] + gradu2[i][1] for i in range(2)]
-    Du = [CoefficientFunction(
-        (2 * gradu1[i][0], gradu2[i][0] + gradu1[i][1],
-         gradu2[i][0] + gradu1[i][1], 2 * gradu2[i][1]), dims=(2, 2))
-        for i in range(2)]
-    sigmaupn = [-mu[i] * (Du[i] * n_lset) + p[i] * n_lset for i in range(2)]
-    average_flux_u = kappa[0] * sigmaupn[0] + kappa[1] * sigmaupn[1]
+    # (Du n) components, Du = grad u + (grad u)^T (scalar-expanded: the
+    # evaluator takes proxy jets through scalar products, not matrix CFs)
+    Dun = [(2 * gradu1[i][0] * nl0 + (gradu2[i][0] + gradu1[i][1]) * nl1,
+            (gradu2[i][0] + gradu1[i][1]) * nl0 + 2 * gradu2[i][1] * nl1)
+           for i in range(2)]
+    sigup = [(-mu[i] * Dun[i][0] + p[i] * nl0,
+              -mu[i] * Dun[i][1] + p[i] * nl1) for i in range(2)]
+    avg_flux_u = [kappa[0] * sigup[0][c] + kappa[1] * sigup[1][c]
+                  for c in range(2)]
 
     v1 = [v1s + op(v1x) for op in [neg, pos]]
     v2 = [v2s + op(v2x) for op in [neg, pos]]
-    v = [CoefficientFunction((v1[i], v2[i])) for i in range(2)]
     q = [qs + op(qx) for op in [neg, pos]]
     gradv1 = [grad(v1s) + op(v1x) for op in [neg_grad, pos_grad]]
     gradv2 = [grad(v2s) + op(v2x) for op in [neg_grad, pos_grad]]
     divv = [gradv1[i][0] + gradv2[i][1] for i in range(2)]
-    Dv = [CoefficientFunction(
-        (2 * gradv1[i][0], gradv2[i][0] + gradv1[i][1],
-         gradv2[i][0] + gradv1[i][1], 2 * gradv2[i][1]), dims=(2, 2))
-        for i in range(2)]
-    sigmavqn = [-mu[i] * (Dv[i] * n_lset) + q[i] * n_lset for i in range(2)]
-    average_flux_v = kappa[0] * sigmavqn[0] + kappa[1] * sigmavqn[1]
-    average_inv_v = -kappa[1] * v[0] - kappa[0] * v[1]
+    Dvn = [(2 * gradv1[i][0] * nl0 + (gradv2[i][0] + gradv1[i][1]) * nl1,
+            (gradv2[i][0] + gradv1[i][1]) * nl0 + 2 * gradv2[i][1] * nl1)
+           for i in range(2)]
+    sigvq = [(-mu[i] * Dvn[i][0] + q[i] * nl0,
+              -mu[i] * Dvn[i][1] + q[i] * nl1) for i in range(2)]
+    avg_flux_v = [kappa[0] * sigvq[0][c] + kappa[1] * sigvq[1][c]
+                  for c in range(2)]
+    avg_inv_v = [-kappa[1] * v1[0] - kappa[0] * v1[1],
+                 -kappa[1] * v2[0] - kappa[0] * v2[1]]
+
+    def visc(i):
+        return mu[i] * (2 * gradu1[i][0] * gradv1[i][0]
+                        + (gradu2[i][0] + gradu1[i][1])
+                        * (gradv2[i][0] + gradv1[i][1])
+                        + 2 * gradu2[i][1] * gradv2[i][1])
 
     lset_neg = {"levelset": lsetp1, "domain_type": NEG, "subdivlvl": 0}
     lset_pos = {"levelset": lsetp1, "domain_type": POS, "subdivlvl": 0}
@@ -105,13 +116,16 @@ def run(nx=16, order=2, verbose=True, deform=False):
                  GetFacetsWithNeighborTypes(mesh, a=haspos, b=hasif)]
 
     a = BilinearForm(WhG, symmetric=False)
-    # viscosity
-    a += SymbolicBFI(lset_neg, form=0.5 * mu1 * InnerProduct(Du[0], Dv[0]))
-    a += SymbolicBFI(lset_pos, form=0.5 * mu2 * InnerProduct(Du[1], Dv[1]))
+    # viscosity: visc(i) == 0.5*mu_i*InnerProduct(Du_i, Dv_i) scalar-expanded
+    a += SymbolicBFI(lset_neg, form=visc(0))
+    a += SymbolicBFI(lset_pos, form=visc(1))
     # Nitsche interface coupling (Hansbo averages)
-    a += SymbolicBFI(lset_if, form=InnerProduct(average_flux_u, v[0] - v[1]))
-    a += SymbolicBFI(lset_if, form=InnerProduct(average_flux_v, u[0] - u[1]))
-    a += SymbolicBFI(lset_if, form=lam / h * InnerProduct(u[0] - u[1], v[0] - v[1]))
+    a += SymbolicBFI(lset_if, form=avg_flux_u[0] * (v1[0] - v1[1])
+                     + avg_flux_u[1] * (v2[0] - v2[1]))
+    a += SymbolicBFI(lset_if, form=avg_flux_v[0] * (u1[0] - u1[1])
+                     + avg_flux_v[1] * (u2[0] - u2[1]))
+    a += SymbolicBFI(lset_if, form=lam / h * ((u1[0] - u1[1]) * (v1[0] - v1[1])
+                     + (u2[0] - u2[1]) * (v2[0] - v2[1])))
     # pressure terms + zero-mean constraint (NumberSpace multiplier)
     a += SymbolicBFI(lset_neg, form=-divu[0] * q[0] - divv[0] * p[0]
                      + lagN * q[0] + lagM * p[0])
@@ -126,9 +140,10 @@ def run(nx=16, order=2, verbose=True, deform=False):
             definedonelements=ba_facets[i])
 
     f = LinearForm(WhG)
-    f += SymbolicLFI(lset_if, form=gammaf * InnerProduct(average_inv_v, n_lset))
-    f += SymbolicLFI(lset_neg, form=src * v[0])
-    f += SymbolicLFI(lset_pos, form=src * v[1])
+    f += SymbolicLFI(lset_if, form=gammaf * (avg_inv_v[0] * nl0
+                                             + avg_inv_v[1] * nl1))
+    f += SymbolicLFI(lset_neg, form=src[0] * v1[0] + src[1] * v2[0])
+    f += SymbolicLFI(lset_pos, form=src[0] * v1[1] + src[1] * v2[1])
 
     if deformation is not None:
         mesh.SetDeformation(deformation)

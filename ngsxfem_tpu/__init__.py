@@ -72,6 +72,7 @@ from .fem.space import (  # noqa: F401
     FESpaceFactory,
 )
 from .fem.facetspace import FacetFESpace  # noqa: F401
+from .fem.hdiv import HDiv  # noqa: F401
 from .fem.gridfunction import (  # noqa: F401
     GridFunction,
     grad,

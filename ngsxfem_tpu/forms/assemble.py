@@ -814,6 +814,9 @@ class BilinearForm:
         return self
 
     def Assemble(self, reallocate=False, heapsize=None):
+        from ..utils.timing import Timer
+
+        _t = Timer("BilinearForm::Assemble").Start()
         space = self.space
         mesh = space.mesh
         order = _space_order(space)
@@ -909,6 +912,7 @@ class BilinearForm:
             rows_cat, cols_cat, vals,
             (self.space.ndof, self.space.ndof),
         )
+        _t.Stop(vals)
         return self
 
     def _with_restriction(self, integral: Integral):
@@ -948,6 +952,9 @@ class LinearForm:
         return StandaloneVec(self._vec)
 
     def Assemble(self, heapsize=None):
+        from ..utils.timing import Timer
+
+        _t = Timer("LinearForm::Assemble").Start()
         space = self.space
         mesh = space.mesh
         order = _space_order(space)
@@ -1005,6 +1012,7 @@ class LinearForm:
             dm_v = block_dofmap(space, bv, eids)
             out = out.at[dm_v.reshape(-1)].add(elvec.reshape(-1))
         self._vec = out
+        _t.Stop(out)
         return self
 
 

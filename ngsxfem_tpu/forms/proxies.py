@@ -73,16 +73,26 @@ def make_proxies(space, test: bool, compound=None):
     return ProxyFunction(space, test=test, compound=compound)
 
 
-def dn(proxy, order=1, comp=-1):
+def dn(proxy, order=1, comp=-1, hdiv=False):
     """order-th normal derivative (ghost penalty), cf. xfem/ghostpenalty.hpp:10-41.
 
     Evaluated exactly for polynomial bases via 1D restriction along the facet
     normal (forms/evaluate.py), replacing the reference's central finite
     differences (xfem/ghostpenalty.cpp:8-130) with an exact Vandermonde solve.
+    With ``hdiv=True`` (or an HDiv-space proxy) the result is the
+    vector-valued normal derivative of the Piola-mapped shapes
+    (DiffOpDuDnkHDiv, ghostpenalty.cpp:140-199).
     """
     if isinstance(proxy, ProxyFunction):
         if proxy.op != "val":
             raise TypeError("dn expects a value proxy")
+        from ..fem.hdiv import HDiv
+
+        if hdiv or isinstance(proxy.space, HDiv):
+            if not isinstance(proxy.space, HDiv):
+                raise TypeError("dn(hdiv=True) expects an HDiv-space proxy")
+            d = proxy.space.mesh.dim
+            return proxy._clone(op="dnk", op_args=(int(order),), dims=(d,))
         return proxy._clone(op="dnk", op_args=(int(order),), dims=())
     raise TypeError("dn expects a proxy function")
 

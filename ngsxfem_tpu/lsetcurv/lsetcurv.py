@@ -29,19 +29,23 @@ from ..ops.straightcut import cut_rule_element, eps_guard
 _PS_CACHE = {}
 
 
-def _project_shift_kernel(mesh, space, order, threshold, blending_alpha=0.0,
-                          niter=8):
+def _project_shift_kernel(mesh, space, order, threshold, niter=8):
     """Build the jitted shift kernel for (mesh, deform-space) once.
 
     All index tables are jit arguments (constant embedding is pathologically
-    slow to lower, see jitcache.py).
+    slow to lower, see jitcache.py).  `alpha` is the pointwise blending
+    value at each dof node (reference blending CF, lsetcurv.py:118-152).
+    Returns (deformation dof vector, per-node |phi - goal| Newton residual
+    restricted to the active band) — the residual drives the
+    non-convergence warning (reference SearchCorrespondingPoint warns,
+    symboliccutbfi.cpp:1184-1192).
     """
     et = mesh.et
     d = mesh.dim
     vperm = jnp.asarray(vertex_local_ids(et, 1))
 
     def kernel(vertices, ho_vec, p1space_el2dof, p1_vec, rep_e, rep_p,
-               el2dof, elements, cutel):
+               el2dof, elements, cutel, alpha):
         nd = rep_e.shape[0]
         coords = vertices[elements[rep_e]]  # (nd, nv, d)
         pts = rep_p[:, None, :]  # (nd,1,d)
@@ -69,7 +73,7 @@ def _project_shift_kernel(mesh, space, order, threshold, blending_alpha=0.0,
 
         Np1 = geom_shapes(et, rep_p)  # (nd, nvel)
         phi_p1 = jnp.einsum("nv,nv->n", Np1, p1_dofs)
-        goal = (1.0 - blending_alpha) * phi_p1 + blending_alpha * phi0
+        goal = (1.0 - alpha) * phi_p1 + alpha * phi0
 
         qq = jnp.einsum("ng,ng->n", q_phys, q_phys)
         qq = jnp.where(qq < 1e-30, 1.0, qq)
@@ -99,8 +103,14 @@ def _project_shift_kernel(mesh, space, order, threshold, blending_alpha=0.0,
             jnp.broadcast_to(cutel[:, None], el2dof.shape).reshape(-1)
         )
         disp = jnp.where(active[:, None], disp, 0.0)
+
+        # Newton convergence diagnostic on the active band
+        ref_fin = pts + (t[:, None] * q_ref)[:, None, :]
+        val_fin, _ = phi_and_grad(ref_fin)
+        res = jnp.where(active, jnp.abs(val_fin - goal) / jnp.maximum(h, 1e-30),
+                        0.0)
         # block layout of the vector space: [comp0 dofs; comp1 dofs; ...]
-        return disp.T.reshape(-1)
+        return disp.T.reshape(-1), jnp.max(res)
 
     return jax.jit(kernel)
 
@@ -132,18 +142,48 @@ class LevelSetMeshAdaptation:
         return self._shift_from_nodal(self.lset_ho, self.lset_p1, self.deform,
                                       blending=blending)
 
+    def _blending_alpha(self, lset_p1, blending):
+        """Pointwise blending values at the deformation dof nodes
+        (reference blending options, lsetcurving/lsetcurv.py:118-152)."""
+        import numbers
+
+        if blending is None or (isinstance(blending, str)
+                                and blending == "none"):
+            return jnp.zeros((len(self.ho_space.dof_rep_elem),),
+                             dtype=config.dtype)
+        from ..cf.coefficient import wrap, sqrt as cf_sqrt, specialcf
+        from ..cf.context import EvalCtx, eval_pure
+        from math import sqrt as msqrt
+
+        if isinstance(blending, str):
+            scale = msqrt(self.mesh.dim) * specialcf.mesh_size
+            if blending == "quadratic":
+                blending = lset_p1 * lset_p1 / (scale * scale)
+            elif blending == "quartic":
+                blending = (lset_p1 * lset_p1 * lset_p1 * lset_p1
+                            / (scale * scale * scale * scale))
+            else:
+                raise ValueError(f"unknown blending {blending!r}")
+        elif isinstance(blending, numbers.Number):
+            blending = wrap(float(blending))
+        cf = wrap(blending)
+        rep_e = jnp.asarray(self.ho_space.dof_rep_elem)
+        rep_p = jnp.asarray(self.ho_space.dof_rep_ref,
+                            dtype=config.dtype)[:, None, :]
+        ctx = EvalCtx(self.mesh, rep_p, elem_ids=rep_e)
+        a = jnp.broadcast_to(eval_pure(cf, ctx), (rep_p.shape[0], 1))[:, 0]
+        return jnp.clip(a, 0.0, 1.0)
+
     def _shift_from_nodal(self, lset_ho, lset_p1, deform, blending=None,
                           band=None):
         """ProjectShift step for given nodal lset_ho/lset_p1 GridFunctions;
         `band` optionally overrides the active element set (the space-time
         adaptation passes the union of IF elements over the slab)."""
-        alpha = 0.0 if blending is None else float(blending)
-        key = (id(self.mesh), id(self.deform_space), self.order, self.threshold,
-               alpha)
+        key = (id(self.mesh), id(self.deform_space), self.order, self.threshold)
         k = _PS_CACHE.get(key)
         if k is None:
             k = _project_shift_kernel(
-                self.mesh, self.ho_space, self.order, self.threshold, alpha
+                self.mesh, self.ho_space, self.order, self.threshold
             )
             _PS_CACHE[key] = k
         if band is None:
@@ -153,7 +193,8 @@ class LevelSetMeshAdaptation:
                           np.where(vv >= 0, config.lset_eps, -config.lset_eps),
                           vv)
             band = (vv < 0).any(axis=1) & (vv > 0).any(axis=1)
-        vec = k(
+        alpha = self._blending_alpha(lset_p1, blending)
+        vec, res = k(
             jnp.asarray(self.mesh.vertices_np, dtype=config.dtype),
             lset_ho._arr,
             jnp.asarray(self.p1_space.el2dof_np),
@@ -163,7 +204,16 @@ class LevelSetMeshAdaptation:
             jnp.asarray(self.ho_space.el2dof_np),
             jnp.asarray(self.mesh.elements_np),
             jnp.asarray(np.asarray(band, dtype=bool)),
+            alpha,
         )
+        if float(res) > 1e-6:
+            import warnings
+
+            warnings.warn(
+                f"isoparametric shift Newton did not fully converge "
+                f"(max |phi-goal|/h = {float(res):.2e}); the deformation is "
+                f"threshold-clamped but may be less accurate (cf. reference "
+                f"warning + fallback, symboliccutbfi.cpp:1184-1192)")
         deform._set_array(vec)
         return deform
 
@@ -197,10 +247,11 @@ class LevelSetMeshAdaptation:
     def ProjectOnUpdate(self, gfs):
         pass
 
-    def CalcDistances(self, levelset=None, order=None):
+    def CalcDistances(self, levelset=None, order=None, stats=None):
         """Distance statistics of the deformed P1 zero set (cf. reference
         CalcDistances, lsetcurving/calcgeomerrors.cpp): returns
-        (max, mean) of |phi| over interface quadrature points."""
+        (max, L1-mean, L2) of |phi| over the interface; with a
+        StatisticContainer `stats`, appends the series ("max"/"L1"/"L2")."""
         from ..cf.coefficient import wrap
         from ..integrate import _cut_ctx_and_weights
         from ..cf.context import eval_pure
@@ -214,7 +265,14 @@ class LevelSetMeshAdaptation:
             vals = jnp.abs(jnp.broadcast_to(eval_pure(lv, ctx), w_phys.shape))
             vals = jnp.where(w_phys > 0, vals, 0.0)
             tot = jnp.sum(w_phys)
-            return float(jnp.max(vals)), float(jnp.sum(vals * w_phys) / tot)
+            mx = float(jnp.max(vals))
+            l1 = float(jnp.sum(vals * w_phys) / tot)
+            l2 = float(jnp.sqrt(jnp.sum(vals * vals * w_phys) / tot))
+            if stats is not None:
+                stats.Add("max", mx)
+                stats.Add("L1", l1)
+                stats.Add("L2", l2)
+            return mx, l1, l2
         finally:
             self.mesh.UnsetDeformation()
 

@@ -68,3 +68,36 @@ def test_curved_area():
         CoefficientFunction(1.0), mesh, order=2 * order, deformation=deform,
     )
     assert abs(val - pi * r * r) < 1e-5, val
+
+
+def test_blending_variants():
+    """blending in {none, quadratic, quartic, CF} (reference
+    lsetcurving/lsetcurv.py:118-152): all produce a valid deformation; the
+    blended ones deform strictly less away from the interface but keep the
+    interface accuracy within an order of magnitude."""
+    import numpy as np
+    from ngsxfem_tpu import (
+        MakeStructured2DMesh, LevelSetMeshAdaptation, sqrt, x, y,
+        CoefficientFunction,
+    )
+
+    mesh = MakeStructured2DMesh(
+        quads=False, nx=16, ny=16, mapping=lambda a, b: (2 * a - 1, 2 * b - 1))
+    phi = sqrt(x * x + y * y) - 0.6
+
+    dists = {}
+    norms = {}
+    for key, blend in [("none", None), ("quadratic", "quadratic"),
+                       ("quartic", "quartic"),
+                       ("cf0", CoefficientFunction(0.0))]:
+        lsa = LevelSetMeshAdaptation(mesh, order=3, threshold=1000)
+        lsa.CalcDeformation(phi, blending=blend)
+        mx, l1, l2 = lsa.CalcDistances(phi)
+        dists[key] = mx
+        norms[key] = float(np.abs(np.asarray(lsa.deform._arr)).max())
+    assert dists["none"] < 5e-5
+    # CF(0.0) == none exactly
+    assert abs(norms["none"] - norms["cf0"]) < 1e-14
+    for b in ["quadratic", "quartic"]:
+        assert dists[b] < 50 * dists["none"] + 1e-6, (b, dists)
+        assert norms[b] <= norms["none"] + 1e-14

@@ -88,3 +88,22 @@ def test_raw_cf_levelset_falls_back_to_p1():
 
     ci = CutInfo(mesh, phi)  # CF accepted here too
     assert ci.GetElementsOfType(NEG).NumSet() > 0
+
+
+def test_timers():
+    """Timer/PrintTimers subsystem (NGSolve Timer analog, SURVEY §5)."""
+    from ngsxfem_tpu.utils.timing import Timer, GetTimers, ResetTimers, region
+    from ngsxfem_tpu import MakeStructured2DMesh, H1, BilinearForm, SymbolicBFI
+
+    ResetTimers()
+    mesh = MakeStructured2DMesh(quads=False, nx=4, ny=4)
+    V = H1(mesh, order=1)
+    u, v = V.TnT()
+    a = BilinearForm(V)
+    a += SymbolicBFI(form=u * v)
+    with region("outer"):
+        a.Assemble()
+    t = GetTimers()
+    assert "BilinearForm::Assemble" in t and t["BilinearForm::Assemble"][1] == 1
+    assert "outer" in t
+    assert t["outer"][0] >= t["BilinearForm::Assemble"][0]
