@@ -12,6 +12,15 @@ ESTIMATE — the reference publishes no benchmark numbers and NGSolve is not
 installable in this environment (see BASELINE.md); the JSON labels it so.
 vs_baseline = pipeline elements/sec / 2e4; the driver target is >= 20.
 
+TIMING DISCIPLINE (axon tunnel): any device->host transfer (np.asarray,
+float(), int(), .item()) permanently switches the tunneled TPU client into a
+synchronous dispatch mode (~3-7 ms per executable launch AND per while_loop
+iteration) for the rest of the process.  All static tables are therefore host
+numpy baked into the jitted programs as literals, device data is passed as
+jit arguments, warmup/timing synchronize with block_until_ready only, and
+every host read (asserts, residual checks) happens strictly AFTER the last
+timed region.
+
 Prints ONE JSON line.
 """
 import os
@@ -22,6 +31,7 @@ import json
 os.environ.setdefault("NGSXFEM_TPU_X64", "0")  # f32 compute path for speed
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+import numpy as np
 import jax
 import jax.numpy as jnp
 
@@ -53,14 +63,15 @@ def _flops_of(jfn, *args):
 def bench_pipeline(dtype, nx, reps):
     from ngsxfem_tpu.models.poisson import UnfittedPoisson
     from ngsxfem_tpu.solvers.krylov import cg
-    import numpy as np
 
     model = UnfittedPoisson(nx=nx, dim=3, order=1, dtype=dtype)
     vals = model.lset_np[model.mesh.elements_np]
-    ncut = int((((vals < 0).any(1)) & ((vals > 0).any(1))).sum())
-    cap = int(ncut * 1.2) + 8
-    struct = model.ell_structure()
-    cols = struct["ell_cols"]
+    ncut_host = int((((vals < 0).any(1)) & ((vals > 0).any(1))).sum())
+    cap = int(ncut_host * 1.2) + 8
+    struct = model.ell_structure()          # host numpy tables
+    cols = np.asarray(struct["ell_cols"])   # baked as a literal below
+    rows_idx = np.arange(cols.shape[0])[:, None]
+    diag_mask = (cols == rows_idx)
 
     @jax.jit
     def assemble(vertices, lset):
@@ -69,8 +80,7 @@ def bench_pipeline(dtype, nx, reps):
 
     @jax.jit
     def solve(ell_vals, b):
-        diag = jnp.sum(jnp.where(cols == jnp.arange(cols.shape[0])[:, None],
-                                 ell_vals, 0.0), axis=1)
+        diag = jnp.sum(jnp.where(diag_mask, ell_vals, 0.0), axis=1)
         dinv = jnp.where(jnp.abs(diag) > 1e-30, 1.0 / diag, 1.0)
         mv = lambda x: jnp.sum(ell_vals * x[cols], axis=1)
         x, k, res = cg(mv, b, maxiter=CG_ITERS, tol=0.0, M=lambda r: dinv * r)
@@ -83,15 +93,18 @@ def bench_pipeline(dtype, nx, reps):
         return x, res, n
 
     v, l = model.vertices, model.lset
-    b = jnp.where(model.active_dofs, 1.0, 0.0).astype(dtype)
+    b = jnp.where(jnp.asarray(model.active_dofs), 1.0, 0.0).astype(dtype)
 
-    ell_vals, n = assemble(v, l)
-    assert int(n) <= cap, "cut capacity overflow"
+    # warmup (compiles; device-only, no host reads)
+    ell_vals, n_dev = assemble(v, l)
+    jax.block_until_ready(ell_vals)
+
     t_asm, _ = _time(assemble, v, l, reps=reps)
     t_slv, (xs, res) = _time(solve, ell_vals, b, reps=reps)
     t_pipe, (_, res_p, _) = _time(pipeline, v, l, b, reps=max(2, reps // 2))
 
-    # sanity: CG actually reduces the residual
+    # ---- host reads: only AFTER all timing (see module docstring) ----
+    assert int(n_dev) <= cap, "cut capacity overflow"
     r0 = float(jnp.linalg.norm(b))
     assert float(res_p) < 0.1 * r0, (float(res_p), r0)
 
@@ -111,14 +124,28 @@ def bench_pipeline(dtype, nx, reps):
 def main():
     nx = int(os.environ.get("BENCH_NX", "32"))
     reps = int(os.environ.get("BENCH_REPS", "10"))
+
+    if os.environ.get("BENCH_INNER_F64") == "1":
+        # child process: clean (unpoisoned) f64 run, one number on stdout
+        jax.config.update("jax_enable_x64", True)
+        r64 = bench_pipeline(jnp.float64, max(nx // 2, 8), max(2, reps // 4))
+        print(json.dumps({"f64_pipe": r64["pipe_elts_per_sec"]}))
+        return
+
     r32 = bench_pipeline(jnp.float32, nx, reps)
 
     f64 = None
     if os.environ.get("BENCH_F64", "1") != "0":
+        # subprocess: the f32 run's post-timing host reads switched THIS
+        # process into the slow sync-dispatch mode (see docstring)
+        import subprocess
+
         try:
-            jax.config.update("jax_enable_x64", True)
-            r64 = bench_pipeline(jnp.float64, max(nx // 2, 8), max(2, reps // 4))
-            f64 = round(r64["pipe_elts_per_sec"], 1)
+            env = dict(os.environ, BENCH_INNER_F64="1")
+            out = subprocess.run(
+                [sys.executable, os.path.abspath(__file__)], env=env,
+                capture_output=True, text=True, timeout=1200)
+            f64 = round(json.loads(out.stdout.strip().splitlines()[-1])["f64_pipe"], 1)
         except Exception:
             f64 = None
 

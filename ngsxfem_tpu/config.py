@@ -14,16 +14,46 @@ import os
 
 import jax
 
+# Honor JAX_PLATFORMS even when a site-installed PJRT plugin outranks it
+# (e.g. the axon TPU plugin registers itself regardless of the env var):
+# enforce the user's choice at the config level before any backend init.
+if os.environ.get("JAX_PLATFORMS"):
+    try:
+        jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+    except Exception:  # pragma: no cover - unknown platform string
+        pass
+
 # Enable x64 before any array is created.  Users can opt out by setting
 # NGSXFEM_TPU_X64=0 in the environment before importing the package.
 if os.environ.get("NGSXFEM_TPU_X64", "1") != "0":
     jax.config.update("jax_enable_x64", True)
 
 # Persistent compilation cache: identical XLA programs (same shapes/graph)
-# skip recompilation across calls and processes.
+# skip recompilation across calls and processes.  The dir is keyed by a host
+# fingerprint: XLA:CPU caches AOT machine code compiled for the *build* host's
+# CPU features, and replaying an entry from a different machine can SIGILL
+# (the loader only warns).  A new host therefore gets a fresh cache dir.
+def _host_fingerprint():
+    import hashlib
+    import platform
+
+    feats = ""
+    try:
+        with open("/proc/cpuinfo") as f:
+            for line in f:
+                if line.startswith("flags"):
+                    feats = " ".join(sorted(line.split(":", 1)[1].split()))
+                    break
+    except OSError:
+        pass
+    return hashlib.sha1(
+        f"{platform.machine()}|{feats}".encode()).hexdigest()[:12]
+
+
 if os.environ.get("NGSXFEM_TPU_COMPCACHE", "1") != "0":
     _cache_dir = os.environ.get(
-        "NGSXFEM_TPU_COMPCACHE_DIR", os.path.expanduser("~/.cache/ngsxfem_tpu_xla")
+        "NGSXFEM_TPU_COMPCACHE_DIR",
+        os.path.expanduser(f"~/.cache/ngsxfem_tpu_xla-{_host_fingerprint()}"),
     )
     try:
         jax.config.update("jax_compilation_cache_dir", _cache_dir)

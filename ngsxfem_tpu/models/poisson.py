@@ -162,7 +162,13 @@ class UnfittedPoisson:
         # vertices but in fingerprint order; build permutation
         self.p1dof2vertex = self._p1_vertex_permutation(p1)
         self.vertices = jnp.asarray(self.mesh.vertices_np, dtype=dtype)
-        self.el2dof = jnp.asarray(self.space.el2dof_np)
+        # Static index tables stay HOST numpy: inside jit they bake into the
+        # executable as literals with no device round trip.  Closure-capturing
+        # *device* arrays instead forces a device->host read at lowering time,
+        # which on tunneled single-chip setups (axon) permanently degrades
+        # dispatch to a synchronous ~ms-latency mode — see bench.py.
+        self.el2dof = np.asarray(self.space.el2dof_np)
+        self.elements = self.mesh.elements_np
 
         # ghost-penalty facets: between elements touching the interface band
         vals_el = self.lset_np[self.mesh.elements_np]
@@ -181,7 +187,7 @@ class UnfittedPoisson:
         self.active = has_neg  # active element mask
         ad = np.zeros(self.ndof, dtype=bool)
         ad[self.space.el2dof_np[has_neg].ravel()] = True
-        self.active_dofs = jnp.asarray(ad)
+        self.active_dofs = ad  # host numpy (see note above)
 
     def _p1_vertex_permutation(self, p1):
         # P1 dof i sits at vertex dof_rep: match by element/local vertex
@@ -197,11 +203,11 @@ class UnfittedPoisson:
     # -- pure kernels --------------------------------------------------------
     def lset_elem_vals(self, lset_vertex):
         """(ne, nvel) from per-vertex level-set values."""
-        return lset_vertex[self.mesh.elements][..., :]
+        return lset_vertex[self.elements][..., :]
 
     def elmats(self, vertices, lset_vertex):
-        coords = vertices[self.mesh.elements]
-        vals = lset_vertex[self.mesh.elements]
+        coords = vertices[self.elements]
+        vals = lset_vertex[self.elements]
         A = cut_poisson_elmats(self.et, self.order, coords, vals, self.lam_nitsche)
         return A
 
@@ -249,7 +255,7 @@ class UnfittedPoisson:
         return A_std, A_cut, cut_ids, ncut
 
     def apply_compact(self, vertices, lset_vertex, x, cut_capacity):
-        elements, el2dof = self.mesh.elements, self.el2dof
+        elements, el2dof = self.elements, self.el2dof
         A_std, A_cut, cut_ids, ncut = self.elmats_compact(
             vertices, lset_vertex, elements, el2dof, cut_capacity
         )
@@ -259,10 +265,7 @@ class UnfittedPoisson:
         yc = jnp.einsum("eij,ej->ei", A_cut, x[cd])
         y = y.at[cd.reshape(-1)].add(yc.reshape(-1))
         G = self.gp_mats(vertices)
-        dmap = jnp.concatenate(
-            [el2dof[jnp.asarray(self.gp_e1)], el2dof[jnp.asarray(self.gp_e2)]],
-            axis=1,
-        )
+        dmap = np.concatenate([el2dof[self.gp_e1], el2dof[self.gp_e2]], axis=1)
         yf = jnp.einsum("fij,fj->fi", G, x[dmap])
         y = y.at[dmap.reshape(-1)].add(yf.reshape(-1))
         return jnp.where(self.active_dofs, y, x)
@@ -289,7 +292,7 @@ class UnfittedPoisson:
         rows = np.concatenate([rows_e, rows_f]).astype(np.int64)
         cols = np.concatenate([cols_e, cols_f]).astype(np.int64)
         # identity rows for inactive dofs
-        inact = np.nonzero(~np.asarray(self.active_dofs))[0].astype(np.int64)
+        inact = np.nonzero(~self.active_dofs)[0].astype(np.int64)
         rows = np.concatenate([rows, inact])
         cols = np.concatenate([cols, inact])
 
@@ -308,18 +311,21 @@ class UnfittedPoisson:
         slot_of_uniq = urows * K + pos  # flat slot in the (n, K) value table
         slots = slot_of_uniq[inv]
         ns = len(rows_e)
+        # host numpy throughout: used as baked-in literals inside jit
         return {
-            "ell_cols": jnp.asarray(ell_cols),
-            "elm_slots": jnp.asarray(slots[:ns]),
-            "gp_slots": jnp.asarray(slots[ns:ns + len(rows_f)]),
-            "id_slots": jnp.asarray(slots[ns + len(rows_f):]),
+            "ell_cols": ell_cols,
+            "elm_slots": slots[:ns].astype(np.int32) if n < 2**31 else slots[:ns],
+            "gp_slots": slots[ns:ns + len(rows_f)].astype(np.int32)
+            if n * K < 2**31 else slots[ns:ns + len(rows_f)],
+            "id_slots": slots[ns + len(rows_f):].astype(np.int32)
+            if n * K < 2**31 else slots[ns + len(rows_f):],
             "K": K,
         }
 
     def assemble_ell_vals(self, vertices, lset_vertex, cut_capacity, struct):
         """Device pipeline stage 1+2: element matrices -> global ELL values."""
         A_std, A_cut, cut_ids, n = self.elmats_compact(
-            vertices, lset_vertex, self.mesh.elements, self.el2dof, cut_capacity
+            vertices, lset_vertex, self.elements, self.el2dof, cut_capacity
         )
         A_all = A_std.at[cut_ids].add(A_cut)
         G = self.gp_mats(vertices)
@@ -331,8 +337,8 @@ class UnfittedPoisson:
         return vals.reshape(struct["ell_cols"].shape), n
 
     def gp_mats(self, vertices):
-        coords1 = vertices[self.mesh.elements][jnp.asarray(self.gp_e1)]
-        coords2 = vertices[self.mesh.elements][jnp.asarray(self.gp_e2)]
+        coords1 = vertices[self.elements[self.gp_e1]]
+        coords2 = vertices[self.elements[self.gp_e2]]
         return ghost_penalty_elmats(self.et, self.order, coords1, coords2,
                                     self.gamma_gp)
 
@@ -343,18 +349,16 @@ class UnfittedPoisson:
         ye = jnp.einsum("eij,ej->ei", A, xe)
         y = jnp.zeros_like(x).at[self.el2dof.reshape(-1)].add(ye.reshape(-1))
         G = self.gp_mats(vertices)
-        dmap = jnp.concatenate(
-            [self.el2dof[jnp.asarray(self.gp_e1)], self.el2dof[jnp.asarray(self.gp_e2)]],
-            axis=1,
-        )
+        dmap = np.concatenate([self.el2dof[self.gp_e1], self.el2dof[self.gp_e2]],
+                              axis=1)
         xf = x[dmap]
         yf = jnp.einsum("fij,fj->fi", G, xf)
         y = y.at[dmap.reshape(-1)].add(yf.reshape(-1))
         return jnp.where(self.active_dofs, y, x)
 
     def rhs(self, vertices, lset_vertex, f_fn):
-        coords = vertices[self.mesh.elements]
-        vals = lset_vertex[self.mesh.elements]
+        coords = vertices[self.elements]
+        vals = lset_vertex[self.elements]
         fe = cut_poisson_rhs_elvecs(self.et, self.order, coords, vals, f_fn)
         b = jnp.zeros((self.ndof,), dtype=vertices.dtype)
         b = b.at[self.el2dof.reshape(-1)].add(fe.reshape(-1))
@@ -458,7 +462,7 @@ class UnfittedPoisson:
         c2 = self.mesh.vertices_np[self.mesh.elements_np[self.gp_e2[gpflat]]] \
             if F else np.zeros((n * Fc, self.nd, self.dim))
 
-        act = np.asarray(self.active_dofs)
+        act = self.active_dofs
         act_int, act_sh = part.split_vector(act)
         bfull = np.where(act, 1.0, 0.0)
         b_int, b_sh = part.split_vector(bfull)
