@@ -81,3 +81,16 @@ def test_fictdom_dg_ghostpen():
     e2 = fictdom_dg_ghostpen.run(nx=40, order=2, verbose=False)
     assert e2 < 0.006, (e1, e2)
     assert e2 < e1 / 3, (e1, e2)
+
+
+def test_fictdom_ghostpen_restrictedblf():
+    """Restricted-BLF fictdom workload (reference py_tutorials/
+    fictdom_ghostpen_restrictedblf.py): order-3 + deformation + dn-jump
+    ghost penalty on a RestrictedBilinearForm; the restricted operator must
+    have strictly fewer stored entries than the full dgjumps pattern."""
+    from examples import fictdom_ghostpen_restrictedblf
+
+    err, nnz_full, nnz_restr = fictdom_ghostpen_restrictedblf.run(
+        nx=16, verbose=False)
+    assert nnz_restr < nnz_full, (nnz_restr, nnz_full)
+    assert err < 0.02, err
