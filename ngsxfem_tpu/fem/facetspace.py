@@ -144,21 +144,57 @@ class FacetFESpace(FESpace):
         return Factor(block=proxy.block_key, arr=arr, space=proxy.space)
 
 
+def _facet_interior_local_nodes(space):
+    """Per local facet: local node ids whose support is EXACTLY the facet
+    (all facet vertices carry nonzero weight) — the NT_FACET node dofs.
+    Vertex/edge-of-face dofs belong to lower-dimensional nodes and are
+    excluded, matching NGSolve's GetDofNrs(NodeId(NT_FACET, f))."""
+    from ..mesh.mesh import geom_shapes
+
+    et = space.mesh.et
+    b = lagrange_element(et, space.order)
+    N = geom_shapes(et, b["nodes"], xp=np)  # (ndl, nv)
+    sup = N > 1e-9
+    out = []
+    for fvs in FACET_VERTS[et]:
+        inside = np.ones(len(N), dtype=bool)
+        for v in range(N.shape[1]):
+            inside &= sup[:, v] if v in fvs else ~sup[:, v]
+        out.append(np.nonzero(inside)[0])
+    return out
+
+
 def GetDofsOfFacets(space, facet_mask) -> BitArray:
     """Dofs associated with marked facets (reference
-    ``xfem/cutinfo.cpp:306-329``: GetDofNrs per NT_FACET node)."""
-    from .space import CompressedFESpace, _arr
+    ``xfem/cutinfo.cpp:306-329``: GetDofNrs per NT_FACET node).
+
+    Works for any space: FacetFESpace marks all dofs of the facet;
+    continuous element spaces (H1) mark the facet-interior Lagrange dofs
+    (the NT_FACET node dofs — empty for order 1 on simplices, as in
+    NGSolve); discontinuous (dgjumps-free L2) spaces have no facet nodes.
+    """
+    from .space import CompressedFESpace, _arr, L2
 
     mask = _arr(facet_mask)
     if isinstance(space, CompressedFESpace):
         inner = GetDofsOfFacets(space.base, mask)
         return BitArray(inner.np[space.comp2base])
-    if not isinstance(space, FacetFESpace):
-        raise TypeError(
-            "GetDofsOfFacets expects a FacetFESpace (or a compressed one); "
-            "for element-based spaces use GetDofsOfElements"
-        )
     out = np.zeros(space.ndof, dtype=bool)
-    dofs = space.facet2dof_np[mask]
-    out[dofs.ravel()] = True
+    if isinstance(space, FacetFESpace):
+        dofs = space.facet2dof_np[mask]
+        out[dofs.ravel()] = True
+        return BitArray(out)
+    if isinstance(space, L2):
+        return BitArray(out)  # all dofs are element-interior
+    lfn = _facet_interior_local_nodes(space)
+    m = space.mesh
+    fids = np.nonzero(mask)[0]
+    e = m.facet2el_np[fids, 0]
+    lf = m.facet2elloc_np[fids, 0]
+    for loc, ids in enumerate(lfn):
+        if len(ids) == 0:
+            continue
+        sel = lf == loc
+        if sel.any():
+            out[space.el2dof_np[e[sel]][:, ids].ravel()] = True
     return BitArray(out)

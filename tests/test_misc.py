@@ -107,3 +107,21 @@ def test_timers():
     assert "BilinearForm::Assemble" in t and t["BilinearForm::Assemble"][1] == 1
     assert "outer" in t
     assert t["outer"][0] >= t["BilinearForm::Assemble"][0]
+
+
+def test_getdofsoffacets_element_spaces():
+    """GetDofsOfFacets on element-based spaces returns the NT_FACET node
+    dofs (reference xfem/cutinfo.cpp:306-329 via FESpace::GetDofNrs):
+    facet-interior Lagrange dofs for H1, nothing for L2."""
+    import numpy as np
+    from ngsxfem_tpu import (MakeStructured2DMesh, H1, L2, FacetFESpace,
+                             GetDofsOfFacets)
+
+    mesh = MakeStructured2DMesh(quads=False, nx=4, ny=4)
+    fmask = np.zeros(mesh.nfacets, bool)
+    fmask[:3] = True
+    assert GetDofsOfFacets(H1(mesh, order=1), fmask).NumSet() == 0
+    assert GetDofsOfFacets(H1(mesh, order=2), fmask).NumSet() == 3
+    assert GetDofsOfFacets(H1(mesh, order=3), fmask).NumSet() == 6
+    assert GetDofsOfFacets(L2(mesh, order=2), fmask).NumSet() == 0
+    assert GetDofsOfFacets(FacetFESpace(mesh, order=1), fmask).NumSet() == 6
