@@ -78,7 +78,30 @@ class XFESpace:
         # inactive base dofs must never contribute: extra mask
         self.eldof_active = jnp.asarray(mapped >= 0)
         self.dom_of_xdof = self.dom_of_basedof[self.xdof2basedof]
+        # Dirichlet-where-the-cut-touches-the-boundary (xFESpace.cpp:368-399):
+        # an enrichment dof is Dirichlet iff its base dof is Dirichlet AND it
+        # has support on a boundary element crossed by the interface.
         self.dirichlet_dofs = np.zeros(self.ndof, dtype=bool)
+        mesh = basefes.mesh
+        if len(mesh.boundary_facets_np) and getattr(
+                self.cutinfo, "dt_of_belem", None) is not None:
+            from ..geom.cutinfo import IF as _IF, BND as _BND
+
+            bnd_if = self.cutinfo.GetElementsOfType(_IF, VOL_or_BND=_BND).np
+            if bnd_if.any() and basefes.dirichlet_dofs.any():
+                lfn = basefes._local_facet_nodes()
+                cut_on_bnd = np.zeros(self.ndof, dtype=bool)
+                bfs = mesh.boundary_facets_np[bnd_if]
+                e = mesh.facet2el_np[bfs, 0]
+                lf = mesh.facet2elloc_np[bfs, 0]
+                for loc, ids in enumerate(lfn):
+                    sel = lf == loc
+                    if sel.any() and len(ids):
+                        xd = self.basedof2xdof[
+                            basefes.el2dof_np[e[sel]][:, ids].ravel()]
+                        cut_on_bnd[xd[xd >= 0]] = True
+                self.dirichlet_dofs = (
+                    cut_on_bnd & basefes.dirichlet_dofs[self.xdof2basedof])
         self.bc_of_dof = np.zeros(self.ndof, dtype=np.int32)
         self.dgjumps = basefes.dgjumps
         self.vdim = 1

@@ -89,3 +89,26 @@ def test_xfespace_trace_local_dofs_and_condense():
 
     x_ref = spla.spsolve(Asp.to_scipy().tocsc(), np.asarray(b))
     assert np.max(np.abs(np.asarray(x_c) - x_ref)) < 1e-8
+
+
+def test_xfes_dirichlet_where_cut_touches_boundary():
+    """Reference xFESpace.cpp:368-399: an enrichment dof is Dirichlet iff its
+    base dof is Dirichlet and it supports a boundary element crossed by the
+    interface; interfaces that stay interior produce no Dirichlet xdofs."""
+    from ngsxfem_tpu import (MakeStructured2DMesh, H1, GridFunction,
+                             InterpolateToP1, CutInfo, x, y)
+    from ngsxfem_tpu.fem.xfespace import XFESpace
+
+    mesh = MakeStructured2DMesh(quads=False, nx=6, ny=6)
+    base = H1(mesh, order=1, dirichlet=[1, 2, 3, 4])
+
+    l = GridFunction(H1(mesh, order=1))
+    InterpolateToP1(y - 0.52, l)  # crosses left/right boundary
+    X = XFESpace(base, CutInfo(mesh, l))
+    assert X.dirichlet_dofs.sum() > 0
+    assert (~X.FreeDofs().np == X.dirichlet_dofs).all()
+
+    l2 = GridFunction(H1(mesh, order=1))
+    InterpolateToP1((x - 0.5) ** 2 + (y - 0.5) ** 2 - 0.09, l2)  # interior
+    X2 = XFESpace(base, CutInfo(mesh, l2))
+    assert X2.dirichlet_dofs.sum() == 0
