@@ -197,10 +197,22 @@ def GetFacetsWithNeighborTypes(mesh, a, b=None, bnd_val_a=True, bnd_val_b=True,
     b1 = b[e1]
     a2 = np.where(interior, a[np.maximum(e2, 0)], bnd_val_a)
     b2 = np.where(interior, b[np.maximum(e2, 0)], bnd_val_b)
+    # periodic boundary facets take their partner's element as the right
+    # neighbor; only the lower-numbered facet of the pair is marked
+    # (reference xfem/cutinfo.cpp:224-235 GetPeriodicFacet branch)
+    pf = getattr(mesh, "periodic_facet_np", None)
+    has_per = None
+    if pf is not None and (pf >= 0).any():
+        has_per = (~interior) & (pf >= 0)
+        pe = f2e[np.maximum(pf, 0), 0]
+        a2 = np.where(has_per, a[pe], a2)
+        b2 = np.where(has_per, b[pe], b2)
     if use_and:
         out = (a1 & b2) | (b1 & a2)
     else:
         out = (a1 | b2) & (b1 | a2)
+    if has_per is not None:
+        out &= ~(has_per & (pf < np.arange(len(pf))))
     return BitArray(out)
 
 
@@ -212,6 +224,13 @@ def GetElementsWithNeighborFacets(mesh, facets) -> BitArray:
     for s in range(2):
         es = f2e[sel, s]
         out[es[es >= 0]] = True
+    # marked periodic facet -> partner's element counts as a neighbor too
+    pf = getattr(mesh, "periodic_facet_np", None)
+    if pf is not None and len(sel):
+        partners = pf[sel]
+        pp = partners[partners >= 0]
+        if len(pp):
+            out[f2e[pp, 0]] = True
     return BitArray(out)
 
 

@@ -68,6 +68,12 @@ class Mesh:
             bc_of_facet = np.where(self.facet2el_np[:, 1] < 0, 1, 0).astype(np.int32)
         self.bc_of_facet_np = np.asarray(bc_of_facet, dtype=np.int32)
         self.bc_names = bc_names or {}
+        # periodic facet identification (boundary facet -> partner facet on
+        # the opposite periodic side, -1 if none); set by mesh builders with
+        # periodic=..., consumed by the facet set algebra
+        # (GetFacetsWithNeighborTypes / GetElementsWithNeighborFacets,
+        # mirroring MeshAccess::GetPeriodicFacet in xfem/cutinfo.cpp:226-235)
+        self.periodic_facet_np = np.full(self.nfacets, -1, dtype=np.int64)
         # device arrays
         self.vertices = jnp.asarray(self.vertices_np, dtype=config.dtype)
         self.elements = jnp.asarray(self.elements_np)

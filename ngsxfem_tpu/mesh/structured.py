@@ -68,7 +68,27 @@ def Make1DMesh(n: int, mapping=None):
     return m
 
 
-def MakeStructured2DMesh(quads=True, nx=10, ny=10, mapping=None):
+def _periodic_identify(m, unit_vertices, periodic):
+    """Match opposite unit-box boundary facets for the axes named in
+    ``periodic`` (e.g. "x", "xy"); fills mesh.periodic_facet_np."""
+    d = unit_vertices.shape[1]
+    bf = m.boundary_facets_np
+    centers = unit_vertices[m.facets_np[bf]].mean(axis=1)  # (B, d)
+    for ax, ch in enumerate("xyz"[:d]):
+        if ch not in periodic:
+            continue
+        lo = np.abs(centers[:, ax]) < 1e-12
+        hi = np.abs(centers[:, ax] - 1.0) < 1e-12
+        key = np.round(np.delete(centers, ax, axis=1) * 2.0**40).astype(np.int64)
+        lom = {tuple(k): int(f) for k, f in zip(key[lo], bf[lo])}
+        for k, f in zip(key[hi], bf[hi]):
+            p = lom[tuple(k)]
+            m.periodic_facet_np[p] = f
+            m.periodic_facet_np[f] = p
+
+
+def MakeStructured2DMesh(quads=True, nx=10, ny=10, mapping=None,
+                         periodic=""):
     xs = np.linspace(0.0, 1.0, nx + 1)
     ys = np.linspace(0.0, 1.0, ny + 1)
     X, Y = np.meshgrid(xs, ys, indexing="ij")
@@ -94,10 +114,13 @@ def MakeStructured2DMesh(quads=True, nx=10, ny=10, mapping=None):
     m = Mesh("quad" if quads else "trig", verts, elems)
     m.bc_of_facet_np = _facet_bc_from_unitbox(m, unit_vertices, 2)
     m.bc_names = _BC_NAMES_2D
+    if periodic:
+        _periodic_identify(m, unit_vertices, periodic)
     return m
 
 
-def MakeStructured3DMesh(hexes=True, nx=10, ny=10, nz=10, mapping=None):
+def MakeStructured3DMesh(hexes=True, nx=10, ny=10, nz=10, mapping=None,
+                         periodic=""):
     xs = np.linspace(0.0, 1.0, nx + 1)
     ys = np.linspace(0.0, 1.0, ny + 1)
     zs = np.linspace(0.0, 1.0, nz + 1)
@@ -141,4 +164,6 @@ def MakeStructured3DMesh(hexes=True, nx=10, ny=10, nz=10, mapping=None):
     m = Mesh("hex" if hexes else "tet", verts, elems)
     m.bc_of_facet_np = _facet_bc_from_unitbox(m, unit_vertices, 3)
     m.bc_names = _BC_NAMES_3D
+    if periodic:
+        _periodic_identify(m, unit_vertices, periodic)
     return m

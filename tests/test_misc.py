@@ -125,3 +125,30 @@ def test_getdofsoffacets_element_spaces():
     assert GetDofsOfFacets(H1(mesh, order=3), fmask).NumSet() == 6
     assert GetDofsOfFacets(L2(mesh, order=2), fmask).NumSet() == 0
     assert GetDofsOfFacets(FacetFESpace(mesh, order=1), fmask).NumSet() == 6
+
+
+def test_periodic_facet_algebra():
+    """Periodic-aware facet set algebra (reference xfem/cutinfo.cpp:224-235:
+    GetPeriodicFacet joins a boundary facet to its partner's element; only
+    the lower-numbered facet of each pair is marked)."""
+    import numpy as np
+    from ngsxfem_tpu import (MakeStructured2DMesh, GetFacetsWithNeighborTypes,
+                             GetElementsWithNeighborFacets)
+
+    mesh = MakeStructured2DMesh(quads=False, nx=4, ny=4, periodic="x")
+    pf = mesh.periodic_facet_np
+    ids = np.nonzero(pf >= 0)[0]
+    assert len(ids) == 8 and all(pf[pf[i]] == i for i in ids)
+
+    cents = mesh.vertices_np[mesh.elements_np].mean(1)
+    a = cents[:, 0] < 1 / 4
+    b = cents[:, 0] > 3 / 4
+    f = GetFacetsWithNeighborTypes(mesh, a=a, b=b,
+                                   bnd_val_a=False, bnd_val_b=False)
+    assert f.NumSet() == 4  # one per pair, lower-id side only
+    assert GetElementsWithNeighborFacets(mesh, f).NumSet() == 8
+
+    m2 = MakeStructured2DMesh(quads=False, nx=4, ny=4)  # non-periodic
+    f2 = GetFacetsWithNeighborTypes(m2, a=a, b=b,
+                                    bnd_val_a=False, bnd_val_b=False)
+    assert f2.NumSet() == 0
