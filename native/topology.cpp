@@ -130,4 +130,43 @@ int64_t dedup_rows(const int64_t* keys, int64_t n, int32_t klen,
     return ndof;
 }
 
+// Deduplicate single int64 keys (e.g. linearized (row, col) sparse-matrix
+// coordinates for the ELL structure build) with an open-addressing table --
+// much faster than the generic unordered_map path for klen == 1.
+int64_t dedup_i64(const int64_t* keys, int64_t n, int32_t* out_inv,
+                  int64_t* out_first) {
+    uint64_t cap = 16;
+    while (cap < static_cast<uint64_t>(n) * 2) cap <<= 1;
+    const uint64_t mask = cap - 1;
+    std::vector<int64_t> slot(cap, -1);  // -> unique id
+    std::vector<int64_t> skey(cap);
+    int64_t nu = 0;
+    for (int64_t i = 0; i < n; ++i) {
+        const int64_t k = keys[i];
+        // splitmix64 finalizer
+        uint64_t h = static_cast<uint64_t>(k) + 0x9e3779b97f4a7c15ull;
+        h = (h ^ (h >> 30)) * 0xbf58476d1ce4e5b9ull;
+        h = (h ^ (h >> 27)) * 0x94d049bb133111ebull;
+        h ^= h >> 31;
+        uint64_t p = h & mask;
+        while (true) {
+            const int64_t s = slot[p];
+            if (s < 0) {
+                slot[p] = nu;
+                skey[p] = k;
+                out_first[nu] = i;
+                out_inv[i] = static_cast<int32_t>(nu);
+                ++nu;
+                break;
+            }
+            if (skey[p] == k) {
+                out_inv[i] = static_cast<int32_t>(s);
+                break;
+            }
+            p = (p + 1) & mask;
+        }
+    }
+    return nu;
+}
+
 }  // extern "C"

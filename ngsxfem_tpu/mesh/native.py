@@ -41,6 +41,11 @@ def _lib():
             ctypes.c_void_p, ctypes.c_int64, ctypes.c_int32,
             ctypes.c_void_p, ctypes.c_void_p,
         ]
+        lib.dedup_i64.restype = ctypes.c_int64
+        lib.dedup_i64.argtypes = [
+            ctypes.c_void_p, ctypes.c_int64,
+            ctypes.c_void_p, ctypes.c_void_p,
+        ]
         _LIB = lib
     except Exception:
         _LIB = None
@@ -84,8 +89,26 @@ def dedup_rows(keys: np.ndarray):
     n, klen = keys.shape
     inv = np.empty(n, dtype=np.int32)
     first = np.empty(n, dtype=np.int64)
-    ndof = lib.dedup_rows(keys.ctypes.data, n, klen, inv.ctypes.data,
-                          first.ctypes.data)
+    if klen == 1:
+        ndof = lib.dedup_i64(keys.ctypes.data, n, inv.ctypes.data,
+                             first.ctypes.data)
+    else:
+        ndof = lib.dedup_rows(keys.ctypes.data, n, klen, inv.ctypes.data,
+                              first.ctypes.data)
     if ndof < 0:
         return None
     return int(ndof), inv, first[:ndof].copy()
+
+
+def unique_i64(keys: np.ndarray):
+    """First-occurrence dedup of a flat int64 array via the native
+    open-addressing table: returns (uniq, inv) like
+    ``np.unique(..., return_inverse=True)`` but WITHOUT sorting — uniq is in
+    first-appearance order.  Falls back to np.unique when the native library
+    is unavailable."""
+    keys = np.ascontiguousarray(keys.reshape(-1), dtype=np.int64)
+    out = dedup_rows(keys.reshape(-1, 1))
+    if out is None:
+        return np.unique(keys, return_inverse=True)
+    nu, inv, first = out
+    return keys[first], inv

@@ -298,14 +298,22 @@ class UnfittedPoisson:
 
         n = self.ndof
         lin = rows * n + cols
-        uniq, inv = np.unique(lin, return_inverse=True)
+        # native open-addressing dedup (native/topology.cpp dedup_i64): no
+        # O(nnz log nnz) sort of the full triplet stream, only the much
+        # smaller unique set is ordered per row afterwards
+        from ..mesh.native import unique_i64
+
+        uniq, inv = unique_i64(lin)
+        nu = len(uniq)
         urows = (uniq // n).astype(np.int64)
         ucols = (uniq % n).astype(np.int32)
         counts = np.bincount(urows, minlength=n)
         K = int(counts.max())
         row_start = np.zeros(n + 1, dtype=np.int64)
         np.cumsum(counts, out=row_start[1:])
-        pos = np.arange(len(urows)) - row_start[urows]
+        order = np.argsort(urows, kind="stable")
+        pos = np.empty(nu, dtype=np.int64)
+        pos[order] = np.arange(nu) - row_start[urows[order]]
         ell_cols = np.zeros((n, K), dtype=np.int32)
         ell_cols[urows, pos] = ucols
         slot_of_uniq = urows * K + pos  # flat slot in the (n, K) value table

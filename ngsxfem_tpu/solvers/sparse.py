@@ -65,12 +65,15 @@ class SparseMatrix:
         cols = np.asarray(self.cols)
         vals = np.asarray(self.vals)
         n = self.shape[0]
-        # sum duplicate (row, col) entries first
+        # sum duplicate (row, col) entries via the native open-addressing
+        # dedup (native/topology.cpp dedup_i64) — avoids sorting the full
+        # triplet stream; only the unique set is ordered per row
+        from ..mesh.native import unique_i64
+
         lin = rows.astype(np.int64) * self.shape[1] + cols
-        order = np.argsort(lin, kind="stable")
-        lin, cols, rows, vals = lin[order], cols[order], rows[order], vals[order]
-        uniq, start = np.unique(lin, return_index=True)
-        sums = np.add.reduceat(vals, start)
+        uniq, inv = unique_i64(lin)
+        nu = len(uniq)
+        sums = np.bincount(inv, weights=vals, minlength=nu).astype(vals.dtype)
         urows = (uniq // self.shape[1]).astype(np.int32)
         ucols = (uniq % self.shape[1]).astype(np.int32)
         counts = np.bincount(urows, minlength=n)
@@ -80,7 +83,9 @@ class SparseMatrix:
         # vectorized slot assignment: position within each row
         row_start = np.zeros(n + 1, dtype=np.int64)
         np.cumsum(counts, out=row_start[1:])
-        pos = np.arange(len(urows)) - row_start[urows]
+        order = np.argsort(urows, kind="stable")
+        pos = np.empty(nu, dtype=np.int64)
+        pos[order] = np.arange(nu) - row_start[urows[order]]
         ell_cols[urows, pos] = ucols
         ell_vals[urows, pos] = sums
         return ELLMatrix(jnp.asarray(ell_cols), jnp.asarray(ell_vals), self.shape)
