@@ -206,3 +206,29 @@ def test_cg_in_time_variants():
     Wo = SpaceTimeFESpace(Vs, only)
     assert Wo.ndof == Vs.ndof
     assert Wo.IsTimeNodeActive(0) and not Wo.IsTimeNodeActive(1)
+
+
+def test_spacetime_skeleton_time_tensorized():
+    """Space-time skeleton integrator (reference SymbolicFacetBilinearForm-
+    Integrator2, xfem/symboliccutbfi.cpp:948-1102): skeleton=True with
+    time_order>=0 tensorizes facet rules with time Gauss points.  A dt(u)*
+    jump form on a CG-in-time space must reproduce the same solution as the
+    volume form when the skeleton term's exact value is zero for continuous
+    functions — here we check quadrature exactness directly: integrating
+    tref^k over the skeleton x [0,1] gives |skeleton| / (k+1)."""
+    import numpy as np
+    import jax.numpy as jnp
+    from ngsxfem_tpu import MakeStructured2DMesh, tref
+    from ngsxfem_tpu.forms.assemble import Integral, _skeleton_ctx
+    from ngsxfem_tpu.cf.context import eval_pure
+
+    mesh = MakeStructured2DMesh(quads=False, nx=3, ny=3)
+    for k in (1, 2, 3):
+        integ = Integral(form=tref ** k, skeleton=True, time_order=k)
+        ctx, e1, e2, w, mask = _skeleton_ctx(integ, mesh, 2)
+        tv = eval_pure(tref ** k, ctx)
+        got = float(jnp.sum(jnp.where(mask, w * tv, 0.0)))
+        # structured 3x3 trig mesh interior skeleton: horizontal+vertical
+        # facets (12 of length 1/3) + diagonals (9 of length sqrt(2)/3)
+        meas = 12 * (1 / 3) + 9 * (np.sqrt(2) / 3)
+        assert abs(got - meas / (k + 1)) < 1e-12 * (k + 1), (k, got)
