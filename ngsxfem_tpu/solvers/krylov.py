@@ -72,6 +72,27 @@ def masked_matvec(matvec, free_mask):
     return mv
 
 
+from functools import partial
+
+
+@partial(jax.jit, static_argnames=("maxiter",))
+def _cg_ell(vals, cols, b, free, maxiter, tol):
+    """Jacobi-preconditioned CG on a free-dof-masked ELL operator, one XLA
+    program with every array as an ARGUMENT (a closure-captured device array
+    would be read back to host at lowering — see bench.py docstring)."""
+    rid = jnp.arange(cols.shape[0])[:, None]
+    diag = jnp.sum(jnp.where(cols == rid, vals, 0.0), axis=1)
+    dinv = jnp.where(free & (jnp.abs(diag) > 1e-30), 1.0 / diag, 0.0)
+    bm = jnp.where(free, b, 0.0)
+
+    def mv(x):
+        xp = jnp.where(free, x, 0.0)
+        y = jnp.sum(vals * xp[cols], axis=1)
+        return jnp.where(free, y, x)
+
+    return cg(mv, bm, M=lambda r: dinv * r, maxiter=maxiter, tol=tol)
+
+
 class CGSolver:
     """NGSolve-flavoured wrapper: `CGSolver(mat, pre) * rhs`."""
 
@@ -86,11 +107,20 @@ class CGSolver:
         import numpy as np
 
         from ..fem.space import _arr
+        from .sparse import ELLMatrix
 
         b = jnp.asarray(rhs)
         mat = self.mat
         if hasattr(mat, "ell"):  # COO -> ELL: scatter-free SpMV on TPU
             mat = mat.ell()
+        if isinstance(mat, ELLMatrix) and self.pre is None:
+            # fast path: cached all-args jit (Jacobi-CG on masked ELL)
+            fm = (jnp.asarray(_arr(self.freedofs))
+                  if self.freedofs is not None
+                  else jnp.ones(mat.shape[0], dtype=bool))
+            x, k, res = _cg_ell(mat.vals, mat.cols, b, fm,
+                                self.maxsteps, self.tol)
+            return x
         mv = mat.matvec if hasattr(mat, "matvec") else mat
         M = self.pre
         if self.freedofs is not None:
