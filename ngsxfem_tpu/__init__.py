@@ -117,6 +117,8 @@ from .utils.utils import (  # noqa: F401
     SpaceTimeWeakSet,
 )
 from .utils.vtkout import Draw, VTKOutput  # noqa: F401
+from .utils.globals import ngsglobals  # noqa: F401
+from .utils.timing import Timer, PrintTimers, jax_trace  # noqa: F401
 from .lsetcurv.lsetcurv import RefineAtLevelSet  # noqa: F401
 
 from .ops.straightcut import cut_rule_element as CreateCutIntegrationRule  # noqa: F401
