@@ -115,6 +115,8 @@ from .utils.utils import (  # noqa: F401
     StatisticContainer,
     PrintConvergenceTable,
     SpaceTimeWeakSet,
+    kappa,
+    IsCut,
 )
 from .utils.vtkout import Draw, VTKOutput  # noqa: F401
 from .utils.globals import ngsglobals  # noqa: F401
@@ -132,6 +134,9 @@ FALLBACK = "FALLBACK"
 
 from .fem.sfespace import SFESpace  # noqa: F401
 from .fem.space import NumberSpace  # noqa: F401
+# legacy/compat aliases of the reference's binding-level names
+# (python_cutint.cpp:20 IntegrateX; python_xfem.cpp SymbolicCutBFI/LFI;
+# spacetime/python_spacetime.cpp:271 TimeVariableCoefficientFunction)
 from .spacetime import (  # noqa: F401
     ScalarTimeFE,
     SpaceTimeFESpace,
@@ -164,3 +169,23 @@ def FESpace(arg, dgjumps=False, **kw):  # noqa: F811  (shadow the class export)
         return _space_mod.CompoundFESpace(arg, dgjumps=dgjumps)
     raise TypeError("FESpace(...) expects a list of component spaces; "
                     "use H1/L2/VectorH1 for scalar spaces")
+
+
+# Binding-level compat aliases (reference python_cutint.cpp:20 IntegrateX,
+# python_xfem.cpp SymbolicCutBFI/SymbolicCutLFI, python_spacetime.cpp:271
+# TimeVariableCoefficientFunction; python/__init__.py keeps the overridden
+# NGSolve originals around as *_old)
+def IntegrateX(lset=None, mesh=None, cf=None, order=5, domain_type=None,
+               subdivlvl=0, time_order=-1, quad_dir_policy=None, **kw):
+    """Low-level Integrate entry (reference python_cutint.cpp:20-122)."""
+    ld = {"levelset": lset, "domain_type": domain_type, "subdivlvl": subdivlvl}
+    if quad_dir_policy is not None:
+        ld["quad_dir_policy"] = quad_dir_policy
+    return Integrate(levelset_domain=ld, cf=cf, mesh=mesh, order=order,
+                     time_order=time_order)
+
+
+SymbolicCutBFI = SymbolicBFI
+SymbolicCutLFI = SymbolicLFI
+TimeVariableCoefficientFunction = type(tref)
+from .spacetime.space import dt_vec  # noqa: F401,E402

@@ -111,3 +111,20 @@ def SpaceTimeWeakSet(gf, cf, space):
     arr = gf._arr
     arr = arr.at[: space.ndof].set(tmp._arr)
     gf._set_array(arr)
+
+
+def IsCut(mesh, lset_approx, subdivlvl=0):
+    """Deprecated cut-indicator helper (python/__init__.py:422-439): a
+    piecewise-constant GF that is 1 on cut elements, 0 otherwise.  Use
+    CutInfo + BitArrayCF instead."""
+    import numpy as np
+
+    from ..geom.cutinfo import CutInfo
+    from ..fem.gridfunction import GridFunction
+    from ..fem.space import L2
+
+    ci = CutInfo(mesh, lset_approx)
+    k = np.asarray(ci.GetCutRatios())
+    gf = GridFunction(L2(mesh, order=0))
+    gf.vec.data = ((k > 1e-16) & (k < 1.0 - 1e-16)).astype(np.float64)
+    return gf
