@@ -1,0 +1,90 @@
+"""TPU perf exploration: SpMV variants + assembly/pipeline scaling.
+
+Follows the axon timing discipline (see bench.py): numpy static tables,
+all-args jits, zero device->host reads before the last timed region.
+
+    python tools/perf_tpu.py [nx ...]
+"""
+import os
+import sys
+import time
+
+os.environ.setdefault("NGSXFEM_TPU_X64", "0")
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+
+def timeit(f, *a, reps=10):
+    o = f(*a)
+    jax.block_until_ready(o)
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        o = f(*a)
+    jax.block_until_ready(o)
+    return (time.perf_counter() - t0) / reps
+
+
+def main():
+    from ngsxfem_tpu.models.poisson import UnfittedPoisson
+    from ngsxfem_tpu.solvers.sparse import ELLMatrix
+    from ngsxfem_tpu.solvers.krylov import cg
+
+    sizes = [int(a) for a in sys.argv[1:]] or [32, 48, 64]
+    report = []
+    for nx in sizes:
+        model = UnfittedPoisson(nx=nx, dim=3, order=1, dtype=jnp.float32)
+        vals_host = model.lset_np[model.mesh.elements_np]
+        ncut = int((((vals_host < 0).any(1)) & ((vals_host > 0).any(1))).sum())
+        cap = int(ncut * 1.2) + 8
+        struct = model.ell_structure()
+        cols_np = np.asarray(struct["ell_cols"])
+
+        @jax.jit
+        def assemble(v, l):
+            return model.assemble_ell_vals(v, l, cap, struct)
+
+        @jax.jit
+        def mv_jnp(vals, cols, x):
+            return jnp.sum(vals * x[cols], axis=1)
+
+        @jax.jit
+        def mv_pallas(vals, cols, x):
+            return ELLMatrix(cols, vals, (x.shape[0], x.shape[0])).matvec_pallas(x)
+
+        @jax.jit
+        def solve50(vals, cols, b):
+            rid = jnp.arange(cols.shape[0])[:, None]
+            diag = jnp.sum(jnp.where(cols == rid, vals, 0.0), axis=1)
+            dinv = jnp.where(jnp.abs(diag) > 1e-30, 1.0 / diag, 1.0)
+            mv = lambda x: jnp.sum(vals * x[cols], axis=1)
+            return cg(mv, b, maxiter=50, tol=0.0, M=lambda r: dinv * r)
+
+        v, l = model.vertices, model.lset
+        b = jnp.where(jnp.asarray(model.active_dofs), 1.0, 0.0).astype(jnp.float32)
+        colsj = jnp.asarray(cols_np)
+        ell_vals, _n = assemble(v, l)
+        jax.block_until_ready(ell_vals)
+
+        t_asm = timeit(assemble, v, l, reps=5)
+        t_mv = timeit(mv_jnp, ell_vals, colsj, b, reps=30)
+        try:
+            t_mvp = timeit(mv_pallas, ell_vals, colsj, b, reps=30)
+        except Exception as e:
+            t_mvp = None
+        t_cg = timeit(solve50, ell_vals, colsj, b, reps=5)
+        report.append((nx, model.mesh.ne, model.ndof, t_asm, t_mv, t_mvp, t_cg))
+
+    # host reads only now
+    for nx, ne, ndof, t_asm, t_mv, t_mvp, t_cg in report:
+        print(f"nx={nx} ne={ne} ndof={ndof}: "
+              f"assemble {ne/t_asm/1e6:.2f}M elts/s ({t_asm*1e3:.1f} ms), "
+              f"spmv jnp {t_mv*1e6:.0f} us"
+              + (f", pallas {t_mvp*1e6:.0f} us" if t_mvp else ", pallas n/a")
+              + f", cg50 {t_cg*1e3:.2f} ms")
+
+
+if __name__ == "__main__":
+    main()
