@@ -133,7 +133,7 @@ FALLBACK = "FALLBACK"
 
 
 from .fem.sfespace import SFESpace  # noqa: F401
-from .fem.space import NumberSpace  # noqa: F401
+from .fem.space import NumberSpace, Periodic  # noqa: F401
 # legacy/compat aliases of the reference's binding-level names
 # (python_cutint.cpp:20 IntegrateX; python_xfem.cpp SymbolicCutBFI/LFI;
 # spacetime/python_spacetime.cpp:271 TimeVariableCoefficientFunction)

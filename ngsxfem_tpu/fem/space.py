@@ -403,3 +403,67 @@ def GetDofsOfElements(space, elem_mask) -> BitArray:
     dofs = space.el2dof_np[mask]
     out[dofs.ravel()] = True
     return BitArray(out)
+
+
+class PeriodicFESpace(FESpace):
+    """Periodic identification wrapper (NGSolve ``Periodic(fes)`` analog).
+
+    Unifies dofs across the mesh's periodic boundary pairs (built by
+    ``MakeStructured*DMesh(periodic=...)``): a dof on a max-side periodic
+    boundary maps to its translate on the min side.  Matching is geometric —
+    each dof's representative Lagrange node position is wrapped modulo the
+    mesh bounding box along the periodic axes and deduplicated, which is
+    exact for the structured unit-box meshes this library builds.
+    """
+
+    def __init__(self, base: FESpace):
+        import numpy as np
+
+        self.base = base
+        self.mesh = base.mesh
+        self.order = base.order
+        self.dgjumps = base.dgjumps
+        axes = getattr(base.mesh, "periodic_axes", "")
+        if not axes:
+            raise ValueError(
+                "Periodic(space): the mesh has no periodic identification; "
+                "build it with MakeStructured*DMesh(periodic=...)")
+        # dof node coordinates via the representative element geometry
+        from ..mesh.mesh import geom_shapes
+
+        verts = base.mesh.vertices_np
+        elv = verts[base.mesh.elements_np[base.dof_rep_elem]]  # (nd, nvel, d)
+        N = geom_shapes(base.mesh.et, base.dof_rep_ref, xp=np)  # (nd, nvel)
+        pos = np.einsum("nv,nvd->nd", N, elv)
+        lo, hi = verts.min(0), verts.max(0)
+        ext = hi - lo
+        key = pos.copy()
+        for ax, ch in enumerate("xyz"[: verts.shape[1]]):
+            if ch in axes:
+                w = (pos[:, ax] - lo[ax]) / ext[ax]
+                w = np.where(np.abs(w - 1.0) < 1e-12, 0.0, w)
+                key[:, ax] = lo[ax] + w * ext[ax]
+        ikey = np.round(key * 2.0**38).astype(np.int64)
+        _, first, inv = np.unique(
+            ikey, axis=0, return_index=True, return_inverse=True)
+        self.base2comp = inv.astype(np.int32)
+        self.comp2base = first.astype(np.int32)
+        self.ndof = len(first)
+        self.el2dof_np = self.base2comp[base.el2dof_np]
+        self.el2dof = jnp.asarray(self.el2dof_np)
+        # a unified dof is Dirichlet/boundary if ANY of its base dofs is
+        self.dirichlet_dofs = np.zeros(self.ndof, dtype=bool)
+        np.logical_or.at(self.dirichlet_dofs, self.base2comp,
+                         base.dirichlet_dofs)
+        self.bc_of_dof = np.zeros(self.ndof, dtype=np.int32)
+        np.maximum.at(self.bc_of_dof, self.base2comp, base.bc_of_dof)
+        self.dof_rep_elem = base.dof_rep_elem[self.comp2base]
+        self.dof_rep_local = base.dof_rep_local[self.comp2base]
+        self.dof_rep_ref = base.dof_rep_ref[self.comp2base]
+
+    def _build(self):
+        pass
+
+
+def Periodic(space: FESpace):
+    return PeriodicFESpace(space)

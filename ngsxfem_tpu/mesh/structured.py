@@ -85,6 +85,7 @@ def _periodic_identify(m, unit_vertices, periodic):
             p = lom[tuple(k)]
             m.periodic_facet_np[p] = f
             m.periodic_facet_np[f] = p
+    m.periodic_axes = periodic
 
 
 def MakeStructured2DMesh(quads=True, nx=10, ny=10, mapping=None,

@@ -152,3 +152,32 @@ def test_periodic_facet_algebra():
     f2 = GetFacetsWithNeighborTypes(m2, a=a, b=b,
                                     bnd_val_a=False, bnd_val_b=False)
     assert f2.NumSet() == 0
+
+
+def test_periodic_space_accuracy():
+    """Periodic(space): dof identification across periodic boundaries gives
+    an O(h^2) solution of -u'' + u = cos(2 pi x) with u periodic in x."""
+    import numpy as np
+    from ngsxfem_tpu import (MakeStructured2DMesh, H1, Periodic, BilinearForm,
+                             LinearForm, SymbolicBFI, SymbolicLFI, grad,
+                             GridFunction, Integrate, CoefficientFunction,
+                             cos, x)
+
+    errs = []
+    for nx in (8, 16):
+        mesh = MakeStructured2DMesh(quads=False, nx=nx, ny=nx, periodic="x")
+        P = Periodic(H1(mesh, order=1))
+        assert P.ndof == (nx + 1) ** 2 - (nx + 1)
+        u, v = P.TnT()
+        a = BilinearForm(P)
+        a += SymbolicBFI(form=grad(u) * grad(v) + u * v)
+        f = LinearForm(P)
+        f += SymbolicLFI(form=cos(2 * np.pi * x) * v)
+        a.Assemble()
+        f.Assemble()
+        gfu = GridFunction(P)
+        gfu.vec.data = a.mat.Inverse() * f.vec.data
+        exact = cos(2 * np.pi * x) / (1 + 4 * np.pi ** 2)
+        err = Integrate(cf=(gfu - exact) ** 2, mesh=mesh, order=6) ** 0.5
+        errs.append(float(err))
+    assert errs[1] < errs[0] / 3.2, errs
