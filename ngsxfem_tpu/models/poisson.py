@@ -330,6 +330,56 @@ class UnfittedPoisson:
             "K": K,
         }
 
+    def ell_gather_structure(self, struct):
+        """Inverse slot map for scatter-free global assembly: for every flat
+        ELL value slot, the (padded) list of indices into the concatenated
+        [element matrices; identity rows] contribution stream.  Converts the
+        scatter-add of `assemble_ell_vals` into gather+row-reduce (TPU
+        scatters with duplicate indices serialize; gathers vectorize).
+        Padded entries point one past the stream end, which the device code
+        maps to a zero contribution.
+
+        Only the element + identity streams go through the gather table (their
+        multiplicity is bounded by the vertex valence, ~24 on 3D tets); the
+        ghost-penalty stream piles O(100) facet contributions onto band
+        diagonal slots, so it stays a scatter-add of a much smaller stream.
+        """
+        elm = np.asarray(struct["elm_slots"], dtype=np.int64)
+        idr = np.asarray(struct["id_slots"], dtype=np.int64)
+        slots = np.concatenate([elm, idr])
+        nstream = len(slots)
+        nslots = struct["ell_cols"].shape[0] * struct["K"]
+        counts = np.bincount(slots, minlength=nslots)
+        M = int(counts.max()) if nstream else 1
+        table = np.full((nslots, M), nstream, dtype=np.int32)  # pad -> zero
+        order = np.argsort(slots, kind="stable")
+        srt = slots[order]
+        start = np.zeros(nslots + 1, dtype=np.int64)
+        np.cumsum(counts, out=start[1:])
+        pos = np.arange(nstream) - start[srt]
+        table[srt, pos] = order.astype(np.int32)
+        return table
+
+    def assemble_ell_vals_gather(self, vertices, lset_vertex, cut_capacity,
+                                 struct, gtable):
+        """Scatter-free variant of `assemble_ell_vals` (see
+        ell_gather_structure)."""
+        A_std, A_cut, cut_ids, n = self.elmats_compact(
+            vertices, lset_vertex, self.elements, self.el2dof, cut_capacity
+        )
+        A_all = A_std.at[cut_ids].add(A_cut)
+        nid = len(np.asarray(struct["id_slots"]))
+        stream = jnp.concatenate([
+            A_all.reshape(-1),
+            jnp.ones((nid,), dtype=vertices.dtype),
+            jnp.zeros((1,), dtype=vertices.dtype),  # pad target
+        ])
+        vals = jnp.sum(stream[gtable], axis=1)
+        # ghost penalty: small stream, high per-slot multiplicity -> scatter
+        G = self.gp_mats(vertices)
+        vals = vals.at[struct["gp_slots"]].add(G.reshape(-1))
+        return vals.reshape(struct["ell_cols"].shape), n
+
     def assemble_ell_vals(self, vertices, lset_vertex, cut_capacity, struct):
         """Device pipeline stage 1+2: element matrices -> global ELL values."""
         A_std, A_cut, cut_ids, n = self.elmats_compact(

@@ -29,3 +29,24 @@ def test_spmd_matches_solve():
     # spmd rhs is the indicator vector; compare operator application instead
     x2, res2 = step(*args)
     assert float(res2) < 1e-4  # CG converged under sharding
+
+
+def test_gather_assembly_matches_scatter():
+    """Scatter-free (gather-table) global assembly produces the same ELL
+    operator as the scatter-add path."""
+    import jax
+    import jax.numpy as jnp
+
+    from ngsxfem_tpu.models.poisson import UnfittedPoisson
+
+    m = UnfittedPoisson(nx=6, dim=3, order=1, dtype=jnp.float64)
+    vals = m.lset_np[m.mesh.elements_np]
+    cap = int((((vals < 0).any(1)) & ((vals > 0).any(1))).sum() * 1.2) + 8
+    struct = m.ell_structure()
+    gtable = m.ell_gather_structure(struct)
+    a1, _ = jax.jit(lambda v, l: m.assemble_ell_vals(v, l, cap, struct))(
+        m.vertices, m.lset)
+    a2, _ = jax.jit(
+        lambda v, l: m.assemble_ell_vals_gather(v, l, cap, struct, gtable))(
+        m.vertices, m.lset)
+    assert float(jnp.max(jnp.abs(a1 - a2))) < 1e-13

@@ -41,10 +41,15 @@ def main():
         cap = int(ncut * 1.2) + 8
         struct = model.ell_structure()
         cols_np = np.asarray(struct["ell_cols"])
+        gtable = model.ell_gather_structure(struct)
 
         @jax.jit
         def assemble(v, l):
             return model.assemble_ell_vals(v, l, cap, struct)
+
+        @jax.jit
+        def assemble_g(v, l):
+            return model.assemble_ell_vals_gather(v, l, cap, struct, gtable)
 
         @jax.jit
         def mv_jnp(vals, cols, x):
@@ -69,18 +74,20 @@ def main():
         jax.block_until_ready(ell_vals)
 
         t_asm = timeit(assemble, v, l, reps=5)
+        t_asg = timeit(assemble_g, v, l, reps=5)
         t_mv = timeit(mv_jnp, ell_vals, colsj, b, reps=30)
         try:
             t_mvp = timeit(mv_pallas, ell_vals, colsj, b, reps=30)
         except Exception as e:
             t_mvp = None
         t_cg = timeit(solve50, ell_vals, colsj, b, reps=5)
-        report.append((nx, model.mesh.ne, model.ndof, t_asm, t_mv, t_mvp, t_cg))
+        report.append((nx, model.mesh.ne, model.ndof, t_asm, t_asg, t_mv, t_mvp, t_cg))
 
     # host reads only now
-    for nx, ne, ndof, t_asm, t_mv, t_mvp, t_cg in report:
+    for nx, ne, ndof, t_asm, t_asg, t_mv, t_mvp, t_cg in report:
         print(f"nx={nx} ne={ne} ndof={ndof}: "
-              f"assemble {ne/t_asm/1e6:.2f}M elts/s ({t_asm*1e3:.1f} ms), "
+              f"asm-scatter {ne/t_asm/1e6:.2f}M elts/s ({t_asm*1e3:.1f} ms), "
+              f"asm-gather {ne/t_asg/1e6:.2f}M elts/s ({t_asg*1e3:.1f} ms), "
               f"spmv jnp {t_mv*1e6:.0f} us"
               + (f", pallas {t_mvp*1e6:.0f} us" if t_mvp else ", pallas n/a")
               + f", cg50 {t_cg*1e3:.2f} ms")
