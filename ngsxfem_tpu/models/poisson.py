@@ -368,7 +368,7 @@ class UnfittedPoisson:
             vertices, lset_vertex, self.elements, self.el2dof, cut_capacity
         )
         A_all = A_std.at[cut_ids].add(A_cut)
-        nid = len(np.asarray(struct["id_slots"]))
+        nid = struct["id_slots"].shape[0]
         stream = jnp.concatenate([
             A_all.reshape(-1),
             jnp.ones((nid,), dtype=vertices.dtype),

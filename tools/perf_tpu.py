@@ -42,14 +42,20 @@ def main():
         struct = model.ell_structure()
         cols_np = np.asarray(struct["ell_cols"])
         gtable = model.ell_gather_structure(struct)
+        # big index tables go in as ARGUMENTS: baked-as-literals they blow the
+        # remote-compile request limit (HTTP 413), and closure device arrays
+        # poison dispatch (bench.py docstring) — args avoid both
+        K = struct["K"]
+        struct_dev = {k: jnp.asarray(v) for k, v in struct.items() if k != "K"}
+        gtable_dev = jnp.asarray(gtable)
 
         @jax.jit
-        def assemble(v, l):
-            return model.assemble_ell_vals(v, l, cap, struct)
+        def assemble(v, l, st):
+            return model.assemble_ell_vals(v, l, cap, dict(st, K=K))
 
         @jax.jit
-        def assemble_g(v, l):
-            return model.assemble_ell_vals_gather(v, l, cap, struct, gtable)
+        def assemble_g(v, l, st, gt):
+            return model.assemble_ell_vals_gather(v, l, cap, dict(st, K=K), gt)
 
         @jax.jit
         def mv_jnp(vals, cols, x):
@@ -70,11 +76,11 @@ def main():
         v, l = model.vertices, model.lset
         b = jnp.where(jnp.asarray(model.active_dofs), 1.0, 0.0).astype(jnp.float32)
         colsj = jnp.asarray(cols_np)
-        ell_vals, _n = assemble(v, l)
+        ell_vals, _n = assemble(v, l, struct_dev)
         jax.block_until_ready(ell_vals)
 
-        t_asm = timeit(assemble, v, l, reps=5)
-        t_asg = timeit(assemble_g, v, l, reps=5)
+        t_asm = timeit(assemble, v, l, struct_dev, reps=5)
+        t_asg = timeit(assemble_g, v, l, struct_dev, gtable_dev, reps=5)
         t_mv = timeit(mv_jnp, ell_vals, colsj, b, reps=30)
         try:
             t_mvp = timeit(mv_pallas, ell_vals, colsj, b, reps=30)
