@@ -79,7 +79,7 @@ from .fem.gridfunction import (  # noqa: F401
     InterpolateToP1,
 )
 
-from .integrate import Integrate  # noqa: F401
+from .integrate import Integrate, Integrate_X_special_args  # noqa: F401
 
 from .geom.cutinfo import (  # noqa: F401
     CutInfo,
