@@ -118,6 +118,22 @@ def ghost_penalty_elmats(et: str, order: int, coords1, coords2, gamma=0.1):
     return jnp.einsum("f,fq,fqi,fqj->fij", scale, w, Bj, Bj)
 
 
+def _map_blocks(fn, blk, *args):
+    """Apply `fn` over leading-axis blocks of size `blk` via lax.map so the
+    per-element temporaries stay bounded.  XLA pads the small trailing dims
+    of FEM tensors (nd=4, d=3 -> (8,128) tiles, ~40x expansion); running all
+    elements at once therefore OOMs HBM beyond ~1M elements, while a scanned
+    block reuses one temp buffer.  Results are concatenated and truncated
+    back to the true length."""
+    n = args[0].shape[0]
+    nb = -(-n // blk)
+    pad = nb * blk - n
+    padded = [jnp.pad(a, ((0, pad),) + ((0, 0),) * (a.ndim - 1)) for a in args]
+    stacked = [a.reshape((nb, blk) + a.shape[1:]) for a in padded]
+    out = jax.lax.map(lambda xs: fn(*xs), tuple(stacked))
+    return out.reshape((nb * blk,) + out.shape[2:])[:n]
+
+
 class UnfittedPoisson:
     """Fictitious-domain Poisson on a structured simplicial mesh.
 
@@ -211,12 +227,16 @@ class UnfittedPoisson:
         A = cut_poisson_elmats(self.et, self.order, coords, vals, self.lam_nitsche)
         return A
 
-    def elmats_compact(self, vertices, lset_vertex, elements, el2dof, cut_capacity):
+    def elmats_compact(self, vertices, lset_vertex, elements, el2dof,
+                       cut_capacity, block=None):
         """Two-tier assembly: cheap standard rule on uncut-NEG elements, full
         cut kernel only on a fixed-capacity compaction of cut elements.
 
         Returns (A_std (ne,nd,nd), A_cut (cap,nd,nd), cut_ids (cap,), ncut).
         The capacity is static; `ncut` lets the caller detect overflow.
+        With `block` set, both tiers stream through lax.map blocks of that
+        many elements (`_map_blocks`) to bound HBM temporaries — required
+        beyond ~1M elements.
         """
         from ..ops.straightcut import eps_guard
         from ..ops.gauss import reference_rule
@@ -238,19 +258,34 @@ class UnfittedPoisson:
         rp = jnp.asarray(rp, dtype=vertices.dtype)
         rw = jnp.asarray(rw, dtype=vertices.dtype)
         coords = vertices[elements]
-        E = coords.shape[0]
-        pts = jnp.broadcast_to(rp[None], (E,) + rp.shape)
-        _, J = map_points(et, coords, pts)
-        detJ, Jinv = det_and_inv(J)
-        G = dshapes(et, order, pts)
-        Gp = jnp.einsum("eqid,eqdg->eqig", G, Jinv)
-        W = rw[None, :] * jnp.abs(detJ) * neg_uncut[:, None]
-        A_std = jnp.einsum("eq,eqig,eqjg->eij", W, Gp, Gp)
+
+        def std_tier(coords_b, w_b):
+            E = coords_b.shape[0]
+            pts = jnp.broadcast_to(rp[None], (E,) + rp.shape)
+            _, J = map_points(et, coords_b, pts)
+            detJ, Jinv = det_and_inv(J)
+            G = dshapes(et, order, pts)
+            Gp = jnp.einsum("eqid,eqdg->eqig", G, Jinv)
+            W = rw[None, :] * jnp.abs(detJ) * w_b[:, None]
+            return jnp.einsum("eq,eqig,eqjg->eij", W, Gp, Gp)
+
+        w_std = neg_uncut.astype(vertices.dtype)
+        if block is None:
+            A_std = std_tier(coords, w_std)
+        else:
+            A_std = _map_blocks(std_tier, block, coords, w_std)
 
         # tier 2: full cut kernel on the compacted cut elements
         ccoords = coords[cut_ids]
         cvals = vals[cut_ids]
-        A_cut = cut_poisson_elmats(et, order, ccoords, cvals, self.lam_nitsche)
+
+        def cut_tier(c_b, v_b):
+            return cut_poisson_elmats(et, order, c_b, v_b, self.lam_nitsche)
+
+        if block is None:
+            A_cut = cut_tier(ccoords, cvals)
+        else:
+            A_cut = _map_blocks(cut_tier, block, ccoords, cvals)
         A_cut = A_cut * cmask[:, None, None]
         return A_std, A_cut, cut_ids, ncut
 
@@ -361,11 +396,12 @@ class UnfittedPoisson:
         return table
 
     def assemble_ell_vals_gather(self, vertices, lset_vertex, cut_capacity,
-                                 struct, gtable):
+                                 struct, gtable, block=None):
         """Scatter-free variant of `assemble_ell_vals` (see
         ell_gather_structure)."""
         A_std, A_cut, cut_ids, n = self.elmats_compact(
-            vertices, lset_vertex, self.elements, self.el2dof, cut_capacity
+            vertices, lset_vertex, self.elements, self.el2dof, cut_capacity,
+            block=block,
         )
         A_all = A_std.at[cut_ids].add(A_cut)
         nid = struct["id_slots"].shape[0]
@@ -376,17 +412,19 @@ class UnfittedPoisson:
         ])
         vals = jnp.sum(stream[gtable], axis=1)
         # ghost penalty: small stream, high per-slot multiplicity -> scatter
-        G = self.gp_mats(vertices)
+        G = self.gp_mats(vertices, block=block)
         vals = vals.at[struct["gp_slots"]].add(G.reshape(-1))
         return vals.reshape(struct["ell_cols"].shape), n
 
-    def assemble_ell_vals(self, vertices, lset_vertex, cut_capacity, struct):
+    def assemble_ell_vals(self, vertices, lset_vertex, cut_capacity, struct,
+                          block=None):
         """Device pipeline stage 1+2: element matrices -> global ELL values."""
         A_std, A_cut, cut_ids, n = self.elmats_compact(
-            vertices, lset_vertex, self.elements, self.el2dof, cut_capacity
+            vertices, lset_vertex, self.elements, self.el2dof, cut_capacity,
+            block=block,
         )
         A_all = A_std.at[cut_ids].add(A_cut)
-        G = self.gp_mats(vertices)
+        G = self.gp_mats(vertices, block=block)
         nK = struct["ell_cols"].shape[0] * struct["K"]
         vals = jnp.zeros((nK,), dtype=vertices.dtype)
         vals = vals.at[struct["elm_slots"]].add(A_all.reshape(-1))
@@ -394,11 +432,16 @@ class UnfittedPoisson:
         vals = vals.at[struct["id_slots"]].add(1.0)
         return vals.reshape(struct["ell_cols"].shape), n
 
-    def gp_mats(self, vertices):
+    def gp_mats(self, vertices, block=None):
         coords1 = vertices[self.elements[self.gp_e1]]
         coords2 = vertices[self.elements[self.gp_e2]]
-        return ghost_penalty_elmats(self.et, self.order, coords1, coords2,
-                                    self.gamma_gp)
+        if block is None:
+            return ghost_penalty_elmats(self.et, self.order, coords1, coords2,
+                                        self.gamma_gp)
+        return _map_blocks(
+            lambda c1, c2: ghost_penalty_elmats(self.et, self.order, c1, c2,
+                                                self.gamma_gp),
+            block, coords1, coords2)
 
     def apply(self, vertices, lset_vertex, x):
         """Matrix-free A @ x (assemble-and-apply in one fused program)."""

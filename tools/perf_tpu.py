@@ -49,13 +49,18 @@ def main():
         struct_dev = {k: jnp.asarray(v) for k, v in struct.items() if k != "K"}
         gtable_dev = jnp.asarray(gtable)
 
+        # beyond ~0.5M elements the unblocked temporaries OOM HBM (XLA pads
+        # the small trailing dims ~40x) -> stream in element blocks
+        blk = None if model.mesh.ne <= 700_000 else 131072
+
         @jax.jit
         def assemble(v, l, st):
-            return model.assemble_ell_vals(v, l, cap, dict(st, K=K))
+            return model.assemble_ell_vals(v, l, cap, dict(st, K=K), block=blk)
 
         @jax.jit
         def assemble_g(v, l, st, gt):
-            return model.assemble_ell_vals_gather(v, l, cap, dict(st, K=K), gt)
+            return model.assemble_ell_vals_gather(v, l, cap, dict(st, K=K), gt,
+                                                  block=blk)
 
         @jax.jit
         def mv_jnp(vals, cols, x):
