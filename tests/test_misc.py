@@ -181,3 +181,35 @@ def test_periodic_space_accuracy():
         err = Integrate(cf=(gfu - exact) ** 2, mesh=mesh, order=6) ** 0.5
         errs.append(float(err))
     assert errs[1] < errs[0] / 3.2, errs
+
+
+def test_element_boundary_integrals_exact():
+    """element_boundary=True (reference T_CalcElementMatrixEBAdd,
+    xfem/symboliccutbfi.cpp:319,491-678): P0 element-boundary mass diagonal
+    equals each element's (cut) boundary measure, exactly."""
+    import numpy as np
+    from ngsxfem_tpu import (MakeStructured2DMesh, L2, H1, BilinearForm,
+                             SymbolicBFI, GridFunction, InterpolateToP1,
+                             NEG, x)
+
+    mesh = MakeStructured2DMesh(quads=False, nx=1, ny=1)
+    V = L2(mesh, order=0)
+    u, v = V.TnT()
+
+    a = BilinearForm(V)
+    a += SymbolicBFI(form=u * v, element_boundary=True)
+    a.Assemble()
+    diag = np.asarray(a.mat.ell().vals).ravel()[:2]
+    assert np.allclose(diag, 2 + np.sqrt(2), atol=1e-12)  # perimeter
+
+    l = GridFunction(H1(mesh, order=1))
+    InterpolateToP1(x - 0.5, l)
+    a2 = BilinearForm(V)
+    a2 += SymbolicBFI({"levelset": l, "domain_type": NEG}, form=u * v,
+                      element_boundary=True)
+    a2.Assemble()
+    d2 = np.asarray(a2.mat.ell().vals).ravel()[:2]
+    # NEG part of each triangle's boundary: T1 bottom 0.5 + hyp 0.5*sqrt(2);
+    # T2 left 1 + top 0.5 + hyp 0.5*sqrt(2)
+    assert np.allclose(d2, [0.5 + np.sqrt(2) / 2, 1.5 + np.sqrt(2) / 2],
+                       atol=1e-12)
