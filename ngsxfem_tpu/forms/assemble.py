@@ -357,9 +357,6 @@ def _element_boundary_ctx(integral: Integral, mesh, order, dyn=None):
 
         ld = integral.levelset_domain
         dtq = int(ld["domain_type"])
-        if dtq == int(IF):
-            raise NotImplementedError(
-                "codim-2 (IF-on-element-boundary) rules")
         lgf = ld["levelset"]
         vdofs = _p1_vertex_dofs(lgf.space)
         vec = dyn_get(dyn, lgf, "vec", lgf._arr)
@@ -372,9 +369,21 @@ def _element_boundary_ctx(integral: Integral, mesh, order, dyn=None):
         ).reshape(R * nsplit, split.shape[1], d - 1)
         fvv = eps_guard(fvals[:, jnp.asarray(split)].reshape(R * nsplit, -1))
         r = cut_rule_simplices(fc, fvv, d - 1, o)
-        qn = r.pts.shape[1]
-        rp_dyn = r.pts.reshape(R, nsplit * qn, d - 1)
-        rw_dyn = (r.w * (r.side == dtq)).reshape(R, nsplit * qn)
+        if dtq == int(IF):
+            # codim-2 rule: the zero set WITHIN each facet — points on 2D
+            # element boundaries (counting measure), segments on 3D faces
+            # (length measure).  The reference supports these as
+            # "experimental" unfitted codim-2 integrals
+            # (xfem/symboliccutbfi.cpp:732, 898-946).
+            qi = r.pts_if.shape[1]
+            rp_dyn = r.pts_if.reshape(R, nsplit * qi, d - 1)
+            rw_dyn = r.w_if.reshape(R, nsplit * qi)
+            nref_if = r.nref.reshape(R, nsplit * qi, d - 1)
+        else:
+            qn = r.pts.shape[1]
+            rp_dyn = r.pts.reshape(R, nsplit * qn, d - 1)
+            rw_dyn = (r.w * (r.side == dtq)).reshape(R, nsplit * qn)
+            nref_if = None
     else:
         rp_s, rw_s = reference_rule(fet, o)
         nqf = rw_s.shape[0]
@@ -384,6 +393,7 @@ def _element_boundary_ctx(integral: Integral, mesh, order, dyn=None):
         rw_dyn = jnp.broadcast_to(
             jnp.asarray(rw_s, dtype=config.dtype)[None], (R, nqf)
         )
+        nref_if = None
 
     # map facet-parametric points into the element reference cell
     Nf = geom_shapes(fet, rp_dyn)  # (R, nq, nvf)
@@ -394,7 +404,17 @@ def _element_boundary_ctx(integral: Integral, mesh, order, dyn=None):
     phys_fverts = verts[jnp.asarray(fverts)]  # (R, nvf, d)
     dNf = geom_dshapes(fet, rp_dyn)  # (R, nq, nvf, d-1)
     tang = jnp.einsum("rqks,rkd->rqsd", dNf, phys_fverts)
-    scale = _gram_measure(tang)
+    if nref_if is not None:
+        # codim-2 measure: points in 2D (counting); in 3D the zero-set
+        # tangent within the facet, mapped to physical length
+        if d == 2:
+            scale = jnp.ones_like(rw_dyn)
+        else:
+            that = jnp.stack([nref_if[..., 1], -nref_if[..., 0]], axis=-1)
+            tvec = jnp.einsum("rqs,rqsd->rqd", that, tang)
+            scale = jnp.linalg.norm(tvec, axis=-1)
+    else:
+        scale = _gram_measure(tang)
     w = scale * rw_dyn
     if d == 2:
         t = tang[:, :, 0, :]

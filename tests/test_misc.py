@@ -213,3 +213,60 @@ def test_element_boundary_integrals_exact():
     # T2 left 1 + top 0.5 + hyp 0.5*sqrt(2)
     assert np.allclose(d2, [0.5 + np.sqrt(2) / 2, 1.5 + np.sqrt(2) / 2],
                        atol=1e-12)
+
+
+def test_codim2_if_on_element_boundary():
+    """Unfitted codim-2 integrals (reference xfem/symboliccutbfi.cpp:732,
+    898-946, 'experimental'): levelset IF with element_boundary=True gives
+    crossing-point (2D) / facet-segment (3D) rules, one per adjacent
+    element."""
+    import numpy as np
+    from ngsxfem_tpu import (MakeStructured2DMesh, MakeStructured3DMesh, L2,
+                             H1, BilinearForm, SymbolicBFI, GridFunction,
+                             InterpolateToP1, IF, x, y, z)
+
+    # 2D: vertical line x=0.4 on a 4x4 trig mesh: 5 horizontal-line crossings
+    # (3 interior facets counted twice + 2 boundary once = 8) + 4 diagonal
+    # crossings counted twice = 8 -> total weight 16
+    mesh = MakeStructured2DMesh(quads=False, nx=4, ny=4)
+    l = GridFunction(H1(mesh, order=1))
+    InterpolateToP1(x - 0.4, l)
+    V = L2(mesh, order=0)
+    u, v = V.TnT()
+    a = BilinearForm(V)
+    a += SymbolicBFI({"levelset": l, "domain_type": IF}, form=u * v,
+                     element_boundary=True)
+    a.Assemble()
+    tot = float(np.asarray(a.mat.ell().vals).sum())
+    assert abs(tot - 16.0) < 1e-12, tot
+
+    # 3D: plane x=0.4 on a 2x2x2 Kuhn-tet mesh; expected total = sum over
+    # facet triangles of |plane cap triangle| x (#adjacent elements),
+    # computed independently by clipping each facet against the plane
+    m3 = MakeStructured3DMesh(hexes=False, nx=2, ny=2, nz=2)
+    l3 = GridFunction(H1(m3, order=1))
+    InterpolateToP1(x - 0.4, l3)
+    V3 = L2(m3, order=0)
+    u3, v3 = V3.TnT()
+    a3 = BilinearForm(V3)
+    a3 += SymbolicBFI({"levelset": l3, "domain_type": IF}, form=u3 * v3,
+                      element_boundary=True)
+    a3.Assemble()
+    tot3 = float(np.asarray(a3.mat.ell().vals).sum())
+
+    verts = m3.vertices_np
+    expected = 0.0
+    for f in range(m3.nfacets):
+        tri = verts[m3.facets_np[f]]
+        phi = tri[:, 0] - 0.4
+        pts = []
+        for i in range(3):
+            j = (i + 1) % 3
+            if phi[i] * phi[j] < 0:
+                t = phi[i] / (phi[i] - phi[j])
+                pts.append(tri[i] + t * (tri[j] - tri[i]))
+        if len(pts) == 2:
+            seg = np.linalg.norm(pts[1] - pts[0])
+            nadj = 2 if m3.facet2el_np[f, 1] >= 0 else 1
+            expected += seg * nadj
+    assert abs(tot3 - expected) < 1e-10, (tot3, expected)
