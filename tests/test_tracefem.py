@@ -30,3 +30,18 @@ def test_tracefem2d_eoc():
     errs2, eocs2 = tracefem.converg(order=2, levels=3, nx0=8, verbose=False)
     assert sum(eocs2) / len(eocs2) > 2.7, (errs2, eocs2)
     assert errs2[-1] < 1e-4
+
+
+def test_tracefem_hdg_eoc():
+    """HDG TraceFEM port (reference test_straightcutrule.py:283-430): L2+
+    facet hybrid spaces, codim-2 element-boundary cut integrals, restricted
+    sparsity; optimal L2(Gamma) convergence for k=1,2."""
+    import math
+
+    from examples import tracefem_hdg
+
+    e1 = [tracefem_hdg.run(nx, order=1, verbose=False) for nx in (8, 16)]
+    assert math.log(e1[0] / e1[1]) / math.log(2) > 1.75, e1
+    e2 = [tracefem_hdg.run(nx, order=2, verbose=False) for nx in (8, 16)]
+    assert math.log(e2[0] / e2[1]) / math.log(2) > 2.6, e2
+    assert e2[1] < 3e-4, e2
