@@ -508,8 +508,6 @@ def _boundary_ctx(integral: Integral, mesh, order, dyn=None):
 
         ld = integral.levelset_domain
         dtq = int(ld["domain_type"])
-        if dtq == int(IF):
-            raise NotImplementedError("codim-2 (IF-on-boundary) rules")
         lgf = ld["levelset"]
         vdofs = _p1_vertex_dofs(lgf.space)
         vec = dyn_get(dyn, lgf, "vec", lgf._arr)
@@ -522,9 +520,17 @@ def _boundary_ctx(integral: Integral, mesh, order, dyn=None):
         ).reshape(B * nsplit, split.shape[1], d - 1)
         fvv = eps_guard(fvals[:, jnp.asarray(split)].reshape(B * nsplit, -1))
         r = cut_rule_simplices(fc, fvv, d - 1, o)
-        qn = r.pts.shape[1]
-        rp_dyn = r.pts.reshape(B, nsplit * qn, d - 1)
-        rw_dyn = (r.w * (r.side == dtq)).reshape(B, nsplit * qn)
+        if dtq == int(IF):
+            # codim-2 on the domain boundary (see _element_boundary_ctx)
+            qi = r.pts_if.shape[1]
+            rp_dyn = r.pts_if.reshape(B, nsplit * qi, d - 1)
+            rw_dyn = r.w_if.reshape(B, nsplit * qi)
+            nref_if = r.nref.reshape(B, nsplit * qi, d - 1)
+        else:
+            qn = r.pts.shape[1]
+            rp_dyn = r.pts.reshape(B, nsplit * qn, d - 1)
+            rw_dyn = (r.w * (r.side == dtq)).reshape(B, nsplit * qn)
+            nref_if = None
     else:
         rp_s, rw_s = reference_rule(fet, o)
         nqf = rw_s.shape[0]
@@ -534,6 +540,7 @@ def _boundary_ctx(integral: Integral, mesh, order, dyn=None):
         rw_dyn = jnp.broadcast_to(
             jnp.asarray(rw_s, dtype=config.dtype)[None], (B, nqf)
         )
+        nref_if = None
 
     # map facet-parametric points into the element reference cell
     Nf = geom_shapes(fet, rp_dyn)  # (B, nq, nvf)
@@ -544,7 +551,15 @@ def _boundary_ctx(integral: Integral, mesh, order, dyn=None):
     phys_fverts = verts[jnp.asarray(fverts)]  # (B, nvf, d)
     dNf = geom_dshapes(fet, rp_dyn)  # (B, nq, nvf, d-1)
     tang = jnp.einsum("bqks,bkd->bqsd", dNf, phys_fverts)
-    w = _gram_measure(tang) * rw_dyn
+    if nref_if is not None:
+        if d == 2:
+            w = rw_dyn
+        else:
+            that = jnp.stack([nref_if[..., 1], -nref_if[..., 0]], axis=-1)
+            tvec = jnp.einsum("bqs,bqsd->bqd", that, tang)
+            w = jnp.linalg.norm(tvec, axis=-1) * rw_dyn
+    else:
+        w = _gram_measure(tang) * rw_dyn
     if d == 2:
         t = tang[:, :, 0, :]
         n = jnp.stack([t[..., 1], -t[..., 0]], axis=-1)
@@ -696,8 +711,6 @@ def _skeleton_ctx(integral: Integral, mesh, order, dyn=None):
 
         ld = integral.levelset_domain
         dtq = int(ld["domain_type"])
-        if dtq == int(IF):
-            raise NotImplementedError("codim-2 (IF-on-facet) rules")
         lgf = ld["levelset"]
         vdofs = _p1_vertex_dofs(lgf.space)  # (nv,) vertex -> P1 dof
         vec = dyn_get(dyn, lgf, "vec", lgf._arr)
@@ -710,10 +723,22 @@ def _skeleton_ctx(integral: Integral, mesh, order, dyn=None):
         ).reshape(F * nsplit, split.shape[1], d - 1)
         fv = eps_guard(fvals[:, jnp.asarray(split)].reshape(F * nsplit, -1))
         r = cut_rule_simplices(fc, fv, d - 1, o)
-        qn = r.pts.shape[1]
-        rp_dyn = r.pts.reshape(F, nsplit * qn, d - 1)
-        rw_dyn = (r.w * (r.side == dtq)).reshape(F, nsplit * qn)
-        nqf = nsplit * qn
+        if dtq == int(IF):
+            # codim-2: the zero set within the facet (points in 2D, line
+            # segments in 3D) — reference SymbolicCutFacetBFI's
+            # experimental unfitted codim-2 branch
+            # (xfem/symboliccutbfi.cpp:732, 898-946)
+            qi = r.pts_if.shape[1]
+            rp_dyn = r.pts_if.reshape(F, nsplit * qi, d - 1)
+            rw_dyn = r.w_if.reshape(F, nsplit * qi)
+            nref_if = r.nref.reshape(F, nsplit * qi, d - 1)
+            nqf = nsplit * qi
+        else:
+            qn = r.pts.shape[1]
+            rp_dyn = r.pts.reshape(F, nsplit * qn, d - 1)
+            rw_dyn = (r.w * (r.side == dtq)).reshape(F, nsplit * qn)
+            nref_if = None
+            nqf = nsplit * qn
     else:
         rp_s, rw_s = reference_rule(fet, o)  # (nqf, d-1)
         nqf = rw_s.shape[0]
@@ -723,6 +748,7 @@ def _skeleton_ctx(integral: Integral, mesh, order, dyn=None):
         rw_dyn = jnp.broadcast_to(
             jnp.asarray(rw_s, dtype=config.dtype)[None], (F, nqf)
         )
+        nref_if = None
 
     # facet geometry map (multilinear in the facet ref coords)
     Nf = geom_shapes(fet, rp_dyn)  # (F, nqf, nvf)
@@ -742,7 +768,16 @@ def _skeleton_ctx(integral: Integral, mesh, order, dyn=None):
     phys_fverts = verts[jnp.asarray(fverts)]  # (F, nvf, d)
     dNf = geom_dshapes(fet, rp_dyn)  # (F, nqf, nvf, d-1)
     tang = jnp.einsum("fqks,fkd->fqsd", dNf, phys_fverts)  # (F,nqf,d-1,d)
-    scale = _gram_measure(tang)  # (F, nqf)
+    if nref_if is not None:
+        # codim-2 measure (see _element_boundary_ctx)
+        if d == 2:
+            scale = jnp.ones_like(rw_dyn)
+        else:
+            that = jnp.stack([nref_if[..., 1], -nref_if[..., 0]], axis=-1)
+            tvec = jnp.einsum("fqs,fqsd->fqd", that, tang)
+            scale = jnp.linalg.norm(tvec, axis=-1)
+    else:
+        scale = _gram_measure(tang)  # (F, nqf)
     w = scale * rw_dyn
     # normal: orthogonal to tangents, oriented from e1 to e2
     if d == 2:

@@ -270,3 +270,29 @@ def test_codim2_if_on_element_boundary():
             nadj = 2 if m3.facet2el_np[f, 1] >= 0 else 1
             expected += seg * nadj
     assert abs(tot3 - expected) < 1e-10, (tot3, expected)
+
+
+def test_codim2_if_on_skeleton_and_boundary():
+    """Codim-2 IF rules on interior skeleton facets (counted once per facet)
+    and on domain-boundary facets."""
+    import jax.numpy as jnp
+    from ngsxfem_tpu import (MakeStructured2DMesh, H1, GridFunction,
+                             InterpolateToP1, IF, x)
+    from ngsxfem_tpu.cf.coefficient import wrap
+    from ngsxfem_tpu.forms.assemble import (Integral, _skeleton_ctx,
+                                            _boundary_ctx, BND)
+
+    mesh = MakeStructured2DMesh(quads=False, nx=4, ny=4)
+    l = GridFunction(H1(mesh, order=1))
+    InterpolateToP1(x - 0.4, l)
+    ld = {"levelset": l, "domain_type": IF}
+
+    integ = Integral(form=wrap(1.0), levelset_domain=ld, skeleton=True)
+    ctx, e1, e2, w, mask = _skeleton_ctx(integ, mesh, 2)
+    # x=0.4 crosses 3 interior horizontal facets + 4 diagonals
+    assert abs(float(jnp.sum(jnp.where(mask, w, 0.0))) - 7.0) < 1e-12
+
+    integ_b = Integral(form=wrap(1.0), levelset_domain=ld, vb=BND)
+    ctx, re_, w, mask = _boundary_ctx(integ_b, mesh, 2)
+    # crosses bottom and top boundary once each
+    assert abs(float(jnp.sum(jnp.where(mask, w, 0.0))) - 2.0) < 1e-12
