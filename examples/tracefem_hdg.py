@@ -18,7 +18,7 @@ from ngsxfem_tpu.fem.facetspace import FacetFESpace
 from ngsxfem_tpu.fem.hdiv import HDiv
 
 
-def run(nx=16, order=1, R=0.7, verbose=True):
+def run(nx=16, order=1, R=0.7, verbose=True, condense=False):
     mesh = MakeStructured2DMesh(
         quads=False, nx=nx, ny=nx, mapping=lambda a, b: (2 * a - 1, 2 * b - 1))
 
@@ -106,7 +106,19 @@ def run(nx=16, order=1, R=0.7, verbose=True):
     ])
 
     gfu = GridFunction(Vhg)
-    gfu.vec.data = a.mat.Inverse(freedofs) * f.vec.data
+    if condense:
+        # eliminate the L2 bulk block (the reference's eliminate_internal
+        # flag on the RestrictedBilinearForm) via static condensation
+        import numpy as np
+
+        from ngsxfem_tpu.solvers.condense import condensed_solve
+
+        local = np.zeros(Vhg.ndof, dtype=bool)
+        local[:fes1.ndof] = True
+        gfu.vec.data = condensed_solve(a.mat, f.vec.data, local,
+                                       freedofs=freedofs)
+    else:
+        gfu.vec.data = a.mat.Inverse(freedofs) * f.vec.data
 
     uh = gfu.components[0]
     l2err = Integrate(lset_if, cf=(uh - exact) ** 2, mesh=mesh,

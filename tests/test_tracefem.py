@@ -45,3 +45,7 @@ def test_tracefem_hdg_eoc():
     e2 = [tracefem_hdg.run(nx, order=2, verbose=False) for nx in (8, 16)]
     assert math.log(e2[0] / e2[1]) / math.log(2) > 2.6, e2
     assert e2[1] < 3e-4, e2
+    # static condensation of the bulk block reproduces the direct solve
+    ec = tracefem_hdg.run(12, order=1, verbose=False, condense=True)
+    ed = tracefem_hdg.run(12, order=1, verbose=False)
+    assert abs(ec - ed) < 1e-8, (ec, ed)
