@@ -14,7 +14,8 @@ from ngsxfem_tpu.solvers.krylov import cg, masked_matvec
 
 
 def build_level(mesh, order=1):
-    r = sqrt(x * x + y * y)
+    r = (sqrt(x * x + y * y) if mesh.dim == 2
+         else sqrt(x * x + y * y + z * z))
     levelset = r - 0.6
     lsetp1 = GridFunction(H1(mesh, order=1))
     InterpolateToP1(levelset, lsetp1)
@@ -44,12 +45,23 @@ def build_level(mesh, order=1):
     return Vh, a.mat, f._vec, active, if_dofs
 
 
-def run(nx0=8, levels=3, order=1, verbose=True):
-    meshes = [
-        MakeStructured2DMesh(quads=False, nx=nx0 * 2**l, ny=nx0 * 2**l,
-                             mapping=lambda a, b: (2 * a - 1, 2 * b - 1))
-        for l in range(levels)
-    ]
+def run(nx0=8, levels=3, order=1, verbose=True, dim=2):
+    """dim=3 runs the same V-cycle on a sphere cut out of a tet box — the
+    reference prototype (python/cutmg.py) is 2D-only."""
+    if dim == 2:
+        meshes = [
+            MakeStructured2DMesh(quads=False, nx=nx0 * 2**l, ny=nx0 * 2**l,
+                                 mapping=lambda a, b: (2 * a - 1, 2 * b - 1))
+            for l in range(levels)
+        ]
+    else:
+        meshes = [
+            MakeStructured3DMesh(hexes=False, nx=nx0 * 2**l, ny=nx0 * 2**l,
+                                 nz=nx0 * 2**l,
+                                 mapping=lambda a, b, c:
+                                 (2 * a - 1, 2 * b - 1, 2 * c - 1))
+            for l in range(levels)
+        ]
     spaces, mats, rhss, actives, ifdofs = [], [], [], [], []
     for m in meshes:
         Vh, A, b, act, ifd = build_level(m, order)
