@@ -19,6 +19,18 @@ if "xla_force_host_platform_device_count" not in flags:
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
 
+# XLA:CPU JIT-compiles thousands of executables over a full-suite run; each
+# adds mmap'd code pages and the kernel default vm.max_map_count=65530 runs
+# out ~45 min in, segfaulting inside backend_compile_and_load.  Raise it
+# when permitted (root); harmless no-op otherwise.  See tests/run_suite.sh.
+try:
+    with open("/proc/sys/vm/max_map_count", "r+") as _f:
+        if int(_f.read()) < 1048576:
+            _f.seek(0)
+            _f.write("1048576")
+except OSError:
+    pass
+
 import jax  # noqa: E402  (possibly already imported by sitecustomize)
 
 jax.config.update("jax_platforms", _plat)
