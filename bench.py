@@ -130,7 +130,7 @@ def bench_pipeline(dtype, nx, reps):
 
 
 def main():
-    nx = int(os.environ.get("BENCH_NX", "32"))
+    nx = int(os.environ.get("BENCH_NX", "48"))
     reps = int(os.environ.get("BENCH_REPS", "10"))
 
     if os.environ.get("BENCH_INNER_F64") == "1":
