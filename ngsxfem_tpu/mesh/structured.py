@@ -23,35 +23,31 @@ _BC_NAMES_3D = {1: "back", 2: "front", 3: "left", 4: "right", 5: "bottom", 6: "t
 
 
 def _facet_bc_from_unitbox(mesh: Mesh, unit_vertices: np.ndarray, dim: int):
-    """Assign bc ids to boundary facets from unit-box face membership."""
+    """Assign bc ids to boundary facets from unit-box face membership
+    (vectorized over the boundary facets)."""
     tol = 1e-12
     bc = np.zeros(mesh.nfacets, dtype=np.int32)
-    for f in mesh.boundary_facets_np:
-        vs = unit_vertices[mesh.facets_np[f]]
-        if dim == 1:
-            bc[f] = 1 if vs[:, 0].max() < tol else 2
-        elif dim == 2:
-            if np.all(vs[:, 1] < tol):
-                bc[f] = 1
-            elif np.all(vs[:, 0] > 1 - tol):
-                bc[f] = 2
-            elif np.all(vs[:, 1] > 1 - tol):
-                bc[f] = 3
-            elif np.all(vs[:, 0] < tol):
-                bc[f] = 4
-        else:
-            if np.all(vs[:, 1] < tol):
-                bc[f] = 1
-            elif np.all(vs[:, 1] > 1 - tol):
-                bc[f] = 2
-            elif np.all(vs[:, 0] < tol):
-                bc[f] = 3
-            elif np.all(vs[:, 0] > 1 - tol):
-                bc[f] = 4
-            elif np.all(vs[:, 2] < tol):
-                bc[f] = 5
-            elif np.all(vs[:, 2] > 1 - tol):
-                bc[f] = 6
+    bf = mesh.boundary_facets_np
+    if len(bf) == 0:
+        return bc
+    vs = unit_vertices[mesh.facets_np[bf]]  # (B, nvf, dim)
+    if dim == 1:
+        bc[bf] = np.where(vs[:, :, 0].max(1) < tol, 1, 2)
+        return bc
+    lo = np.all(vs < tol, axis=1)          # (B, dim) all verts at axis-min
+    hi = np.all(vs > 1 - tol, axis=1)      # (B, dim) all verts at axis-max
+    if dim == 2:
+        conds = [lo[:, 1], hi[:, 0], hi[:, 1], lo[:, 0]]
+    else:
+        conds = [lo[:, 1], hi[:, 1], lo[:, 0], hi[:, 0], lo[:, 2], hi[:, 2]]
+    out = np.zeros(len(bf), dtype=np.int32)
+    for bid in range(len(conds), 0, -1):   # first-match-wins like the loop
+        out = np.where(conds[bid - 1], bid, out)
+    return bc if len(bf) == 0 else (_assign(bc, bf, out))
+
+
+def _assign(bc, bf, out):
+    bc[bf] = out
     return bc
 
 
@@ -94,20 +90,21 @@ def MakeStructured2DMesh(quads=True, nx=10, ny=10, mapping=None,
     ys = np.linspace(0.0, 1.0, ny + 1)
     X, Y = np.meshgrid(xs, ys, indexing="ij")
     unit_vertices = np.stack([X.ravel(), Y.ravel()], axis=1)
-    vid = lambda i, j: i * (ny + 1) + j
-
-    cells = []
-    for i in range(nx):
-        for j in range(ny):
-            v00, v10 = vid(i, j), vid(i + 1, j)
-            v11, v01 = vid(i + 1, j + 1), vid(i, j + 1)
-            if quads:
-                cells.append((v00, v10, v11, v01))
-            else:
-                # split each cell along the (v00,v11) diagonal
-                cells.append((v00, v10, v11))
-                cells.append((v00, v11, v01))
-    elems = np.array(cells, dtype=np.int32)
+    # vectorized cell construction (the Python loop dominates large builds)
+    I, J = np.meshgrid(np.arange(nx), np.arange(ny), indexing="ij")
+    I, J = I.ravel(), J.ravel()
+    v00 = I * (ny + 1) + J
+    v10 = (I + 1) * (ny + 1) + J
+    v11 = (I + 1) * (ny + 1) + J + 1
+    v01 = I * (ny + 1) + J + 1
+    if quads:
+        elems = np.stack([v00, v10, v11, v01], axis=1).astype(np.int32)
+    else:
+        # split each cell along the (v00,v11) diagonal
+        t1 = np.stack([v00, v10, v11], axis=1)
+        t2 = np.stack([v00, v11, v01], axis=1)
+        elems = np.concatenate([t1[:, None], t2[:, None]],
+                               axis=1).reshape(-1, 3).astype(np.int32)
     verts = unit_vertices.copy()
     if mapping is not None:
         mapped = [mapping(v[0], v[1]) for v in verts]
@@ -127,37 +124,26 @@ def MakeStructured3DMesh(hexes=True, nx=10, ny=10, nz=10, mapping=None,
     zs = np.linspace(0.0, 1.0, nz + 1)
     X, Y, Z = np.meshgrid(xs, ys, zs, indexing="ij")
     unit_vertices = np.stack([X.ravel(), Y.ravel(), Z.ravel()], axis=1)
-    vid = lambda i, j, k: (i * (ny + 1) + j) * (nz + 1) + k
+    # vectorized cell construction (the Python loop dominates large builds)
+    I, J, K = np.meshgrid(np.arange(nx), np.arange(ny), np.arange(nz),
+                          indexing="ij")
+    I, J, K = I.ravel(), J.ravel(), K.ravel()
 
-    cells = []
-    for i in range(nx):
-        for j in range(ny):
-            for k in range(nz):
-                # hex vertex order (0,0,0),(1,0,0),(1,1,0),(0,1,0), then z+1
-                c = [
-                    vid(i, j, k),
-                    vid(i + 1, j, k),
-                    vid(i + 1, j + 1, k),
-                    vid(i, j + 1, k),
-                    vid(i, j, k + 1),
-                    vid(i + 1, j, k + 1),
-                    vid(i + 1, j + 1, k + 1),
-                    vid(i, j + 1, k + 1),
-                ]
-                if hexes:
-                    cells.append(tuple(c))
-                else:
-                    # Kuhn 6-tet split of the cell (all share diagonal c0-c6)
-                    for tet in (
-                        (0, 1, 2, 6),
-                        (0, 1, 5, 6),
-                        (0, 3, 2, 6),
-                        (0, 3, 7, 6),
-                        (0, 4, 5, 6),
-                        (0, 4, 7, 6),
-                    ):
-                        cells.append(tuple(c[t] for t in tet))
-    elems = np.array(cells, dtype=np.int32)
+    def vid(di, dj, dk):
+        return ((I + di) * (ny + 1) + (J + dj)) * (nz + 1) + (K + dk)
+
+    # hex vertex order (0,0,0),(1,0,0),(1,1,0),(0,1,0), then z+1
+    c = np.stack([
+        vid(0, 0, 0), vid(1, 0, 0), vid(1, 1, 0), vid(0, 1, 0),
+        vid(0, 0, 1), vid(1, 0, 1), vid(1, 1, 1), vid(0, 1, 1),
+    ], axis=1)
+    if hexes:
+        elems = c.astype(np.int32)
+    else:
+        # Kuhn 6-tet split of the cell (all share diagonal c0-c6)
+        kuhn = np.array([(0, 1, 2, 6), (0, 1, 5, 6), (0, 3, 2, 6),
+                         (0, 3, 7, 6), (0, 4, 5, 6), (0, 4, 7, 6)])
+        elems = c[:, kuhn].reshape(-1, 4).astype(np.int32)
     verts = unit_vertices.copy()
     if mapping is not None:
         mapped = [mapping(v[0], v[1], v[2]) for v in verts]
