@@ -136,7 +136,9 @@ def main():
     if os.environ.get("BENCH_INNER_F64") == "1":
         # child process: clean (unpoisoned) f64 run, one number on stdout
         jax.config.update("jax_enable_x64", True)
-        r64 = bench_pipeline(jnp.float64, max(nx // 2, 8), max(2, reps // 4))
+        # f64 doubles every temp; nx>16 exceeds the remote compiler
+        r64 = bench_pipeline(jnp.float64, max(min(nx // 2, 16), 8),
+                             max(2, reps // 4))
         print(json.dumps({"f64_pipe": r64["pipe_elts_per_sec"]}))
         return
 
