@@ -43,10 +43,6 @@ def _facet_bc_from_unitbox(mesh: Mesh, unit_vertices: np.ndarray, dim: int):
     out = np.zeros(len(bf), dtype=np.int32)
     for bid in range(len(conds), 0, -1):   # first-match-wins like the loop
         out = np.where(conds[bid - 1], bid, out)
-    return bc if len(bf) == 0 else (_assign(bc, bf, out))
-
-
-def _assign(bc, bf, out):
     bc[bf] = out
     return bc
 
