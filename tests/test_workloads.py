@@ -94,3 +94,55 @@ def test_fictdom_ghostpen_restrictedblf():
         nx=16, verbose=False)
     assert nnz_restr < nnz_full, (nnz_restr, nnz_full)
     assert err < 0.02, err
+
+
+def test_fictdom_quad_mesh():
+    """Fictitious-domain Poisson on a QUAD mesh (the reference tutorials'
+    quad_dominated variant): multilinear cut rules drive volume+interface
+    integrals; error shrinks ~h^2 under refinement."""
+    from ngsxfem_tpu import (MakeStructured2DMesh, H1, GridFunction,
+                             InterpolateToP1, CutInfo, HASNEG, IF, NEG,
+                             GetFacetsWithNeighborTypes, GetDofsOfElements,
+                             BilinearForm, LinearForm, SymbolicBFI,
+                             SymbolicLFI, SymbolicFacetPatchBFI, Integrate,
+                             CoefficientFunction, IfPos, grad, Norm, sqrt,
+                             specialcf, x, y)
+
+    def solve(nx):
+        mesh = MakeStructured2DMesh(quads=True, nx=nx, ny=nx,
+                                    mapping=lambda a, b: (2*a-1, 2*b-1))
+        r2c, r1c = 3/4, 1/4
+        rc, rr = (r1c + r2c)/2, (r2c - r1c)/2
+        r = sqrt(x*x + y*y)
+        levelset = IfPos(r - rc, r - rc - rr, rc - r - rr)
+        coeff_f = CoefficientFunction(-20*((r1c + r2c)/sqrt(x*x + y*y) - 4))
+        exact = CoefficientFunction(
+            20*(r2c - sqrt(x*x + y*y))*(sqrt(x*x + y*y) - r1c))
+        h = specialcf.mesh_size
+        lsetp1 = GridFunction(H1(mesh, order=1))
+        InterpolateToP1(levelset, lsetp1)
+        ci = CutInfo(mesh, lsetp1)
+        hasneg = ci.GetElementsOfType(HASNEG)
+        hasif = ci.GetElementsOfType(IF)
+        Vh = H1(mesh, order=1, dgjumps=True)
+        ba = GetFacetsWithNeighborTypes(mesh, a=hasneg, b=hasif)
+        nl = 1.0/Norm(grad(lsetp1)) * grad(lsetp1)
+        u, v = Vh.TnT()
+        neg = {"levelset": lsetp1, "domain_type": NEG}
+        iff = {"levelset": lsetp1, "domain_type": IF}
+        a = BilinearForm(Vh)
+        a += SymbolicBFI(neg, form=grad(u)*grad(v), definedonelements=hasneg)
+        a += SymbolicBFI(iff, form=-(grad(u)*nl)*v - (grad(v)*nl)*u
+                         + 10.0/h*u*v)
+        a += SymbolicFacetPatchBFI(form=0.1/(h*h)*(u - u.Other())
+                                   * (v - v.Other()), definedonelements=ba)
+        f = LinearForm(Vh)
+        f += SymbolicLFI(neg, form=coeff_f*v, definedonelements=hasneg)
+        a.Assemble()
+        f.Assemble()
+        gfu = GridFunction(Vh)
+        gfu.vec.data = a.mat.Inverse(GetDofsOfElements(Vh, hasneg)) * f.vec.data
+        return float(Integrate(neg, (gfu - exact)**2, mesh, order=4) ** 0.5)
+
+    e1, e2 = solve(12), solve(24)
+    assert e2 < e1 / 2.8, (e1, e2)
