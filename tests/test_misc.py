@@ -296,3 +296,23 @@ def test_codim2_if_on_skeleton_and_boundary():
     ctx, re_, w, mask = _boundary_ctx(integ_b, mesh, 2)
     # crosses bottom and top boundary once each
     assert abs(float(jnp.sum(jnp.where(mask, w, 0.0))) - 2.0) < 1e-12
+
+
+def test_differentiable_through_levelset():
+    """BASELINE north star: the pipeline is differentiable through the level
+    set.  jax.grad of the NEG-domain area wrt the circle radius matches the
+    analytic shape derivative 2*pi*r to O(h^2), and Newton on area(r) hits a
+    target area to machine precision."""
+    import numpy as np
+    import jax
+
+    from examples.levelset_shape_opt import make_area_fn, run
+
+    area = make_area_fn(nx=32)
+    r0 = 0.31
+    g = float(jax.grad(area)(r0))
+    assert abs(g - 2 * np.pi * r0) < 0.02, g
+
+    r, final = run(nx=32, target_area=0.25, verbose=False)
+    assert abs(final - 0.25) < 1e-10
+    assert abs(r - np.sqrt(0.25 / np.pi)) < 2e-3
