@@ -62,5 +62,50 @@ def run(nx=32, target_area=0.25, r0=0.2, steps=6, verbose=True):
     return r, final
 
 
+def compliance_sensitivity(nx=12, r0=0.33):
+    """End-to-end differentiation THROUGH THE SOLVE: d(compliance)/d(radius)
+    of the fictitious-domain Poisson problem, with the linear solve made
+    differentiable via jax.scipy's CG (implicit-function theorem)."""
+    from ngsxfem_tpu.models.poisson import (UnfittedPoisson,
+                                            cut_poisson_elmats,
+                                            cut_poisson_rhs_elvecs)
+
+    m = UnfittedPoisson(nx=nx, dim=2, order=1, dtype=jnp.float64)
+    coords = jnp.asarray(m.mesh.vertices_np[m.mesh.elements_np])
+    elems = m.mesh.elements_np
+    e2d = m.el2dof
+    vdist = jnp.asarray(np.sqrt(((m.mesh.vertices_np - 0.5) ** 2).sum(1)))
+
+    def compliance(r):
+        phi = vdist - r
+        vals = phi[elems]
+        A = cut_poisson_elmats("trig", 1, coords, vals, 20.0)
+        fe = cut_poisson_rhs_elvecs(
+            "trig", 1, coords, vals,
+            lambda p: jnp.ones(p.shape[:-1], p.dtype))
+        n = m.ndof
+        b = jnp.zeros((n,)).at[e2d.reshape(-1)].add(fe.reshape(-1))
+        active = jnp.any(vals < 0, axis=1)
+        ad = jnp.zeros((n,), bool).at[jnp.asarray(e2d.reshape(-1))].max(
+            jnp.repeat(active, e2d.shape[1]))
+
+        def mv(xv):
+            ye = jnp.einsum("eij,ej->ei", A, xv[e2d])
+            yv = jnp.zeros_like(xv).at[e2d.reshape(-1)].add(ye.reshape(-1))
+            return jnp.where(ad, yv, xv)
+
+        bm = jnp.where(ad, b, 0.0)
+        x_sol, _ = jax.scipy.sparse.linalg.cg(mv, bm, tol=1e-12, maxiter=400)
+        return jnp.vdot(bm, x_sol)
+
+    return compliance
+
+
 if __name__ == "__main__":
     run()
+    comp = compliance_sensitivity()
+    r0 = 0.33
+    dc = float(jax.grad(comp)(r0))
+    eps = 1e-5
+    fd = (float(comp(r0 + eps)) - float(comp(r0 - eps))) / (2 * eps)
+    print(f"dC/dr autodiff {dc:.6e} vs FD {fd:.6e}")

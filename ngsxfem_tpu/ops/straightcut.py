@@ -91,7 +91,12 @@ def _gram_measure(edges):
         det = G[..., 0, 0] * G[..., 1, 1] - G[..., 0, 1] * G[..., 1, 0]
     else:
         det = jnp.linalg.det(G)
-    return jnp.sqrt(jnp.maximum(det, 0.0))
+    # sqrt'(0) = inf: degenerate (padded) sub-simplices must keep a ZERO
+    # gradient, not a NaN one, so guard the argument before the sqrt
+    # (d/dphi of masked-out rules is 0 * inf = NaN otherwise; the pipeline
+    # is advertised as differentiable through the level set)
+    pos = det > 0
+    return jnp.where(pos, jnp.sqrt(jnp.where(pos, det, 1.0)), 0.0)
 
 
 def _solve_gradient(edges, dvals):

@@ -316,3 +316,13 @@ def test_differentiable_through_levelset():
     r, final = run(nx=32, target_area=0.25, verbose=False)
     assert abs(final - 0.25) < 1e-10
     assert abs(r - np.sqrt(0.25 / np.pi)) < 2e-3
+
+    # through the SOLVE: compliance sensitivity vs central finite differences
+    from examples.levelset_shape_opt import compliance_sensitivity
+
+    comp = compliance_sensitivity(nx=10)
+    r0 = 0.33
+    dc = float(jax.grad(comp)(r0))
+    eps = 1e-5
+    fd = (float(comp(r0 + eps)) - float(comp(r0 - eps))) / (2 * eps)
+    assert abs(dc - fd) < 1e-7 * max(abs(fd), 1e-30), (dc, fd)
