@@ -144,7 +144,20 @@ class ELLMatrix:
 
     def matvec_pallas(self, x, block_rows=256):
         """Row-tiled Pallas SpMV: each grid step loads a (block, K) tile of
-        cols/vals into VMEM, gathers x (kept whole in VMEM) and reduces."""
+        cols/vals into VMEM, gathers x (kept whole in VMEM) and reduces.
+
+        NOTE: current Mosaic (TPU v5e, jax 0.9) cannot lower the dynamic
+        row gather this kernel needs (take_along_axis on mismatched block
+        shapes asserts; the full-VMEM variant dies in the backend), so this
+        falls back to the jnp gather path on failure.  The jnp path already
+        runs at HBM bandwidth (~24 us for 36k x 25), so the kernel is an
+        experiment, not the default."""
+        try:
+            return self._matvec_pallas_impl(x, block_rows)
+        except Exception:
+            return self.matvec(x)
+
+    def _matvec_pallas_impl(self, x, block_rows=256):
         import jax
         from jax.experimental import pallas as pl
         from jax.experimental.pallas import tpu as pltpu
