@@ -317,6 +317,26 @@ def test_differentiable_through_levelset():
     assert abs(final - 0.25) < 1e-10
     assert abs(r - np.sqrt(0.25 / np.pi)) < 2e-3
 
+    # 3D: dV/dr of a ball matches the surface area 4*pi*r^2 to O(h^2)
+    import jax.numpy as jnp
+    from ngsxfem_tpu.ops.straightcut import cut_rule_element, eps_guard
+    from ngsxfem_tpu.mesh.mesh import map_points, det_and_inv
+    from ngsxfem_tpu.mesh.structured import MakeStructured3DMesh
+
+    m3 = MakeStructured3DMesh(hexes=False, nx=12, ny=12, nz=12)
+    c3 = jnp.asarray(m3.vertices_np[m3.elements_np])
+    vd3 = jnp.asarray(np.sqrt(((m3.vertices_np - 0.5) ** 2).sum(1)))
+
+    def vol(r):
+        vals = eps_guard((vd3 - r)[m3.elements_np])
+        rule = cut_rule_element("tet", vals, 2)
+        _, J = map_points("tet", c3, rule.pts)
+        detJ, _ = det_and_inv(J)
+        return jnp.sum(rule.w * (rule.side == 0) * jnp.abs(detJ))
+
+    dv = float(jax.grad(vol)(0.31))
+    assert abs(dv - 4 * np.pi * 0.31 ** 2) < 0.03, dv
+
     # through the SOLVE: compliance sensitivity vs central finite differences
     from examples.levelset_shape_opt import compliance_sensitivity
 
