@@ -44,13 +44,21 @@ CG_ITERS = 50
 
 
 def _time(fn, *args, reps=10):
+    """Min-of-batch-means: individual dispatches over the tunneled runtime
+    occasionally stall for milliseconds, which at ~50 us/call poisons a
+    plain mean; the minimum over several small batches is the standard
+    robust steady-state estimator."""
     out = fn(*args)
     jax.block_until_ready(out)
-    t0 = time.perf_counter()
-    for _ in range(reps):
-        out = fn(*args)
-    jax.block_until_ready(out)
-    return (time.perf_counter() - t0) / reps, out
+    batch = max(3, reps // 3)
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        for _ in range(batch):
+            out = fn(*args)
+        jax.block_until_ready(out)
+        best = min(best, (time.perf_counter() - t0) / batch)
+    return best, out
 
 
 def _flops_of(jfn, *args):
