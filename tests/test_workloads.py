@@ -146,3 +146,51 @@ def test_fictdom_quad_mesh():
 
     e1, e2 = solve(12), solve(24)
     assert e2 < e1 / 2.8, (e1, e2)
+
+
+def test_fictdom_hex_mesh():
+    """3D fictitious-domain Poisson on a HEX mesh: the multilinear
+    iterated-integral cut rules drive volume + interface integrals in a full
+    solve; -laplace(u)=6 with u = R^2 - r^2 on the ball, O(h^2) error."""
+    from ngsxfem_tpu import (MakeStructured3DMesh, H1, GridFunction,
+                             InterpolateToP1, CutInfo, HASNEG, IF, NEG,
+                             GetFacetsWithNeighborTypes, GetDofsOfElements,
+                             BilinearForm, LinearForm, SymbolicBFI,
+                             SymbolicLFI, SymbolicFacetPatchBFI, Integrate,
+                             CoefficientFunction, grad, Norm, sqrt,
+                             specialcf, x, y, z)
+
+    def solve(nx):
+        mesh = MakeStructured3DMesh(hexes=True, nx=nx, ny=nx, nz=nx)
+        r = sqrt((x-0.5)**2 + (y-0.5)**2 + (z-0.5)**2)
+        lsetp1 = GridFunction(H1(mesh, order=1))
+        InterpolateToP1(r - 0.36, lsetp1)
+        exact = CoefficientFunction(
+            0.36**2 - (x-0.5)**2 - (y-0.5)**2 - (z-0.5)**2)
+        ci = CutInfo(mesh, lsetp1)
+        hasneg = ci.GetElementsOfType(HASNEG)
+        hasif = ci.GetElementsOfType(IF)
+        Vh = H1(mesh, order=1, dgjumps=True)
+        ba = GetFacetsWithNeighborTypes(mesh, a=hasneg, b=hasif)
+        h = specialcf.mesh_size
+        nl = 1.0/Norm(grad(lsetp1)) * grad(lsetp1)
+        u, v = Vh.TnT()
+        neg = {"levelset": lsetp1, "domain_type": NEG}
+        iff = {"levelset": lsetp1, "domain_type": IF}
+        a = BilinearForm(Vh)
+        a += SymbolicBFI(neg, form=grad(u)*grad(v), definedonelements=hasneg)
+        a += SymbolicBFI(iff, form=-(grad(u)*nl)*v - (grad(v)*nl)*u
+                         + 10.0/h*u*v)
+        a += SymbolicFacetPatchBFI(form=0.1/(h*h)*(u - u.Other())
+                                   * (v - v.Other()), definedonelements=ba)
+        f = LinearForm(Vh)
+        f += SymbolicLFI(neg, form=CoefficientFunction(6.0)*v,
+                         definedonelements=hasneg)
+        a.Assemble()
+        f.Assemble()
+        gfu = GridFunction(Vh)
+        gfu.vec.data = a.mat.Inverse(GetDofsOfElements(Vh, hasneg)) * f.vec.data
+        return float(Integrate(neg, (gfu - exact)**2, mesh, order=4) ** 0.5)
+
+    e1, e2 = solve(6), solve(12)
+    assert e2 < e1 / 3.0, (e1, e2)
