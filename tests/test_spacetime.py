@@ -232,3 +232,32 @@ def test_spacetime_skeleton_time_tensorized():
         # facets (12 of length 1/3) + diagonals (9 of length sqrt(2)/3)
         meas = 12 * (1 / 3) + 9 * (np.sqrt(2) / 3)
         assert abs(got - meas / (k + 1)) < 1e-12 * (k + 1), (k, got)
+
+
+def test_spacetime_quad_mesh_eoc():
+    """Space-time cut rules on QUAD spatial meshes: volume of a moving
+    circle, 2nd-order EOC under simultaneous space-time refinement."""
+    import numpy as np
+    from ngsxfem_tpu import (MakeStructured2DMesh, H1, SpaceTimeFESpace,
+                             ScalarTimeFE, GridFunction,
+                             SpaceTimeInterpolateToP1, Integrate,
+                             CoefficientFunction, NEG, sqrt, tref, x, y)
+
+    def vol(nx, nsteps):
+        mesh = MakeStructured2DMesh(quads=True, nx=nx, ny=nx)
+        st = SpaceTimeFESpace(H1(mesh, order=1), ScalarTimeFE(1))
+        tot = 0.0
+        for k in range(nsteps):
+            t0, t1 = k / nsteps, (k + 1) / nsteps
+            lset = GridFunction(st)
+            phi = sqrt((x - (0.4 + 0.2 * (t0 + (t1 - t0) * tref))) ** 2
+                       + (y - 0.5) ** 2) - 0.25
+            SpaceTimeInterpolateToP1(phi, tref, lset)
+            tot += float(Integrate({"levelset": lset, "domain_type": NEG},
+                                   CoefficientFunction(1.0), mesh, order=2,
+                                   time_order=2)) * (t1 - t0)
+        return tot
+
+    exact = np.pi * 0.25 ** 2
+    errs = [abs(vol(nx, nx) - exact) for nx in (8, 16)]
+    assert np.log2(errs[0] / errs[1]) > 1.75, errs
