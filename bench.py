@@ -12,17 +12,18 @@ ESTIMATE — the reference publishes no benchmark numbers and NGSolve is not
 installable in this environment (see BASELINE.md); the JSON labels it so.
 vs_baseline = pipeline elements/sec / 2e4; the driver target is >= 20.
 
-TIMING DISCIPLINE (axon tunnel): any device->host transfer (np.asarray,
-float(), int(), .item()) permanently switches the tunneled TPU client into a
-synchronous dispatch mode (~3-7 ms per executable launch AND per while_loop
-iteration) for the rest of the process.  Large index tables are therefore
-passed as jit ARGUMENTS (closure-captured device arrays trigger the read at
-lowering; baked numpy literals instead blow the remote-compile request limit,
-HTTP 413), warmup/timing synchronize with block_until_ready only, and every
-host read (asserts, residual checks) happens strictly AFTER the last timed
-region.  Fixing this discipline took the measured pipeline from 4.6e5 to
-4.4e9 elements/s on the same chip — the old number was dispatch overhead,
-not compute.
+MEASUREMENT REGIME (tunneled runtime): on the axon single-chip tunnel,
+execution is LAZY — dispatch and even ``block_until_ready`` return before
+any computation happens (a 50- and an 800-iteration CG "complete" in the
+same 40 us), so async timings measure enqueue latency, not work.  The only
+observable-completion regime is the synchronous one, entered permanently by
+the first device->host read: each launch then runs to completion before
+returning, at the cost of ~ms tunnel round trips per launch AND per
+lax.while_loop iteration.  This benchmark therefore forces the synchronous
+regime up front and times completed executions.  The numbers are LOWER
+bounds on real-chip throughput: they include tunnel round-trip overhead that
+does not exist on a directly-attached TPU, and the CG loop pays a round trip
+per iteration (~6 ms) where real hardware runs the whole loop on device.
 
 Prints ONE JSON line.
 """
@@ -38,37 +39,26 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+# enter the synchronous (observable-completion) regime BEFORE anything else
+_ = float(jnp.sum(jnp.ones((8, 8))))
+
 NGSOLVE_BASELINE_ELTS_PER_SEC = 2.0e4  # estimate, no published number exists
-V5E_BF16_PEAK_FLOPS = 197e12  # TPU v5e chip peak (bf16); f32 runs below this
 CG_ITERS = 50
 
 
-def _time(fn, *args, reps=10):
-    """Min-of-batch-means: individual dispatches over the tunneled runtime
-    occasionally stall for milliseconds, which at ~50 us/call poisons a
-    plain mean; the minimum over several small batches is the standard
-    robust steady-state estimator."""
+def _time(fn, *args, reps=3):
+    """Synchronous per-call timing (executions complete before returning in
+    this regime); median of `reps` calls."""
     out = fn(*args)
     jax.block_until_ready(out)
-    batch = max(3, reps // 3)
-    best = float("inf")
-    for _ in range(3):
+    ts = []
+    for _ in range(reps):
         t0 = time.perf_counter()
-        for _ in range(batch):
-            out = fn(*args)
+        out = fn(*args)
         jax.block_until_ready(out)
-        best = min(best, (time.perf_counter() - t0) / batch)
-    return best, out
-
-
-def _flops_of(jfn, *args):
-    try:
-        ca = jfn.lower(*args).compile().cost_analysis()
-        if isinstance(ca, list):
-            ca = ca[0]
-        return float(ca.get("flops", 0.0)) if ca else 0.0
-    except Exception:
-        return 0.0
+        ts.append(time.perf_counter() - t0)
+    ts.sort()
+    return ts[len(ts) // 2], out
 
 
 def bench_pipeline(dtype, nx, reps):
@@ -80,9 +70,8 @@ def bench_pipeline(dtype, nx, reps):
     ncut_host = int((((vals < 0).any(1)) & ((vals > 0).any(1))).sum())
     cap = int(ncut_host * 1.2) + 8
     struct = model.ell_structure()          # host numpy tables
-    # Big index tables enter the jits as ARGUMENTS: baked-as-literals they
-    # exceed the remote-compile request limit on tunneled setups (HTTP 413),
-    # and closure-captured device arrays poison dispatch (see docstring).
+    # big index tables enter as ARGUMENTS (baked literals exceed the remote
+    # compiler's request limit, HTTP 413)
     K = struct["K"]
     sd = {k: jnp.asarray(v) for k, v in struct.items() if k != "K"}
 
@@ -111,42 +100,35 @@ def bench_pipeline(dtype, nx, reps):
     v, l = model.vertices, model.lset
     b = jnp.where(jnp.asarray(model.active_dofs), 1.0, 0.0).astype(dtype)
 
-    # warmup (compiles; device-only, no host reads)
     ell_vals, n_dev = assemble(v, l, sd)
     jax.block_until_ready(ell_vals)
+    assert int(n_dev) <= cap, "cut capacity overflow"
 
     t_asm, _ = _time(assemble, v, l, sd, reps=reps)
     t_slv, (xs, res) = _time(solve, ell_vals, sd["ell_cols"], b, reps=reps)
-    t_pipe, (_, res_p, _) = _time(pipeline, v, l, sd, b, reps=max(2, reps // 2))
+    t_pipe, (_, res_p, _) = _time(pipeline, v, l, sd, b, reps=reps)
 
-    # ---- host reads: only AFTER all timing (see module docstring) ----
-    assert int(n_dev) <= cap, "cut capacity overflow"
     r0 = float(jnp.linalg.norm(b))
     assert float(res_p) < 0.1 * r0, (float(res_p), r0)
 
-    flops = _flops_of(pipeline, v, l, sd, b)
     return {
         "ne": model.mesh.ne,
         "ndof": model.ndof,
         "asm_elts_per_sec": model.mesh.ne / t_asm,
         "solve_iters_per_sec": CG_ITERS / t_slv,
         "pipe_elts_per_sec": model.mesh.ne / t_pipe,
-        "mfu_vs_bf16_peak": (flops / t_pipe / V5E_BF16_PEAK_FLOPS
-                             if flops else None),
         "cg_rel_residual": float(res_p) / r0,
     }
 
 
 def main():
     nx = int(os.environ.get("BENCH_NX", "48"))
-    reps = int(os.environ.get("BENCH_REPS", "10"))
+    reps = int(os.environ.get("BENCH_REPS", "3"))
 
     if os.environ.get("BENCH_INNER_F64") == "1":
-        # child process: clean (unpoisoned) f64 run, one number on stdout
         jax.config.update("jax_enable_x64", True)
-        # f64 doubles every temp; nx>16 exceeds the remote compiler
         r64 = bench_pipeline(jnp.float64, max(min(nx // 2, 16), 8),
-                             max(2, reps // 4))
+                             max(2, reps))
         print(json.dumps({"f64_pipe": r64["pipe_elts_per_sec"]}))
         return
 
@@ -154,8 +136,6 @@ def main():
 
     f64 = None
     if os.environ.get("BENCH_F64", "1") != "0":
-        # subprocess: the f32 run's post-timing host reads switched THIS
-        # process into the slow sync-dispatch mode (see docstring)
         import subprocess
 
         try:
@@ -174,11 +154,12 @@ def main():
         "vs_baseline": round(
             r32["pipe_elts_per_sec"] / NGSOLVE_BASELINE_ELTS_PER_SEC, 2),
         "baseline_note": "2e4 elts/s NGSolve figure is an unmeasured estimate",
+        "timing_note": ("synchronous completed-execution timings over the "
+                        "tunneled runtime; lower bounds on real-chip rates "
+                        "(~ms round trip per launch and per CG iteration)"),
         "assembly_elts_per_sec": round(r32["asm_elts_per_sec"], 1),
         "solve_iters_per_sec": round(r32["solve_iters_per_sec"], 1),
         "cg_iters": CG_ITERS,
-        "mfu_vs_bf16_peak": (round(r32["mfu_vs_bf16_peak"], 6)
-                             if r32["mfu_vs_bf16_peak"] else None),
         "f64_pipeline_elts_per_sec": f64,
         "ne": r32["ne"],
         "ndof": r32["ndof"],
