@@ -1,7 +1,9 @@
 """TPU perf exploration: SpMV variants + assembly/pipeline scaling.
 
-Follows the axon timing discipline (see bench.py): numpy static tables,
-all-args jits, zero device->host reads before the last timed region.
+Times SYNCHRONOUS completed executions (see bench.py's docstring: the
+tunneled runtime executes lazily, so async timings measure enqueue only;
+the synchronous regime is entered by the first device->host read and is
+the only observable-completion mode).
 
     python tools/perf_tpu.py [nx ...]
 """
@@ -16,15 +18,21 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+# enter the synchronous (observable-completion) regime up front
+_ = float(jnp.sum(jnp.ones((8, 8))))
 
-def timeit(f, *a, reps=10):
+
+def timeit(f, *a, reps=3):
     o = f(*a)
     jax.block_until_ready(o)
-    t0 = time.perf_counter()
+    ts = []
     for _ in range(reps):
+        t0 = time.perf_counter()
         o = f(*a)
-    jax.block_until_ready(o)
-    return (time.perf_counter() - t0) / reps
+        jax.block_until_ready(o)
+        ts.append(time.perf_counter() - t0)
+    ts.sort()
+    return ts[len(ts) // 2]
 
 
 def main():
@@ -86,12 +94,12 @@ def main():
 
         t_asm = timeit(assemble, v, l, struct_dev, reps=5)
         t_asg = timeit(assemble_g, v, l, struct_dev, gtable_dev, reps=5)
-        t_mv = timeit(mv_jnp, ell_vals, colsj, b, reps=30)
+        t_mv = timeit(mv_jnp, ell_vals, colsj, b, reps=5)
         try:
-            t_mvp = timeit(mv_pallas, ell_vals, colsj, b, reps=30)
+            t_mvp = timeit(mv_pallas, ell_vals, colsj, b, reps=5)
         except Exception as e:
             t_mvp = None
-        t_cg = timeit(solve50, ell_vals, colsj, b, reps=5)
+        t_cg = timeit(solve50, ell_vals, colsj, b, reps=2)
         report.append((nx, model.mesh.ne, model.ndof, t_asm, t_asg, t_mv, t_mvp, t_cg))
 
     # host reads only now
