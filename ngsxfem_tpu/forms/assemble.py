@@ -102,13 +102,22 @@ def SymbolicFacetPatchBFI(form=None, skeleton=False, definedonelements=None,
 
 def _ensure_p1_ld(integral: Integral, mesh):
     """Route a non-P1 level set of an integral to P1 (CF fallback,
-    cf. reference CF2GFForStraightCutRule, cutint/xintegration.cpp:91-103)."""
+    cf. reference CF2GFForStraightCutRule, cutint/xintegration.cpp:91-103).
+
+    The ORIGINAL level set is kept in the dict (``_orig_levelset``) so every
+    Assemble re-interpolates it into the cached P1 target — the reference
+    re-evaluates CF2GFForStraightCutRule per assembly, so an updated
+    high-order/parametric level set must not reuse stale P1 geometry."""
     if integral.levelset_domain is None:
         return
     from ..integrate import ensure_p1_levelset
 
     ld = integral.levelset_domain
-    ld["levelset"] = ensure_p1_levelset(ld["levelset"], mesh, cache_on=integral)
+    orig = ld.get("_orig_levelset", ld["levelset"])
+    p1 = ensure_p1_levelset(orig, mesh, cache_on=integral)
+    if p1 is not orig:
+        ld["_orig_levelset"] = orig
+    ld["levelset"] = p1
 
 
 def _space_order(space):
@@ -551,6 +560,21 @@ def _boundary_ctx(integral: Integral, mesh, order, dyn=None):
     phys_fverts = verts[jnp.asarray(fverts)]  # (B, nvf, d)
     dNf = geom_dshapes(fet, rp_dyn)  # (B, nq, nvf, d-1)
     tang = jnp.einsum("bqks,bkd->bqsd", dNf, phys_fverts)
+    # isoparametric deformation: correct the facet tangents (and thus the
+    # measure and normal below) by the displacement's tangential derivative —
+    # BND-cut integrals under SetDeformation must see the deformed boundary
+    # exactly where the lsetcurving shift is nonzero (interface crossing the
+    # outer boundary).
+    deform = (integral.deformation if integral.deformation is not None
+              else mesh.deformation)
+    if deform is not None:
+        from ..fem.gridfunction import gf_ref_value_and_grad
+
+        _, dgrad = gf_ref_value_and_grad(
+            deform, jnp.asarray(row_e), pts, dyn=dyn)  # (B,nq,d,d_ref)
+        # d(elem-ref)/d(facet-param): facet map is linear in Nf
+        dref_ds = jnp.einsum("bqks,bkd->bqsd", dNf, loc_ref)
+        tang = tang + jnp.einsum("bqgd,bqsd->bqsg", dgrad, dref_ds)
     if nref_if is not None:
         if d == 2:
             w = rw_dyn
@@ -589,7 +613,7 @@ def _boundary_ctx(integral: Integral, mesh, order, dyn=None):
         times = jnp.broadcast_to(tg[None, None, :], (B, Q, nt)).reshape(B, Q * nt)
 
     ctx = EvalCtx(mesh, pts, elem_ids=jnp.asarray(row_e), normal=n, dyn=dyn,
-                  time=times)
+                  time=times, deformation=deform)
     ctx.facet_ids = jnp.asarray(bf)
     mask = w > 0
     if integral.definedonelements is not None:

@@ -130,6 +130,12 @@ def refine_mesh(mesh, marks=None):
             "adaptive refinement is implemented for 2D triangle meshes; "
             "for quad/hex/tet use a finer structured mesh"
         )
+    if (getattr(mesh, "periodic_facet_np", None) is not None
+            and (mesh.periodic_facet_np >= 0).any()):
+        raise NotImplementedError(
+            "refinement of periodic meshes is not supported (the periodic "
+            "facet identification would need to be rebuilt)"
+        )
     if marks is None:
         marks = np.ones(mesh.ne, dtype=bool)
     else:
@@ -155,6 +161,8 @@ def refine_mesh(mesh, marks=None):
         u, v = mesh.facets_np[fi]
         bc[fi] = bc_new.get(_edge_key(int(u), int(v)), 1)
     mesh.bc_of_facet_np = bc
+    # facet count changed: reset the (empty) periodic identification
+    mesh.periodic_facet_np = np.full(mesh.nfacets, -1, dtype=np.int64)
 
     import jax.numpy as jnp
     from ..config import config

@@ -175,17 +175,34 @@ class MultiGridCL:
                                 else coarse_freedofs))
         idx = np.nonzero(free)[0]
         A0 = mats[0].to_scipy().tocsr()[idx][:, idx].toarray()
-        # symmetrize (COO duplicates / roundoff) and factor
+        # symmetrize (COO duplicates / roundoff) and factor ON HOST (A0 is
+        # host numpy already; device cholesky would silently produce NaNs for
+        # an indefinite Nitsche/saddle-point coarse block).  SPD -> Cholesky;
+        # otherwise fall back to an LU factorization.
         A0 = 0.5 * (A0 + A0.T)
-        self._coarse_chol = jnp.linalg.cholesky(
-            jnp.asarray(A0, dtype=config.dtype))
+        try:
+            L = np.linalg.cholesky(A0)
+            self._coarse_fac = ("chol",
+                                jnp.asarray(L, dtype=config.dtype))
+        except np.linalg.LinAlgError:
+            import scipy.linalg as sla
+
+            lu, piv = sla.lu_factor(A0)
+            self._coarse_fac = ("lu", jnp.asarray(lu, dtype=config.dtype),
+                                jnp.asarray(piv))
         self._coarse_idx = jnp.asarray(idx)
         self._coarse_n = n0
 
     def _coarse_solve(self, b):
-        from jax.scipy.linalg import cho_solve
+        if self._coarse_fac[0] == "chol":
+            from jax.scipy.linalg import cho_solve
 
-        z = cho_solve((self._coarse_chol, True), b[self._coarse_idx])
+            z = cho_solve((self._coarse_fac[1], True), b[self._coarse_idx])
+        else:
+            from jax.scipy.linalg import lu_solve
+
+            z = lu_solve((self._coarse_fac[1], self._coarse_fac[2]),
+                         b[self._coarse_idx])
         out = jnp.zeros((self._coarse_n,), dtype=config.dtype)
         return out.at[self._coarse_idx].set(z)
 

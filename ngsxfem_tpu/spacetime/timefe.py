@@ -59,7 +59,7 @@ class ScalarTimeFE:
         self.ndof = len(self._active)
 
     def IsNodeActive(self, i: int) -> bool:
-        if i < 0 or i > self.order + 1:
+        if i < 0 or i > self.order:
             raise IndexError("node outside node range")
         if i == 0 and self.skip_first_node:
             return False
