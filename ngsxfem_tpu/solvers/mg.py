@@ -244,6 +244,235 @@ def CompoundProlongation(prols):
     return _CP(prols)
 
 
+# ---------------------------------------------------------------------------
+# Functional ELL multigrid: all device data travels in a params pytree that is
+# passed as jit ARGUMENTS.  Rationale (docs/PERFORMANCE.md): closure-captured
+# device arrays force a device->host read at lowering time on the tunneled
+# TPU runtime, and multi-MB baked literals exceed the remote compiler's
+# request limit — the class-based MultiGridCL above holds device arrays in
+# attributes and is therefore host/CPU-tooling only; this functional form is
+# the TPU path used by bench.py (reference driver: python/cutmg.py:115+).
+
+
+def coo_to_ell_np(rows, cols, vals, shape):
+    """Host: COO triplets -> padded ELL (cols (n,K) int32, vals (n,K) f)."""
+    import scipy.sparse as sp
+
+    A = sp.coo_matrix((np.asarray(vals, dtype=np.float64),
+                       (np.asarray(rows), np.asarray(cols))),
+                      shape=shape).tocsr()
+    A.sum_duplicates()
+    n = shape[0]
+    counts = np.diff(A.indptr)
+    K = max(int(counts.max()), 1)
+    ecols = np.zeros((n, K), dtype=np.int32)
+    evals = np.zeros((n, K), dtype=np.float64)
+    pos = np.arange(A.nnz) - np.repeat(A.indptr[:-1], counts)
+    rix = np.repeat(np.arange(n), counts)
+    ecols[rix, pos] = A.indices
+    evals[rix, pos] = A.data
+    return ecols, evals
+
+
+def prolongation_coo_np(coarse_space, fine_space):
+    """Host COO (rows, cols, vals, shape) of the coarse->fine prolongation
+    (same construction as prolongation_matrix, host numpy only)."""
+    P = prolongation_matrix(coarse_space, fine_space)
+    return (np.asarray(P.rows), np.asarray(P.cols), np.asarray(P.vals),
+            P.shape)
+
+
+def _if_block_struct(cols_np, if_mask, K):
+    """Host: padded interface sub-block structure of an ELL matrix.
+
+    Returns (idx (m,), bcols (m,Kc) local col ids, bslots (m,Kc) flat slots
+    into the (n*K,) value table, bmask (m,Kc)) — value slots so the block
+    tracks a re-assembled matrix with zero host work (CutFemSmoother's
+    interface correction, reference python/cutmg.py:61-111)."""
+    idx = np.nonzero(if_mask)[0]
+    m = len(idx)
+    if m == 0:
+        return (np.zeros(0, np.int32), np.zeros((0, 1), np.int32),
+                np.zeros((0, 1), np.int64), np.zeros((0, 1), bool))
+    g2l = np.full(cols_np.shape[0], -1, dtype=np.int64)
+    g2l[idx] = np.arange(m)
+    sub = cols_np[idx]  # (m, K)
+    loc = g2l[sub]
+    inb = loc >= 0
+    Kc = max(int(inb.sum(1).max()), 1)
+    order = np.argsort(~inb, axis=1, kind="stable")[:, :Kc]
+    ri = np.arange(m)[:, None]
+    bcols = np.where(inb[ri, order], loc[ri, order], 0).astype(np.int32)
+    bslots = (idx[:, None] * np.int64(K) + order).astype(np.int64)
+    bmask = inb[ri, order]
+    return idx.astype(np.int32), bcols, bslots, bmask
+
+
+class FunctionalELLMG:
+    """Cut-MG V-cycle over a hierarchy of ELL operators, in functional form.
+
+    Host constructor takes per-level static structure; ``params(vals_list)``
+    packs the current per-level ELL value tables with the static index
+    tables into one pytree; ``prepare(params)`` factors the coarse level
+    (call once per assembled matrix, under jit); ``apply(params, b)`` is the
+    pure V-cycle preconditioner.  Smoothing is damped Jacobi plus an
+    optional fixed-iteration CG on the interface dof block (the
+    CutFemSmoother design, reference python/cutmg.py:17-111), all expressed
+    with fixed trip counts so the whole MG-preconditioned CG compiles into
+    one XLA program.
+    """
+
+    def __init__(self, cols_list, prols_coo, if_masks=None, nsmooth=2,
+                 damping=0.6, if_iters=10, active_masks=None):
+        self.nlevels = len(cols_list)
+        self.nsmooth = nsmooth
+        self.damping = damping
+        self.if_iters = if_iters
+        self.cols_np = [np.asarray(c) for c in cols_list]
+        self.K = [c.shape[1] for c in self.cols_np]
+        self.P_ell = []   # coarse->fine, ELL by fine row
+        self.R_ell = []   # fine->coarse (P^T), ELL by coarse row
+        for (rows, cols, vals, shape) in prols_coo:
+            self.P_ell.append(coo_to_ell_np(rows, cols, vals, shape))
+            self.R_ell.append(coo_to_ell_np(cols, rows, vals,
+                                            (shape[1], shape[0])))
+        self.active_np = (None if active_masks is None else
+                          [None if a is None else np.asarray(a, dtype=bool)
+                           for a in active_masks])
+        self.if_structs = []
+        for l in range(self.nlevels):
+            if if_masks is not None and if_masks[l] is not None and l > 0:
+                self.if_structs.append(
+                    _if_block_struct(self.cols_np[l],
+                                     np.asarray(if_masks[l], dtype=bool),
+                                     self.K[l]))
+            else:
+                self.if_structs.append(None)
+
+    def params(self, vals_list, dtype=None):
+        """Pack static tables + current ELL values into a device pytree."""
+        dtype = dtype or config.dtype
+        p = {
+            "cols": [jnp.asarray(c) for c in self.cols_np],
+            "vals": [jnp.asarray(v, dtype=dtype) for v in vals_list],
+            "P": [(jnp.asarray(c), jnp.asarray(v, dtype=dtype))
+                  for c, v in self.P_ell],
+            "R": [(jnp.asarray(c), jnp.asarray(v, dtype=dtype))
+                  for c, v in self.R_ell],
+            "if": [None if s is None else
+                   (jnp.asarray(s[0]), jnp.asarray(s[1]),
+                    jnp.asarray(s[2]), jnp.asarray(s[3], dtype=dtype))
+                   for s in self.if_structs],
+            "act": (None if self.active_np is None else
+                    [None if a is None else jnp.asarray(a)
+                     for a in self.active_np]),
+        }
+        return p
+
+    # -- pure device functions (jit with params as arguments) ---------------
+    @staticmethod
+    def _mv(params, l, x):
+        return jnp.sum(params["vals"][l] * x[params["cols"][l]], axis=1)
+
+    @staticmethod
+    def _dinv(params, l):
+        cols = params["cols"][l]
+        rid = jnp.arange(cols.shape[0])[:, None]
+        d = jnp.sum(jnp.where(cols == rid, params["vals"][l], 0.0), axis=1)
+        return jnp.where(jnp.abs(d) > 1e-30, 1.0 / d, 1.0)
+
+    def prepare(self, params):
+        """Factor the coarse level (dense Cholesky of the full coarse ELL,
+        identity rows included; requires an SPD coarse system).  Returns
+        params + the factor — run ONCE per assembled matrix."""
+        cols0, vals0 = params["cols"][0], params["vals"][0]
+        n0 = cols0.shape[0]
+        A0 = jnp.zeros((n0, n0), dtype=vals0.dtype)
+        A0 = A0.at[jnp.arange(n0)[:, None], cols0].add(vals0)
+        A0 = 0.5 * (A0 + A0.T)
+        out = dict(params)
+        out["chol0"] = jnp.linalg.cholesky(A0)
+        out["dinv"] = [self._dinv(params, l) for l in range(self.nlevels)]
+        return out
+
+    def _if_correct(self, params, l, x, b):
+        s = params["if"][l]
+        if s is None or self.if_iters <= 0:
+            return x
+        idx, bcols, bslots, bmask = s
+        vflat = params["vals"][l].reshape(-1)
+        bvals = vflat[bslots] * bmask
+        diag = jnp.sum(jnp.where(bcols == jnp.arange(len(idx))[:, None],
+                                 bvals, 0.0), axis=1)
+        dinv = jnp.where(jnp.abs(diag) > 1e-30, 1.0 / diag, 1.0)
+        r = (b - self._mv(params, l, x))[idx]
+
+        def mv(z):
+            return jnp.sum(bvals * z[bcols], axis=1)
+
+        # fixed-iteration Jacobi-preconditioned CG (jit-friendly trip count)
+        z = jnp.zeros_like(r)
+        rr = r - mv(z)
+        q = dinv * rr
+        p = q
+        rz = jnp.vdot(rr, q)
+
+        def body(_, st):
+            z, rr, p, rz = st
+            Ap = mv(p)
+            denom = jnp.vdot(p, Ap)
+            alpha = rz / jnp.where(denom == 0, 1.0, denom)
+            z = z + alpha * p
+            rr = rr - alpha * Ap
+            q = dinv * rr
+            rz2 = jnp.vdot(rr, q)
+            p = q + (rz2 / jnp.where(rz == 0, 1.0, rz)) * p
+            return z, rr, p, rz2
+
+        import jax
+
+        z, rr, p, rz = jax.lax.fori_loop(0, self.if_iters, body,
+                                         (z, rr, p, rz))
+        return x.at[idx].add(z)
+
+    def _smooth(self, params, l, x, b):
+        for _ in range(self.nsmooth):
+            r = b - self._mv(params, l, x)
+            x = x + self.damping * params["dinv"][l] * r
+        return x
+
+    def _cycle(self, params, l, b):
+        if l == 0:
+            from jax.scipy.linalg import cho_solve
+
+            return cho_solve((params["chol0"], True), b)
+        x = self._smooth(params, l, jnp.zeros_like(b), b)
+        x = self._if_correct(params, l, x, b)
+        r = b - self._mv(params, l, x)
+        Rc, Rv = params["R"][l - 1]
+        rc = jnp.sum(Rv * r[Rc], axis=1)
+        act = params.get("act")
+        if act is not None and act[l - 1] is not None:
+            # active-set-aware transfer (the P*Cut*Prolongation idea,
+            # utils/xprolongation.hpp:60-101): inactive coarse dofs carry
+            # identity rows — restricting residual into them would turn the
+            # coarse solve into garbage corrections near the interface
+            rc = jnp.where(act[l - 1], rc, 0.0)
+        xc = self._cycle(params, l - 1, rc)
+        Pc, Pv = params["P"][l - 1]
+        corr = jnp.sum(Pv * xc[Pc], axis=1)
+        if act is not None and act[l] is not None:
+            corr = jnp.where(act[l], corr, 0.0)
+        x = x + corr
+        x = self._if_correct(params, l, x, b)
+        x = self._smooth(params, l, x, b)
+        return x
+
+    def apply(self, params, b):
+        """One V-cycle: z approx A^{-1} b (use as CG preconditioner)."""
+        return self._cycle(params, self.nlevels - 1, b)
+
+
 class LinearMGIterator:
     """Stationary MG iteration / solver driver (cutmg.py:115+): repeatedly
     applies the V-cycle preconditioned richardson/CG update."""

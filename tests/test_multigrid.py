@@ -36,3 +36,80 @@ def test_cutmg_3d():
     it_mg, it_j, diff = cutmg.run(nx0=4, levels=3, verbose=False, dim=3)
     assert it_mg * 2 < it_j, (it_mg, it_j)
     assert diff < 1e-6
+
+
+def test_functional_ell_mg():
+    """Functional (argument-passing) ELL multigrid: MG-preconditioned CG on
+    the 3D fictdom flagship model converges to 1e-8 in far fewer iterations
+    than Jacobi-CG and matches the direct solution (the TPU-path MG used by
+    bench.py; reference driver python/cutmg.py:115+)."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+    from ngsxfem_tpu.config import config
+    from ngsxfem_tpu.models.poisson import UnfittedPoisson
+    from ngsxfem_tpu.solvers.mg import FunctionalELLMG, prolongation_coo_np
+    from ngsxfem_tpu.solvers.krylov import cg
+
+    def level(nx):
+        m = UnfittedPoisson(nx=nx, dim=3, order=1, dtype=config.dtype)
+        vals_el = m.lset_np[m.mesh.elements_np]
+        ncut = int((((vals_el < 0).any(1)) & ((vals_el > 0).any(1))).sum())
+        cap = ncut + 8
+        st = m.ell_structure()
+        sd = {k: jnp.asarray(v) for k, v in st.items() if k != "K"}
+        vals, _ = jax.jit(
+            lambda v, l, s: m.assemble_ell_vals(v, l, cap, dict(s, K=st["K"]))
+        )(m.vertices, m.lset, sd)
+        cut = (vals_el < 0).any(1) & (vals_el > 0).any(1)
+        ifm = np.zeros(m.ndof, bool)
+        ifm[m.space.el2dof_np[cut].ravel()] = True
+        return m, st, vals, ifm & m.active_dofs
+
+    mc, stc, vc, _ = level(4)
+    mf, stf, vf, iff = level(8)
+
+    mg = FunctionalELLMG(
+        [stc["ell_cols"], stf["ell_cols"]],
+        [prolongation_coo_np(mc.space, mf.space)],
+        if_masks=[None, iff], if_iters=10,
+        active_masks=[mc.active_dofs, mf.active_dofs])
+
+    b = jnp.where(jnp.asarray(mf.active_dofs), 1.0, 0.0).astype(config.dtype)
+    cols_f = jnp.asarray(stf["ell_cols"])
+
+    @jax.jit
+    def solve(vals_c, vals_f, b):
+        params = mg.prepare(mg.params_like(vals_c, vals_f))
+        mv = lambda x: jnp.sum(vals_f * x[cols_f], axis=1)
+        return cg(mv, b, M=lambda r: mg.apply(params, r),
+                  maxiter=60, tol=1e-8)
+
+    # params() builds from host; inside jit we need traced vals -> helper
+    mg.params_like = lambda vc_, vf_: {
+        "cols": [jnp.asarray(stc["ell_cols"]), cols_f],
+        "vals": [vc_, vf_],
+        "P": [(jnp.asarray(c), jnp.asarray(v, dtype=config.dtype))
+              for c, v in mg.P_ell],
+        "R": [(jnp.asarray(c), jnp.asarray(v, dtype=config.dtype))
+              for c, v in mg.R_ell],
+        "if": [None if s is None else
+               (jnp.asarray(s[0]), jnp.asarray(s[1]), jnp.asarray(s[2]),
+                jnp.asarray(s[3], dtype=config.dtype))
+               for s in mg.if_structs],
+        "act": [jnp.asarray(a) for a in mg.active_np],
+    }
+
+    x_mg, k_mg, res_mg = solve(vc, vf, b)
+    bn = float(jnp.linalg.norm(b))
+    assert float(res_mg) < 1e-8 * bn * 1.01 + 1e-12, float(res_mg)
+
+    # Jacobi-CG reference on the same system
+    rid = jnp.arange(cols_f.shape[0])[:, None]
+    diag = jnp.sum(jnp.where(cols_f == rid, vf, 0.0), axis=1)
+    dinv = jnp.where(jnp.abs(diag) > 1e-30, 1.0 / diag, 1.0)
+    x_j, k_j, res_j = cg(lambda x: jnp.sum(vf * x[cols_f], axis=1), b,
+                         M=lambda r: dinv * r, maxiter=2000, tol=1e-8)
+    assert float(jnp.linalg.norm(x_mg - x_j)) < 1e-5 * float(
+        jnp.linalg.norm(x_j))
+    assert int(k_mg) < int(k_j) / 2, (int(k_mg), int(k_j))
