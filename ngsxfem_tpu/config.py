@@ -79,6 +79,18 @@ class _Config:
         self.lset_eps = 1e-14
         # threshold (ndof) below which ``Inverse`` materialises a dense matrix
         self.dense_solve_max_ndof = 20000
+        # two-tier cut assembly in the public BilinearForm/LinearForm path:
+        # standard rule on uncut elements + compacted cut kernel on a
+        # fixed-capacity set of cut elements (NGSXFEM_TPU_TWO_TIER=0 forces
+        # the old single-tier full-cut-kernel path)
+        self.two_tier_assembly = os.environ.get(
+            "NGSXFEM_TPU_TWO_TIER", "1") != "0"
+        # emit jax.debug.print diagnostics when fixed-iteration Newton
+        # searches (facet-patch neighbor map, shifted_eval) fail to converge
+        # and fall back; off by default because debug callbacks force
+        # device->host traffic on the tunneled TPU runtime
+        self.newton_debug = os.environ.get(
+            "NGSXFEM_TPU_NEWTON_DEBUG", "0") != "0"
 
     @property
     def np_dtype(self):

@@ -200,6 +200,115 @@ def _volume_ctx(integral: Integral, mesh, order, dyn=None):
     return ctx, w_phys, mask
 
 
+def _cut_capacity(lgf):
+    """Host-side cut-element count of a P1 level set, bucketed to the next
+    power of two (>=64) so the compiled signature survives a moving level
+    set until the cut count doubles."""
+    import math
+
+    sp = lgf.space
+    from ..integrate import vertex_local_ids
+
+    vperm = vertex_local_ids(sp.mesh.et, 1)
+    vals = np.asarray(lgf._arr)[sp.el2dof_np[:, vperm]]
+    ncut = int(((vals < 0).any(1) & (vals > 0).any(1)).sum())
+    return 1 << max(6, math.ceil(math.log2(max(1, int(ncut * 1.3) + 16))))
+
+
+def _two_tier_applicable(integral: Integral, mesh):
+    from ..spacetime.space import SpaceTimeFESpace
+
+    return (config.two_tier_assembly
+            and integral.levelset_domain is not None
+            and integral.time_order < 0
+            and not isinstance(integral.levelset_domain["levelset"].space,
+                               SpaceTimeFESpace))
+
+
+def _volume_tiers(integral: Integral, mesh, order, dyn=None):
+    """Quadrature tiers [(ctx, w_phys (R,Q), mask, scatter_ids)] of a
+    volume-type integral; scatter_ids None => rows are all elements, else a
+    fixed-capacity compaction of cut elements (pad slots zero-weighted).
+
+    Two-tier cut assembly (the hand-written flagship model's
+    ``elmats_compact`` design, models/poisson.py:230-290, promoted into the
+    public path): NEG/POS integrals run the cheap standard rule over ALL
+    elements, weight-masked to matching uncut elements, and the full cut
+    kernel only on the compacted cut set; IF integrals are purely compacted.
+    The expensive path then scales with the interface, not the volume
+    (reference cost model: per-element rule construction in
+    ``cutint/python_cutint.cpp:46-69`` pays the cut path only on cut
+    elements).  Capacity overflow (level set moved, cut count grew past the
+    signature bucket before re-signature) poisons the weights with NaN —
+    loud, never silently wrong.
+    """
+    if not _two_tier_applicable(integral, mesh):
+        ctx, w, mask = _volume_ctx(integral, mesh, order, dyn=dyn)
+        return [(ctx, w, mask, None)]
+
+    from ..integrate import lset_vertex_values
+    from ..ops.straightcut import cut_rule_element, eps_guard
+    from ..jitcache import dyn_get
+
+    ld = integral.levelset_domain
+    o = order if ld["force_intorder"] < 0 else ld["force_intorder"]
+    if integral.force_intorder > 0:
+        o = integral.force_intorder
+    dt = int(ld["domain_type"])
+    lgf = ld["levelset"]
+    deform = (integral.deformation if integral.deformation is not None
+              else "inherit")
+    cap = getattr(integral, "_cut_cap", None) or _cut_capacity(lgf)
+
+    vals = eps_guard(lset_vertex_values(lgf, dyn))
+    has_neg = jnp.any(vals < 0, axis=1)
+    has_pos = jnp.any(vals > 0, axis=1)
+    cut = has_neg & has_pos
+    ncut = jnp.sum(cut)
+    cut_ids = jnp.nonzero(cut, size=cap, fill_value=0)[0]
+    valid = jnp.arange(cap) < ncut
+
+    tiers = []
+    if dt != int(IF):
+        rp, rw = reference_rule(mesh.et, o)
+        E = mesh.ne
+        pts = jnp.broadcast_to(
+            jnp.asarray(rp, dtype=config.dtype)[None], (E,) + rp.shape)
+        ctx = EvalCtx(mesh, pts, dyn=dyn, deformation=deform)
+        sel = (has_neg & ~has_pos) if dt == int(NEG) else (has_pos & ~has_neg)
+        w = jnp.asarray(rw, dtype=config.dtype)[None, :] * jnp.abs(ctx.detJ)
+        w = jnp.where(sel[:, None], w, 0.0)
+        tiers.append((ctx, w, jnp.broadcast_to(sel[:, None], w.shape), None))
+
+    cvals = vals[cut_ids]
+    rule = cut_rule_element(mesh.et, cvals, o, ld["quad_dir_policy"])
+    if dt == int(IF):
+        cctx = EvalCtx(mesh, rule.pts_if, elem_ids=cut_ids, nref=rule.nref,
+                       dyn=dyn, deformation=deform)
+        w_ref = rule.w_if
+        w = w_ref * jnp.abs(cctx.detJ) * cctx.if_scale
+    else:
+        cctx = EvalCtx(mesh, rule.pts, elem_ids=cut_ids, dyn=dyn,
+                       deformation=deform)
+        w_ref = rule.w * (rule.side == dt)
+        w = w_ref * jnp.abs(cctx.detJ)
+    w = jnp.where(valid[:, None], w, 0.0)
+    w = w + jnp.where(ncut <= cap, 0.0, jnp.nan)  # overflow -> loud NaN
+    cmask = (w_ref > 0) & valid[:, None]
+    tiers.append((cctx, w, cmask, cut_ids))
+
+    if integral.definedonelements is not None:
+        sel_arr = dyn_get(dyn, integral, "mask",
+                          jnp.asarray(integral.definedonelements))
+        masked = []
+        for (ctx, w, mask, sids) in tiers:
+            s = sel_arr if sids is None else sel_arr[sids]
+            masked.append((ctx, jnp.where(s[:, None], w, 0.0),
+                           mask & s[:, None], sids))
+        tiers = masked
+    return tiers
+
+
 def _facet_patch_fids(integral: Integral, mesh):
     """Selected interior facets of a facet-patch integral (host numpy)."""
     f2e = mesh.facet2el_np
@@ -284,13 +393,32 @@ def _facet_patch_ctx(integral: Integral, mesh, order, dyn=None, fids=None):
         center = jnp.full((F, 1, d), 0.5 if mesh.et in ("quad", "hex") else 0.25,
                           dtype=config.dtype)
         c_phys, Jc = map_points(mesh.et, coords_to, center)
-        _, Jcinv = det_and_inv(Jc)
-        xr = jnp.einsum("eqg,eodg->eqd", target - c_phys, Jcinv) + center
+        detc, Jcinv = det_and_inv(Jc)
+        xr0 = jnp.einsum("eqg,eodg->eqd", target - c_phys, Jcinv) + center
+        xr = xr0
         for _ in range(niter):
             p, J = def_map(coords_to, e_to, xr)
             _, Jinv = det_and_inv(J)
             xr = xr + jnp.einsum("eqg,eqdg->eqd", target - p, Jinv)
-        return xr
+        if niter == 0:
+            return xr
+        # convergence check + fallback (reference MapPatchIntegrationPoint
+        # warns and falls back to a low-order rule on non-convergence,
+        # symboliccutbfi.cpp:1184-1199): non-converged points revert to the
+        # affine initial guess — the affine patch map is exact for straight
+        # simplices, so the fallback degrades the deformation order, not
+        # correctness.
+        p, _ = def_map(coords_to, e_to, xr)
+        err = jnp.linalg.norm(target - p, axis=-1)  # (F, Q)
+        h = jnp.abs(detc[:, :1]) ** (1.0 / d)
+        tol = 1e4 * jnp.finfo(xr.dtype).eps * jnp.maximum(h, 1e-30)
+        conv = err <= tol
+        if config.newton_debug:
+            jax.debug.print(
+                "facet-patch Newton: {n} / {t} points non-converged "
+                "(falling back to the affine patch map there)",
+                n=jnp.sum(~conv), t=conv.size)
+        return jnp.where(conv[..., None], xr, xr0)
 
     pts1_in_2 = other_refpts(coords1, e1, coords2, e2, base)
     pts2_in_1 = other_refpts(coords2, e2, coords1, e1, base)
@@ -667,6 +795,15 @@ def _assembly_signature(space, mesh, integrals, kind):
                     integral.levelset_domain["force_intorder"],
                 )
             )
+            if (_two_tier_applicable(integral, mesh)
+                    and not (integral.facet_patch or integral.skeleton
+                             or integral.element_boundary
+                             or integral.vb == BND)):
+                # two-tier cut compaction capacity: re-derived every Assemble
+                # (host count, power-of-two bucket) and part of the signature,
+                # so a moving level set re-signatures instead of overflowing
+                integral._cut_cap = _cut_capacity(lgf)
+                p.append(("cap", integral._cut_cap))
         if integral.deformation is not None:
             dg = integral.deformation
             slots.slot(dg, "vec", lambda g=dg: g._arr)
@@ -916,32 +1053,50 @@ class BilinearForm:
                         ctx, e1, e2, w_phys, mask = _facet_patch_ctx(
                             integral, mesh, 2 * order, dyn=dyn
                         )
+                        tiers = [(ctx, w_phys, mask, None)]
                     elif integral.skeleton:
                         ctx, e1, e2, w_phys, mask = _skeleton_ctx(
                             integral, mesh, 2 * order, dyn=dyn
                         )
+                        tiers = [(ctx, w_phys, mask, None)]
                     elif integral.element_boundary:
                         ctx, row_e, w_phys, mask = _element_boundary_ctx(
                             integral, mesh, 2 * order, dyn=dyn
                         )
+                        tiers = [(ctx, w_phys, mask, None)]
                     elif integral.vb == BND:
                         ctx, row_e, w_phys, mask = _boundary_ctx(
                             integral, mesh, 2 * order, dyn=dyn
                         )
+                        tiers = [(ctx, w_phys, mask, None)]
                     else:
-                        ctx, w_phys, mask = _volume_ctx(
+                        tiers = _volume_tiers(
                             integral, mesh, 2 * order, dyn=dyn
                         )
-                    W = _safe_weights(w_phys, mask, None)
-                    for t in eval_form(integral.form, ctx):
-                        if t.ufac is None and t.vfac is None:
-                            continue
-                        if t.ufac is None or t.vfac is None:
-                            raise TypeError(
-                                "bilinear form term missing trial or test factor"
-                            )
-                        out.append(_term_elmat(t, W, mask))
-                        meta.append((k, t.ufac.block, t.vfac.block))
+                    # terms accumulate per (trial, test) block pair; the
+                    # compacted cut tier scatters into the all-elements rows
+                    # so the host-side scatter structure stays static
+                    acc = {}
+                    for (tctx, w_phys, mask, sids) in tiers:
+                        W = _safe_weights(w_phys, mask, None)
+                        for t in eval_form(integral.form, tctx):
+                            if t.ufac is None and t.vfac is None:
+                                continue
+                            if t.ufac is None or t.vfac is None:
+                                raise TypeError(
+                                    "bilinear form term missing trial or "
+                                    "test factor"
+                                )
+                            m = _term_elmat(t, W, mask)
+                            if sids is not None:
+                                m = jnp.zeros(
+                                    (mesh.ne,) + m.shape[1:], m.dtype
+                                ).at[sids].add(m)
+                            key = (t.ufac.block, t.vfac.block)
+                            acc[key] = m if key not in acc else acc[key] + m
+                    for (bu, bv), m in acc.items():
+                        out.append(m)
+                        meta.append((k, bu, bv))
                 return out
 
             jfn = jax.jit(_impl)
@@ -1060,20 +1215,32 @@ class LinearForm:
                         ctx, _, w_phys, mask = _boundary_ctx(
                             integral, mesh, 2 * order + mesh.dim, dyn=dyn
                         )
+                        tiers = [(ctx, w_phys, mask, None)]
                     else:
-                        ctx, w_phys, mask = _volume_ctx(
+                        tiers = _volume_tiers(
                             integral, mesh, 2 * order + mesh.dim, dyn=dyn
                         )
-                    W = _safe_weights(w_phys, mask, None)
-                    for t in eval_form(integral.form, ctx):
-                        if t.ufac is None and t.vfac is None:
-                            continue
-                        if t.vfac is None or t.ufac is not None:
-                            raise TypeError(
-                                "linear form must be linear in the test function"
-                            )
-                        out.append(_term_elvec(t, W, mask))
-                        meta.append((k, t.vfac.block))
+                    acc = {}
+                    for (tctx, w_phys, mask, sids) in tiers:
+                        W = _safe_weights(w_phys, mask, None)
+                        for t in eval_form(integral.form, tctx):
+                            if t.ufac is None and t.vfac is None:
+                                continue
+                            if t.vfac is None or t.ufac is not None:
+                                raise TypeError(
+                                    "linear form must be linear in the test "
+                                    "function"
+                                )
+                            ve = _term_elvec(t, W, mask)
+                            if sids is not None:
+                                ve = jnp.zeros(
+                                    (mesh.ne,) + ve.shape[1:], ve.dtype
+                                ).at[sids].add(ve)
+                            bv = t.vfac.block
+                            acc[bv] = ve if bv not in acc else acc[bv] + ve
+                    for bv, ve in acc.items():
+                        out.append(ve)
+                        meta.append((k, bv))
                 return out
 
             jfn = jax.jit(_impl)

@@ -69,6 +69,31 @@ class ShiftedEvalCF(CF):
             _, Jinv = det_and_inv(Jy)
             yhat = yhat + jnp.einsum("eqg,eqdg->eqd", target - py, Jinv)
 
+        # convergence check + fallback (reference DiffOpShiftedEval warns on
+        # a non-converged point search, shiftedevaluate.cpp:68-95): points
+        # where the fixed-iteration Newton did not reach tolerance revert to
+        # the unshifted reference point — bounded O(deformation) error
+        # instead of evaluating at a garbage location.
+        py, Jy = map_points(et, coords, yhat)
+        db, _ = disp(self.back, yhat)
+        if self.back is not None:
+            py = py + db
+        err = jnp.linalg.norm(target - py, axis=-1)
+        detJ, _ = det_and_inv(Jy)
+        h = jnp.abs(detJ) ** (1.0 / xhat.shape[-1])
+        tol = 1e4 * jnp.finfo(yhat.dtype).eps * jnp.maximum(h, 1e-30)
+        conv = err <= tol
+        from ..config import config as _cfg
+
+        if _cfg.newton_debug:
+            import jax
+
+            jax.debug.print(
+                "shifted_eval Newton: {n} / {t} points non-converged "
+                "(falling back to the unshifted point there)",
+                n=jnp.sum(~conv), t=conv.size)
+        yhat = jnp.where(conv[..., None], yhat, xhat)
+
         from ..cf.context import EvalCtx
 
         sub = EvalCtx(mesh, yhat, elem_ids=ctx.elem_ids, dyn=ctx.dyn,

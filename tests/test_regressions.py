@@ -128,3 +128,84 @@ def test_timefe_node_bounds():
         fe.IsNodeActive(3)
     with pytest.raises(IndexError):
         fe.IsNodeActive(-1)
+
+
+def test_two_tier_assembly_equivalence():
+    """Two-tier compacted cut assembly (public BilinearForm path) matches the
+    single-tier full-cut-kernel path to roundoff on the fictdom workload
+    (VERDICT r2 item 3; model: models/poisson.py elmats_compact)."""
+    from ngsxfem_tpu import (
+        CutInfo, HASNEG, GetFacetsWithNeighborTypes, GetDofsOfElements,
+        sqrt, grad, specialcf, Norm,
+    )
+    from ngsxfem_tpu.config import config
+    from ngsxfem_tpu.forms import assemble as asm
+
+    def build(two_tier):
+        config.two_tier_assembly = two_tier
+        asm._ASM_CACHE.clear()
+        mesh = MakeStructured2DMesh(quads=False, nx=12, ny=12)
+        lsetp1 = GridFunction(H1(mesh, order=1))
+        InterpolateToP1(sqrt((x - 0.5) ** 2 + (y - 0.5) ** 2) - 0.3, lsetp1)
+        ci = CutInfo(mesh, lsetp1)
+        hasneg = ci.GetElementsOfType(HASNEG)
+        V = H1(mesh, order=2, dgjumps=True)
+        u, v = V.TnT()
+        h = specialcf.mesh_size
+        n_lset = 1.0 / Norm(grad(lsetp1)) * grad(lsetp1)
+        ld_neg = {"levelset": lsetp1, "domain_type": NEG}
+        ld_if = {"levelset": lsetp1, "domain_type": IF}
+        a = BilinearForm(V)
+        a += SymbolicBFI(ld_neg, form=grad(u) * grad(v),
+                         definedonelements=hasneg)
+        a += SymbolicBFI(ld_if, form=-(grad(u) * n_lset) * v
+                         - (grad(v) * n_lset) * u + 20.0 / h * u * v)
+        a.Assemble()
+        f = LinearForm(V)
+        f += SymbolicLFI(ld_neg, form=v, definedonelements=hasneg)
+        f.Assemble()
+        return np.asarray(a.mat.todense()), np.asarray(f.vec)
+
+    try:
+        A1, f1 = build(False)
+        A2, f2 = build(True)
+    finally:
+        config.two_tier_assembly = True
+        asm._ASM_CACHE.clear()
+    scale = np.abs(A1).max()
+    assert np.abs(A2 - A1).max() < 1e-11 * scale, np.abs(A2 - A1).max()
+    assert np.abs(f2 - f1).max() < 1e-12 * np.abs(f1).max()
+
+
+def test_newton_fallback_pathological_deformation():
+    """Fixed-iteration Newton searches detect non-convergence and fall back
+    (VERDICT r2 item 8; reference symboliccutbfi.cpp:1184-1199 warns + uses
+    a low-order rule): a wild deformation must not produce NaNs/garbage."""
+    from ngsxfem_tpu import SymbolicFacetPatchBFI, specialcf
+    from ngsxfem_tpu.lsetcurv.shifted import shifted_eval
+
+    mesh = MakeStructured2DMesh(quads=False, nx=4, ny=4)
+    Vd = VectorH1(mesh, order=2)
+    deform = GridFunction(Vd)
+    rng = np.random.default_rng(0)
+    # displacement ~5x the mesh size, randomly folded: Newton cannot converge
+    deform.vec.data = jnp.asarray(rng.normal(scale=1.25, size=Vd.ndof))
+
+    V = H1(mesh, order=1, dgjumps=True)
+    u, v = V.TnT()
+    a = BilinearForm(V)
+    a += SymbolicBFI(form=u * v)  # keep a volume term so the matrix is PD-ish
+    h = specialcf.mesh_size
+    a += SymbolicFacetPatchBFI(form=1.0 / (h * h) * (u - u.Other())
+                               * (v - v.Other()), deformation=deform)
+    a.Assemble()
+    A = np.asarray(a.mat.todense())
+    assert np.all(np.isfinite(A)), "facet-patch Newton fallback failed"
+
+    # shifted_eval through the same wild deformation: finite everywhere
+    gf = GridFunction(H1(mesh, order=2))
+    gf.Set(x * x + y)
+    from ngsxfem_tpu import Integrate
+
+    val = Integrate(cf=shifted_eval(gf, back=deform), mesh=mesh, order=3)
+    assert np.isfinite(val)
