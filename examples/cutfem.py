@@ -12,10 +12,12 @@ from math import pi
 from ngsxfem_tpu import *
 
 
-def run(nx=30, order=1, verbose=True, deform=False):
-    mesh = MakeStructured2DMesh(
-        quads=False, nx=nx, ny=nx, mapping=lambda xx, yy: (3 * xx - 1.5, 3 * yy - 1.5)
-    )
+def run(nx=30, order=1, verbose=True, deform=False, mesh=None):
+    if mesh is None:
+        mesh = MakeStructured2DMesh(
+            quads=False, nx=nx, ny=nx,
+            mapping=lambda xx, yy: (3 * xx - 1.5, 3 * yy - 1.5)
+        )
 
     # manufactured solution (||x||_4 interface at r=1)
     r44 = x**4 + y**4

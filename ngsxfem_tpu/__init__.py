@@ -58,6 +58,12 @@ from .mesh.structured import (  # noqa: F401
     MakeStructured2DMesh,
     MakeStructured3DMesh,
 )
+from .mesh.io import (  # noqa: F401
+    MeshFromArrays,
+    ReadGmsh,
+    WriteGmsh,
+    MakeUnstructuredMesh,
+)
 
 from .fem.space import (  # noqa: F401
     FESpace,
