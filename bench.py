@@ -71,7 +71,7 @@ def _time(fn, *args, reps=3):
     return ts[len(ts) // 2], out
 
 
-def _build(dtype, nx, block=None):
+def _build(dtype, nx, block=None, mixed=False):
     from ngsxfem_tpu.models.poisson import UnfittedPoisson
     from ngsxfem_tpu.solvers.krylov import cg
 
@@ -87,7 +87,7 @@ def _build(dtype, nx, block=None):
 
     def assemble_fn(vertices, lset, st):
         return model.assemble_ell_vals(vertices, lset, cap, dict(st, K=K),
-                                       block=block)
+                                       block=block, mixed=mixed)
 
     def solve_fn(ell_vals, cols, b):
         rows_idx = jnp.arange(cols.shape[0])[:, None]
@@ -120,9 +120,9 @@ def _build(dtype, nx, block=None):
         pipeline_k_fn, b
 
 
-def bench_pipeline(dtype, nx, reps, block=None, scan=True):
+def bench_pipeline(dtype, nx, reps, block=None, scan=True, mixed=False):
     (model, cap, struct, sd, K, assemble_fn, solve_fn, pipeline_fn,
-     pipeline_k_fn, b) = _build(dtype, nx, block=block)
+     pipeline_k_fn, b) = _build(dtype, nx, block=block, mixed=mixed)
     assemble = jax.jit(assemble_fn)
     solve = jax.jit(solve_fn)
     pipeline = jax.jit(pipeline_fn)
@@ -231,18 +231,42 @@ def main():
     reps = int(os.environ.get("BENCH_REPS", "3"))
 
     if os.environ.get("BENCH_INNER_F64") == "1":
-        # f64 at benchmark scale: block-streamed assembly keeps the remote
-        # compiler and HBM temporaries bounded (docs/PERFORMANCE.md)
+        # f64 at benchmark scale.  TPU f64 is software-emulated AND XLA
+        # materializes the cut-tier dshape tensors tile-padded ((nd,d) ->
+        # (8,128), ~85x) in f64 — a 2048-element block bounds each temp to
+        # ~1.2 GB where one 65536 block would need 38 GB (measured; see
+        # docs/PERFORMANCE.md).  Mixed precision keeps cut-rule geometry and
+        # CG in f64 but runs the B.D.B^T einsums in f32.
         jax.config.update("jax_enable_x64", True)
         _ = float(jnp.sum(jnp.ones((8, 8))))  # sync regime
         nx64 = int(os.environ.get("BENCH_F64_NX", str(max(nx * 2 // 3, 32))))
-        r64 = bench_pipeline(jnp.float64, nx64, max(2, reps), block=65536,
-                             scan=False)
-        print(json.dumps({
-            "f64_pipe": r64["pipe_elts_per_sec"],
-            "f64_asm": r64["asm_elts_per_sec"],
-            "f64_nx": nx64, "f64_ne": r64["ne"],
-        }))
+        out = {"f64_nx": nx64}
+        try:
+            r64 = bench_pipeline(jnp.float64, nx64, max(2, reps), block=2048,
+                                 scan=False)
+            out.update(f64_pipe=r64["pipe_elts_per_sec"],
+                       f64_asm=r64["asm_elts_per_sec"], f64_ne=r64["ne"])
+        except Exception as e:
+            out["f64_error"] = f"{type(e).__name__}: {e}"[:200]
+        try:
+            rmx = bench_pipeline(jnp.float64, nx64, max(2, reps), block=4096,
+                                 scan=False, mixed=True)
+            out.update(f64_mixed_pipe=rmx["pipe_elts_per_sec"],
+                       f64_mixed_asm=rmx["asm_elts_per_sec"])
+        except Exception as e:
+            out["f64_mixed_error"] = f"{type(e).__name__}: {e}"[:200]
+        # achieved mixed-precision element-matrix error vs full f64
+        # (size-independent relative measure, computed at nx=16)
+        try:
+            bf = _build(jnp.float64, 16)
+            bm = _build(jnp.float64, 16, mixed=True)
+            vf, _ = jax.jit(bf[5])(bf[0].vertices, bf[0].lset, bf[3])
+            vm, _ = jax.jit(bm[5])(bm[0].vertices, bm[0].lset, bm[3])
+            out["mixed_rel_err"] = float(
+                jnp.max(jnp.abs(vf - vm)) / jnp.max(jnp.abs(vf)))
+        except Exception as e:
+            out["mixed_err_error"] = f"{type(e).__name__}: {e}"[:200]
+        print(json.dumps(out))
         return
 
     if os.environ.get("BENCH_INNER_COST") == "1":

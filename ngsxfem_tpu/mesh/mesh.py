@@ -128,8 +128,9 @@ class Mesh:
     # -- refinement ----------------------------------------------------------
     def Refine(self, marks=None):
         """Refine marked elements in place (uniform if no marks and none
-        stored via RefineAtLevelSet/MarkForRefinement).  2D triangle meshes:
-        longest-edge red/green/blue bisection with conformity closure
+        stored via RefineAtLevelSet/MarkForRefinement).  Trig meshes:
+        longest-edge red/green/blue subdivision; tet meshes: Rivara
+        longest-edge bisection — both with conformity closure
         (mesh/refine.py); spaces/GridFunctions must be rebuilt afterwards."""
         from .refine import refine_mesh
 

@@ -1,14 +1,20 @@
-"""Adaptive mesh refinement (2D triangles).
+"""Adaptive mesh refinement (2D triangles + 3D tets).
 
 TPU-native counterpart of the reference's netgen-backed local refinement
 (``lsetcurving/lsetrefine.cpp:13-42`` RefineAtLevelSet sets per-element
 refinement flags; netgen executes them): here refinement is an explicit
-host-side mesh transformation — longest-edge red/green/blue subdivision with
-a conformity closure (no hanging nodes), the standard Rivara-style scheme.
+host-side mesh transformation.
 
-Triangle cases (after closure, the longest edge of any touched element is
-always split): 1 split edge -> bisection (2 children), 2 -> blue (3),
-3 -> red (4).
+Triangles: longest-edge red/green/blue subdivision with a conformity
+closure (no hanging nodes), the standard Rivara-style scheme — 1 split
+edge -> bisection (2 children), 2 -> blue (3), 3 -> red (4).
+
+Tets: recursive longest-edge (Rivara) bisection — marked tets have all six
+edges queued for splitting; every element containing a queued edge bisects
+at its own longest edge (queueing it if needed, which propagates the
+closure to neighbors) until no element contains a queued edge.  The result
+is conforming (every queued edge is bisected in EVERY element containing
+it, so midpoints are never hanging).
 """
 from __future__ import annotations
 
@@ -118,6 +124,107 @@ def bisect_refine_trig(vertices: np.ndarray, elements: np.ndarray,
     return Vnew, Enew, bc_new
 
 
+def bisect_refine_tet(vertices: np.ndarray, elements: np.ndarray,
+                      marks: np.ndarray, bc_faces: dict | None = None):
+    """Rivara longest-edge bisection of marked tets with conformity closure.
+
+    vertices (nv, 3) float64, elements (ne, 4) int, marks (ne,) bool.
+    bc_faces: {sorted-3-tuple: bc_id} for boundary faces; returns
+    (vertices, elements, bc_faces) with child faces inheriting the parent's
+    id (tracked through vertex-on-face ancestry: the midpoint of an edge
+    whose endpoints lie on a face lies on that face).
+    """
+    V = [v for v in np.asarray(vertices, dtype=np.float64)]
+    els = [tuple(int(v) for v in e) for e in np.asarray(elements)]
+    bc_faces = dict(bc_faces or {})
+
+    # vertex -> set of original boundary faces it lies on
+    face_list = list(bc_faces.items())  # [(tri, bc)]
+    vfaces = {}
+    for fi, (tri, _bc) in enumerate(face_list):
+        for v in tri:
+            vfaces.setdefault(int(v), set()).add(fi)
+
+    mid_of = {}
+
+    def edge_len2(e):
+        d = V[e[0]] - V[e[1]]
+        return float(d @ d)
+
+    def midpoint(e):
+        m = mid_of.get(e)
+        if m is None:
+            m = len(V)
+            V.append(0.5 * (V[e[0]] + V[e[1]]))
+            fa = vfaces.get(e[0], set()) & vfaces.get(e[1], set())
+            if fa:
+                vfaces[m] = fa
+            mid_of[e] = m
+        return m
+
+    split = set()
+    for e in np.nonzero(np.asarray(marks, dtype=bool))[0]:
+        t = els[e]
+        for i in range(4):
+            for j in range(i + 1, 4):
+                split.add(_edge_key(t[i], t[j]))
+    if not split:
+        return (np.asarray(V), np.asarray(els, dtype=np.int32), None)
+
+    work = els
+    out = []
+    for _pass in range(64):  # Rivara terminates; cap defensively
+        new_work = []
+        for t in work:
+            edges6 = [_edge_key(t[i], t[j])
+                      for i in range(4) for j in range(i + 1, 4)]
+            if not any(e in split for e in edges6):
+                out.append(t)
+                continue
+            # bisect at the LONGEST edge (queue it if not queued yet — this
+            # is the closure propagation to neighbors sharing it)
+            le = max(edges6, key=edge_len2)
+            split.add(le)
+            m = midpoint(le)
+            a, b = le
+            c1 = tuple(m if v == b else v for v in t)
+            c2 = tuple(m if v == a else v for v in t)
+            new_work += [c1, c2]
+        work = new_work
+        if not work:
+            break
+    else:
+        raise RuntimeError("tet bisection did not terminate (64 passes)")
+
+    Vnew = np.asarray(V)
+    Enew = np.asarray(out, dtype=np.int32)
+    # fix inverted children (vertex substitution can flip orientation)
+    from .io import _fix_orientation
+
+    _fix_orientation("tet", Vnew, Enew)
+
+    return Vnew, Enew, (face_list, vfaces)
+
+
+def _tet_bc_assign(mesh, face_list, vfaces):
+    """Per-facet bc ids of the refined mesh from vertex-on-face ancestry."""
+    bc = np.zeros(mesh.nfacets, dtype=np.int32)
+    for fi in mesh.boundary_facets_np:
+        tri = mesh.facets_np[fi]
+        common = None
+        for v in tri:
+            s = vfaces.get(int(v))
+            if s is None:
+                common = set()
+                break
+            common = s if common is None else (common & s)
+        if common:
+            bc[fi] = face_list[min(common)][1]
+        else:
+            bc[fi] = 1
+    return bc
+
+
 def refine_mesh(mesh, marks=None):
     """In-place refinement of a trig Mesh; marks=None refines uniformly.
 
@@ -125,10 +232,10 @@ def refine_mesh(mesh, marks=None):
     rebuild them (the reference tutorials also reconstruct spaces after
     mesh.Refine()).
     """
-    if mesh.et != "trig":
+    if mesh.et not in ("trig", "tet"):
         raise NotImplementedError(
-            "adaptive refinement is implemented for 2D triangle meshes; "
-            "for quad/hex/tet use a finer structured mesh"
+            "adaptive refinement is implemented for simplicial (trig/tet) "
+            "meshes; for quad/hex use a finer structured mesh"
         )
     if (getattr(mesh, "periodic_facet_np", None) is not None
             and (mesh.periodic_facet_np >= 0).any()):
@@ -142,25 +249,45 @@ def refine_mesh(mesh, marks=None):
         marks = np.asarray(marks.np if hasattr(marks, "np") else marks,
                            dtype=bool)
 
-    # current boundary bc map
-    bc_edges = {}
-    for fi in mesh.boundary_facets_np:
-        u, v = mesh.facets_np[fi]
-        bc_edges[_edge_key(int(u), int(v))] = int(mesh.bc_of_facet_np[fi])
+    if mesh.et == "trig":
+        # current boundary bc map
+        bc_edges = {}
+        for fi in mesh.boundary_facets_np:
+            u, v = mesh.facets_np[fi]
+            bc_edges[_edge_key(int(u), int(v))] = int(mesh.bc_of_facet_np[fi])
 
-    Vn, En, bc_new = bisect_refine_trig(
-        mesh.vertices_np, mesh.elements_np, marks, bc_edges)
+        Vn, En, bc_new = bisect_refine_trig(
+            mesh.vertices_np, mesh.elements_np, marks, bc_edges)
 
-    mesh.vertices_np = np.asarray(Vn, dtype=np.float64)
-    mesh.elements_np = np.asarray(En, dtype=np.int32)
-    mesh.nv = len(Vn)
-    mesh.ne = len(En)
-    mesh._build_facets()
-    bc = np.zeros(mesh.nfacets, dtype=np.int32)
-    for fi in mesh.boundary_facets_np:
-        u, v = mesh.facets_np[fi]
-        bc[fi] = bc_new.get(_edge_key(int(u), int(v)), 1)
-    mesh.bc_of_facet_np = bc
+        mesh.vertices_np = np.asarray(Vn, dtype=np.float64)
+        mesh.elements_np = np.asarray(En, dtype=np.int32)
+        mesh.nv = len(Vn)
+        mesh.ne = len(En)
+        mesh._build_facets()
+        bc = np.zeros(mesh.nfacets, dtype=np.int32)
+        for fi in mesh.boundary_facets_np:
+            u, v = mesh.facets_np[fi]
+            bc[fi] = bc_new.get(_edge_key(int(u), int(v)), 1)
+        mesh.bc_of_facet_np = bc
+    else:
+        bc_faces = {
+            tuple(sorted(int(v) for v in mesh.facets_np[fi])):
+            int(mesh.bc_of_facet_np[fi])
+            for fi in mesh.boundary_facets_np
+        }
+        Vn, En, info = bisect_refine_tet(
+            mesh.vertices_np, mesh.elements_np, marks, bc_faces)
+        mesh.vertices_np = np.asarray(Vn, dtype=np.float64)
+        mesh.elements_np = np.asarray(En, dtype=np.int32)
+        mesh.nv = len(Vn)
+        mesh.ne = len(En)
+        old_bc = mesh.bc_of_facet_np
+        mesh._build_facets()
+        if info is None:  # nothing split
+            mesh.bc_of_facet_np = old_bc
+        else:
+            face_list, vfaces = info
+            mesh.bc_of_facet_np = _tet_bc_assign(mesh, face_list, vfaces)
     # facet count changed: reset the (empty) periodic identification
     mesh.periodic_facet_np = np.full(mesh.nfacets, -1, dtype=np.int64)
 

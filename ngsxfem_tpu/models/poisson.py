@@ -25,16 +25,25 @@ from ..fem.basis import shapes, dshapes, ndof_el
 from ..solvers.krylov import cg, jacobi_preconditioner
 
 
-def cut_poisson_elmats(et: str, order: int, coords, vals, lam_nitsche=20.0):
+def cut_poisson_elmats(et: str, order: int, coords, vals, lam_nitsche=20.0,
+                       mixed=False):
     """Element matrices of the fictitious-domain Poisson operator.
 
     coords (E, nv, d) element vertex coords, vals (E, nv) level-set values.
     Returns (E, nd, nd): NEG-domain stiffness + symmetric Nitsche terms on the
     zero set (the batched analog of SymbolicCutBFI volume+interface assembly,
     reference xfem/symboliccutbfi.cpp:73-276).
+
+    ``mixed=True``: cut-rule geometry (rules, Jacobians, weights) stays in
+    the input dtype (f64), the FLOP-heavy B.D.B^T einsums run in f32, and
+    the result is cast back — TPU v5e has no native f64 (software-emulated,
+    order-of-magnitude slower), so this is the production-precision mode;
+    the achieved element-matrix error is measured by bench.py.
     """
     d = ET_DIM[et]
     rule = cut_rule_element(et, vals, 2 * order)
+    lo = (lambda a: a.astype(jnp.float32)) if mixed else (lambda a: a)
+    hi = (lambda a: a.astype(coords.dtype)) if mixed else (lambda a: a)
 
     # NEG volume: grad u . grad v
     _, J = map_points(et, coords, rule.pts)
@@ -42,7 +51,7 @@ def cut_poisson_elmats(et: str, order: int, coords, vals, lam_nitsche=20.0):
     G = dshapes(et, order, rule.pts)  # (E,Q,nd,d)
     Gp = jnp.einsum("eqid,eqdg->eqig", G, Jinv)
     Wn = rule.w * (rule.side == 0) * jnp.abs(detJ)
-    A = jnp.einsum("eq,eqig,eqjg->eij", Wn, Gp, Gp)
+    A = hi(jnp.einsum("eq,eqig,eqjg->eij", lo(Wn), lo(Gp), lo(Gp)))
 
     # interface Nitsche: -dn(u) v - dn(v) u + lam/h u v   (outward normal of NEG)
     _, Ji = map_points(et, coords, rule.pts_if)
@@ -58,9 +67,9 @@ def cut_poisson_elmats(et: str, order: int, coords, vals, lam_nitsche=20.0):
     # mesh size from element volume
     h = jnp.abs(detJ[:, :1]) ** (1.0 / d)  # (E,1)
     lam = lam_nitsche * order * order / jnp.maximum(h[:, 0], 1e-30)  # (E,)
-    A = A - jnp.einsum("eq,eqi,eqj->eij", Wi, dn, B)
-    A = A - jnp.einsum("eq,eqi,eqj->eij", Wi, B, dn)
-    A = A + jnp.einsum("e,eq,eqi,eqj->eij", lam, Wi, B, B)
+    A = A - hi(jnp.einsum("eq,eqi,eqj->eij", lo(Wi), lo(dn), lo(B)))
+    A = A - hi(jnp.einsum("eq,eqi,eqj->eij", lo(Wi), lo(B), lo(dn)))
+    A = A + hi(jnp.einsum("e,eq,eqi,eqj->eij", lo(lam), lo(Wi), lo(B), lo(B)))
     return A
 
 
@@ -75,7 +84,8 @@ def cut_poisson_rhs_elvecs(et: str, order: int, coords, vals, f_fn):
     return jnp.einsum("eq,eq,eqi->ei", Wn, fv, B)
 
 
-def ghost_penalty_elmats(et: str, order: int, coords1, coords2, gamma=0.1):
+def ghost_penalty_elmats(et: str, order: int, coords1, coords2, gamma=0.1,
+                         mixed=False):
     """Facet-patch ghost penalty  gamma/h^2 (u-u_other)(v-v_other)  per facet.
 
     coords1/coords2 (F, nv, d): the two neighbor elements of each marked
@@ -115,7 +125,9 @@ def ghost_penalty_elmats(et: str, order: int, coords1, coords2, gamma=0.1):
 
     h = jnp.abs(det1[:, :1]) ** (1.0 / d)
     scale = gamma / jnp.maximum(h[:, 0] ** 2, 1e-30)
-    return jnp.einsum("f,fq,fqi,fqj->fij", scale, w, Bj, Bj)
+    lo = (lambda a: a.astype(jnp.float32)) if mixed else (lambda a: a)
+    out = jnp.einsum("f,fq,fqi,fqj->fij", lo(scale), lo(w), lo(Bj), lo(Bj))
+    return out.astype(coords1.dtype) if mixed else out
 
 
 def _map_blocks(fn, blk, *args):
@@ -228,7 +240,7 @@ class UnfittedPoisson:
         return A
 
     def elmats_compact(self, vertices, lset_vertex, elements, el2dof,
-                       cut_capacity, block=None):
+                       cut_capacity, block=None, mixed=False):
         """Two-tier assembly: cheap standard rule on uncut-NEG elements, full
         cut kernel only on a fixed-capacity compaction of cut elements.
 
@@ -259,6 +271,8 @@ class UnfittedPoisson:
         rw = jnp.asarray(rw, dtype=vertices.dtype)
         coords = vertices[elements]
 
+        lo = (lambda a: a.astype(jnp.float32)) if mixed else (lambda a: a)
+
         def std_tier(coords_b, w_b):
             E = coords_b.shape[0]
             pts = jnp.broadcast_to(rp[None], (E,) + rp.shape)
@@ -267,7 +281,8 @@ class UnfittedPoisson:
             G = dshapes(et, order, pts)
             Gp = jnp.einsum("eqid,eqdg->eqig", G, Jinv)
             W = rw[None, :] * jnp.abs(detJ) * w_b[:, None]
-            return jnp.einsum("eq,eqig,eqjg->eij", W, Gp, Gp)
+            out = jnp.einsum("eq,eqig,eqjg->eij", lo(W), lo(Gp), lo(Gp))
+            return out.astype(vertices.dtype) if mixed else out
 
         w_std = neg_uncut.astype(vertices.dtype)
         if block is None:
@@ -280,7 +295,8 @@ class UnfittedPoisson:
         cvals = vals[cut_ids]
 
         def cut_tier(c_b, v_b):
-            return cut_poisson_elmats(et, order, c_b, v_b, self.lam_nitsche)
+            return cut_poisson_elmats(et, order, c_b, v_b, self.lam_nitsche,
+                                      mixed=mixed)
 
         if block is None:
             A_cut = cut_tier(ccoords, cvals)
@@ -417,14 +433,14 @@ class UnfittedPoisson:
         return vals.reshape(struct["ell_cols"].shape), n
 
     def assemble_ell_vals(self, vertices, lset_vertex, cut_capacity, struct,
-                          block=None):
+                          block=None, mixed=False):
         """Device pipeline stage 1+2: element matrices -> global ELL values."""
         A_std, A_cut, cut_ids, n = self.elmats_compact(
             vertices, lset_vertex, self.elements, self.el2dof, cut_capacity,
-            block=block,
+            block=block, mixed=mixed,
         )
         A_all = A_std.at[cut_ids].add(A_cut)
-        G = self.gp_mats(vertices, block=block)
+        G = self.gp_mats(vertices, block=block, mixed=mixed)
         nK = struct["ell_cols"].shape[0] * struct["K"]
         vals = jnp.zeros((nK,), dtype=vertices.dtype)
         vals = vals.at[struct["elm_slots"]].add(A_all.reshape(-1))
@@ -432,15 +448,15 @@ class UnfittedPoisson:
         vals = vals.at[struct["id_slots"]].add(1.0)
         return vals.reshape(struct["ell_cols"].shape), n
 
-    def gp_mats(self, vertices, block=None):
+    def gp_mats(self, vertices, block=None, mixed=False):
         coords1 = vertices[self.elements[self.gp_e1]]
         coords2 = vertices[self.elements[self.gp_e2]]
         if block is None:
             return ghost_penalty_elmats(self.et, self.order, coords1, coords2,
-                                        self.gamma_gp)
+                                        self.gamma_gp, mixed=mixed)
         return _map_blocks(
             lambda c1, c2: ghost_penalty_elmats(self.et, self.order, c1, c2,
-                                                self.gamma_gp),
+                                                self.gamma_gp, mixed=mixed),
             block, coords1, coords2)
 
     def apply(self, vertices, lset_vertex, x):
