@@ -318,6 +318,47 @@ def _facet_patch_fids(integral: Integral, mesh):
     return np.nonzero(sel)[0]
 
 
+def _facet_capacity(mesh, integral):
+    """Bucketed capacity for a dynamic facet selection (cf. _cut_capacity)."""
+    import math
+
+    n = len(_facet_patch_fids(integral, mesh))
+    return 1 << max(6, math.ceil(math.log2(max(1, int(n * 1.3) + 16))))
+
+
+def _dyn_facet_sel(integral: Integral, mesh, dyn):
+    """Device-computed capacity-padded facet compaction for a dynamic facet
+    selection (VERDICT r2 item 7: re-marking a moving ghost-penalty band must
+    not recompile).  Returns (fids (cap,), valid (cap,), poison scalar)."""
+    from ..jitcache import dyn_get
+
+    cap = getattr(integral, "_facet_cap", None) or _facet_capacity(
+        mesh, integral)
+    interior = jnp.asarray(mesh.facet2el_np[:, 1] >= 0)
+    m = dyn_get(dyn, integral, "fmask",
+                jnp.asarray(integral.definedonelements))
+    sel = interior & m
+    nsel = jnp.sum(sel)
+    fids = jnp.nonzero(sel, size=cap, fill_value=0)[0]
+    valid = jnp.arange(cap) < nsel
+    poison = jnp.where(nsel <= cap, 0.0, jnp.nan)  # overflow -> loud NaN
+    return fids, valid, poison
+
+
+def block_dofmap_dev(space, block_key, e1, e2):
+    """Device analog of block_dofmap for dynamically-compacted facet rows."""
+    blk, other = block_key
+    sp = _block_space(space, blk)
+    off = _block_offset(space, blk)
+    eids = e2 if other else e1
+    e2d = sp.el2dof_np  # host literal; gathered by traced eids
+    dm = jnp.asarray(e2d)[eids]
+    if isinstance(sp, VectorFESpace):
+        dm = jnp.concatenate([c * sp.nscal + dm for c in range(sp.vdim)],
+                             axis=1)
+    return dm + off
+
+
 def _facet_patch_ctx(integral: Integral, mesh, order, dyn=None, fids=None):
     """Contexts for facet-patch integrals: union of both neighbor volume rules.
 
@@ -331,10 +372,13 @@ def _facet_patch_ctx(integral: Integral, mesh, order, dyn=None, fids=None):
     (cf. the space-time variant, symboliccutbfi.cpp:1256-1324).
     """
     f2e = mesh.facet2el_np
-    if fids is None:
+    dynamic = fids is None and integral.definedonelements is not None
+    if dynamic:
+        fids, fvalid, fpoison = _dyn_facet_sel(integral, mesh, dyn)
+    elif fids is None:
         fids = _facet_patch_fids(integral, mesh)
-    e1 = jnp.asarray(f2e[fids, 0])
-    e2 = jnp.asarray(f2e[fids, 1])
+    e1 = jnp.asarray(f2e[:, 0])[jnp.asarray(fids)]
+    e2 = jnp.maximum(jnp.asarray(f2e[:, 1])[jnp.asarray(fids)], 0)
     from ..jitcache import dyn_get
 
     dyn = dyn or {}
@@ -347,7 +391,7 @@ def _facet_patch_ctx(integral: Integral, mesh, order, dyn=None, fids=None):
     rp, rw = reference_rule(mesh.et, o)
     rp = jnp.asarray(rp, dtype=config.dtype)
     rw = jnp.asarray(rw, dtype=config.dtype)
-    F, nq, d = len(fids), rp.shape[0], mesh.dim
+    F, nq, d = fids.shape[0], rp.shape[0], mesh.dim
 
     from ..mesh.mesh import map_points, det_and_inv
 
@@ -442,7 +486,12 @@ def _facet_patch_ctx(integral: Integral, mesh, order, dyn=None, fids=None):
     ctx.other_ctx = EvalCtx(mesh, other_pts, elem_ids=e2, dyn=dyn, time=times,
                             deformation=deform)
     ctx.facet_ids = jnp.asarray(fids)
-    mask = jnp.ones(w.shape, dtype=bool)
+    if dynamic:
+        w = jnp.where(fvalid[:, None], w, 0.0) + fpoison
+        ctx.dynamic_sel = (e1, e2, fvalid)
+        mask = jnp.broadcast_to(fvalid[:, None], w.shape)
+    else:
+        mask = jnp.ones(w.shape, dtype=bool)
     return ctx, e1, e2, w, mask
 
 
@@ -745,19 +794,27 @@ def _boundary_ctx(integral: Integral, mesh, order, dyn=None):
     ctx.facet_ids = jnp.asarray(bf)
     mask = w > 0
     if integral.definedonelements is not None:
-        sel_np = np.asarray(integral.definedonelements)
-        if len(sel_np) == mesh.ne:  # volume-element mask via adjacency
-            sel_np = sel_np[row_e]
-        elif len(sel_np) != B:
-            raise ValueError(
-                "definedonelements for a BND integral must mask boundary "
-                f"elements ({B}) or volume elements ({mesh.ne})"
-            )
-        sel_arr = dyn_get(dyn, integral, "mask", jnp.asarray(sel_np))
+        sel_arr = dyn_get(dyn, integral, "mask",
+                          jnp.asarray(_bnd_mask_np(integral, mesh)))
         sel = sel_arr[:, None]
         mask = mask & sel
         w = jnp.where(sel, w, 0.0)
     return ctx, row_e, w, mask
+
+
+def _bnd_mask_np(integral: Integral, mesh):
+    """Per-boundary-facet selection mask of a BND integral (host numpy);
+    accepts masks over boundary facets or over volume elements (adjacency)."""
+    sel_np = np.asarray(integral.definedonelements)
+    bf = mesh.boundary_facets_np
+    if len(sel_np) == mesh.ne:  # volume-element mask via adjacency
+        sel_np = sel_np[mesh.facet2el_np[bf, 0]]
+    elif len(sel_np) != len(bf):
+        raise ValueError(
+            "definedonelements for a BND integral must mask boundary "
+            f"elements ({len(bf)}) or volume elements ({mesh.ne})"
+        )
+    return sel_np
 
 
 _ASM_CACHE = {}
@@ -776,9 +833,21 @@ def _assembly_signature(space, mesh, integrals, kind):
     for integral in integrals:
         p = []
         if integral.definedonelements is not None:
-            if integral.facet_patch or integral.skeleton or integral.vb == BND:
-                # facet selection determines compaction shapes -> static key
-                p.append(("fpsel", integral.definedonelements.tobytes()))
+            if integral.facet_patch or integral.skeleton:
+                # dynamic capacity-padded facet compaction: re-marking a
+                # moving ghost-penalty band re-signatures only when the
+                # selected-facet count outgrows its power-of-two bucket
+                integral._facet_cap = _facet_capacity(mesh, integral)
+                slots.slot(integral, "fmask",
+                           lambda i=integral: jnp.asarray(i.definedonelements))
+                p.append(("fmask", integral._facet_cap))
+            elif integral.vb == BND:
+                # BND rows are static (all boundary facets): dynamic weight
+                # mask, pre-converted to per-boundary-facet form
+                slots.slot(integral, "mask",
+                           lambda i=integral, m=mesh:
+                           jnp.asarray(_bnd_mask_np(i, m)))
+                p.append(("mask",))
             else:
                 slots.slot(integral, "mask",
                            lambda i=integral: jnp.asarray(i.definedonelements))
@@ -825,6 +894,32 @@ def _msk(arr, mask):
     return jnp.where(m, arr, 0.0)
 
 
+def _facet_locref_tables(mesh):
+    """(2, nfacets, nvf, d) element-local reference coordinates of every
+    facet's vertices, per side (boundary facets duplicate side 0).  Host
+    numpy, cached per mesh topology — levelset-independent, so dynamic facet
+    selections gather from it on device."""
+    from ..ops.cuttables import REF_VERTS
+
+    cached = getattr(mesh, "_facet_locref_cache", None)
+    if cached is not None and cached[0] == (mesh.ne, mesh.nfacets):
+        return cached[1]
+    refv = REF_VERTS[mesh.et]
+    f2e = mesh.facet2el_np
+    fverts = mesh.facets_np  # (nf, nvf)
+    nvf = fverts.shape[1]
+    d = mesh.dim
+    loc_ref = np.zeros((2, mesh.nfacets, nvf, d))
+    for s in range(2):
+        eids = np.where(f2e[:, s] >= 0, f2e[:, s], f2e[:, 0])
+        els = mesh.elements_np[eids]  # (nf, nvel)
+        for k in range(nvf):
+            idx = np.argmax(els == fverts[:, k][:, None], axis=1)
+            loc_ref[s, :, k, :] = refv[idx]
+    mesh._facet_locref_cache = ((mesh.ne, mesh.nfacets), loc_ref)
+    return loc_ref
+
+
 def _skeleton_ctx(integral: Integral, mesh, order, dyn=None):
     """Facet (skeleton) quadrature mapped into both neighbor elements.
 
@@ -832,36 +927,37 @@ def _skeleton_ctx(integral: Integral, mesh, order, dyn=None):
     (SymbolicFacetBilinearFormIntegrator2, xfem/symboliccutbfi.cpp:948-1102):
     a rule on the facet itself, consistent physical points on both sides,
     facet normal provided for dn()-jump ghost penalties.
+
+    A ``definedonelements`` facet selection is DYNAMIC: the compaction is
+    capacity-padded and computed on device (_dyn_facet_sel), so re-marking
+    facets (moving ghost-penalty bands) re-uses the compiled program.
+    Returns (ctx, e1, e2, w, mask); ctx.dynamic_sel is set when dynamic.
     """
     from ..mesh.mesh import (
         FACET_VERTS, FACET_ET, map_points, det_and_inv, geom_shapes, geom_dshapes,
     )
     from ..ops.straightcut import _gram_measure
+    from ..ops.cuttables import REF_VERTS
     from ..jitcache import dyn_get
 
     f2e = mesh.facet2el_np
-    sel = f2e[:, 1] >= 0
-    if integral.definedonelements is not None:
-        sel = sel & integral.definedonelements
-    fids = np.nonzero(sel)[0]
-    F = len(fids)
     d = mesh.dim
     fet = FACET_ET[mesh.et]
     o = order if integral.force_intorder < 0 else integral.force_intorder
 
-    # element-local reference coordinates of each facet's vertices, per side
-    from ..ops.cuttables import REF_VERTS
-
-    refv = REF_VERTS[mesh.et]
-    fverts = mesh.facets_np[fids]  # (F, nvf) global vertex ids
-    nvf = fverts.shape[1]
-    loc_ref = np.zeros((2, F, nvf, d))
-    for s in range(2):
-        els = mesh.elements_np[f2e[fids, s]]  # (F, nvel)
-        for k in range(nvf):
-            idx = np.argmax(els == fverts[:, k][:, None], axis=1)
-            loc_ref[s, :, k, :] = refv[idx]
-    loc_ref = jnp.asarray(loc_ref, dtype=config.dtype)
+    dynamic = integral.definedonelements is not None
+    loc_all = _facet_locref_tables(mesh)  # (2, nf, nvf, d) host
+    if dynamic:
+        fids, fvalid, fpoison = _dyn_facet_sel(integral, mesh, dyn)
+        F = fids.shape[0]
+        fverts = jnp.asarray(mesh.facets_np)[fids]  # (F, nvf)
+        loc_ref = jnp.asarray(loc_all, dtype=config.dtype)[:, fids]
+    else:
+        fids = np.nonzero(f2e[:, 1] >= 0)[0]
+        F = len(fids)
+        fverts = mesh.facets_np[fids]  # (F, nvf) global vertex ids
+        loc_ref = jnp.asarray(loc_all[:, fids], dtype=config.dtype)
+    nvf = mesh.facets_np.shape[1]
 
     # facet-parametric quadrature: plain rule, or a cut rule on the facet
     # itself for SymbolicCutFacetBFI (xfem/symboliccutbfi.cpp:682-946)
@@ -875,7 +971,7 @@ def _skeleton_ctx(integral: Integral, mesh, order, dyn=None):
         lgf = ld["levelset"]
         vdofs = _p1_vertex_dofs(lgf.space)  # (nv,) vertex -> P1 dof
         vec = dyn_get(dyn, lgf, "vec", lgf._arr)
-        fvals = vec[jnp.asarray(vdofs[fverts])]  # (F, nvf)
+        fvals = vec[jnp.asarray(vdofs)[jnp.asarray(fverts)]]  # (F, nvf)
         split = ET_SPLIT[fet]
         nsplit = split.shape[0]
         refvf = jnp.asarray(REF_VERTS[fet], dtype=config.dtype)
@@ -918,8 +1014,8 @@ def _skeleton_ctx(integral: Integral, mesh, order, dyn=None):
 
     dyn = dyn or {}
     verts = dyn_get(dyn, mesh, "vertices", mesh.vertices)
-    e1 = jnp.asarray(f2e[fids, 0])
-    e2 = jnp.asarray(f2e[fids, 1])
+    e1 = jnp.asarray(f2e[:, 0])[jnp.asarray(fids)]
+    e2 = jnp.maximum(jnp.asarray(f2e[:, 1])[jnp.asarray(fids)], 0)
 
     ctx = EvalCtx(mesh, pts1, elem_ids=e1, dyn=dyn)
     ctx.other_ctx = EvalCtx(mesh, pts2, elem_ids=e2, dyn=dyn)
@@ -981,6 +1077,9 @@ def _skeleton_ctx(integral: Integral, mesh, order, dyn=None):
     # each side sees its own outward normal (reference dn convention, so
     # dnjump(u,k) = dn(u,k) -/+ dn(u.Other(),k) ports verbatim)
     ctx.other_ctx._normal = -n
+    if dynamic:
+        w = jnp.where(fvalid[:, None], w, 0.0) + fpoison
+        ctx.dynamic_sel = (e1, e2, fvalid)
     mask = w > 0
     return ctx, e1, e2, w, mask
 
@@ -1075,9 +1174,14 @@ class BilinearForm:
                         )
                     # terms accumulate per (trial, test) block pair; the
                     # compacted cut tier scatters into the all-elements rows
-                    # so the host-side scatter structure stays static
+                    # so the host-side scatter structure stays static, while
+                    # DYNAMIC facet selections emit their (rows, cols) from
+                    # the device-computed compaction
                     acc = {}
+                    dsel = None
                     for (tctx, w_phys, mask, sids) in tiers:
+                        if getattr(tctx, "dynamic_sel", None) is not None:
+                            dsel = tctx.dynamic_sel
                         W = _safe_weights(w_phys, mask, None)
                         for t in eval_form(integral.form, tctx):
                             if t.ufac is None and t.vfac is None:
@@ -1095,26 +1199,35 @@ class BilinearForm:
                             key = (t.ufac.block, t.vfac.block)
                             acc[key] = m if key not in acc else acc[key] + m
                     for (bu, bv), m in acc.items():
-                        out.append(m)
+                        if dsel is not None:
+                            de1, de2, _dv = dsel
+                            dm_u = block_dofmap_dev(space, bu, de1, de2)
+                            dm_v = block_dofmap_dev(space, bv, de1, de2)
+                            E_, ndv, ndu = m.shape
+                            rws = jnp.broadcast_to(
+                                dm_v[:, :, None], (E_, ndv, ndu))
+                            cls = jnp.broadcast_to(
+                                dm_u[:, None, :], (E_, ndv, ndu))
+                            out.append((m, rws, cls))
+                        else:
+                            out.append(m)
                         meta.append((k, bu, bv))
                 return out
 
             jfn = jax.jit(_impl)
             arrays = slots.arrays()
             elmats = jfn(*arrays)  # traces now; meta populated
-            # host-side scatter structure is static per signature: build the
-            # concatenated COO row/col index vectors ONCE and cache them
-            # (avoids rebuilding numpy broadcasts in time-stepping loops)
-            rows, cols = [], []
+            # host-side scatter structure is static per signature for static
+            # entries (built ONCE and cached); dynamic facet entries carry
+            # their device-computed (rows, cols) in the jit output
+            static_rc = []
             fp_elems = {}
             for k, integral in enumerate(integrals):
                 if integral.facet_patch or integral.skeleton:
-                    f2e = mesh.facet2el_np
-                    sel = f2e[:, 1] >= 0
-                    if integral.definedonelements is not None:
-                        sel = sel & integral.definedonelements
-                    fids = np.nonzero(sel)[0]
-                    fp_elems[k] = (f2e[fids, 0], f2e[fids, 1])
+                    if integral.definedonelements is None:
+                        f2e = mesh.facet2el_np
+                        fids = np.nonzero(f2e[:, 1] >= 0)[0]
+                        fp_elems[k] = (f2e[fids, 0], f2e[fids, 1])
                 elif integral.element_boundary:
                     nfel = len(mesh.el2facet_np[0])
                     row_e = np.repeat(np.arange(mesh.ne, dtype=np.int32), nfel)
@@ -1122,26 +1235,51 @@ class BilinearForm:
                 elif integral.vb == BND:
                     row_e = mesh.facet2el_np[mesh.boundary_facets_np, 0]
                     fp_elems[k] = (row_e, row_e)
-            for elmat, (k, bu, bv) in zip(elmats, meta):
+            for out_i, (k, bu, bv) in zip(elmats, meta):
+                if isinstance(out_i, tuple):  # dynamic facet entry
+                    static_rc.append(None)
+                    continue
                 e1, e2 = fp_elems.get(k, (None, None))
                 dm_u = block_dofmap(self.space, bu, e1, e2)
                 dm_v = block_dofmap(self.space, bv, e1, e2)
-                E, ndv, ndu = elmat.shape
-                rows.append(np.broadcast_to(
-                    dm_v[:, :, None], (E, ndv, ndu)).reshape(-1))
-                cols.append(np.broadcast_to(
-                    dm_u[:, None, :], (E, ndv, ndu)).reshape(-1))
-            if not rows:
+                E, ndv, ndu = out_i.shape
+                static_rc.append((
+                    np.broadcast_to(
+                        dm_v[:, :, None], (E, ndv, ndu)).reshape(-1),
+                    np.broadcast_to(
+                        dm_u[:, None, :], (E, ndv, ndu)).reshape(-1),
+                ))
+            if not static_rc:
                 raise ValueError("no integrals to assemble")
-            rows_cat = np.concatenate(rows)
-            cols_cat = np.concatenate(cols)
-            cached = (jfn, list(meta), rows_cat, cols_cat)
+            if all(rc is not None for rc in static_rc):
+                rc_cat = (np.concatenate([rc[0] for rc in static_rc]),
+                          np.concatenate([rc[1] for rc in static_rc]))
+            else:
+                rc_cat = None
+            cached = (jfn, list(meta), static_rc, rc_cat)
             _ASM_CACHE[sig] = cached
         else:
-            jfn, meta, rows_cat, cols_cat = cached
+            jfn, meta, static_rc, rc_cat = cached
             elmats = jfn(*slots.arrays())
 
-        vals = jnp.concatenate([m.reshape(-1) for m in elmats])
+        if rc_cat is not None:  # fast all-static path
+            vals = jnp.concatenate([m.reshape(-1) for m in elmats])
+            rows_cat, cols_cat = rc_cat
+        else:
+            vparts, rparts, cparts = [], [], []
+            for out_i, rc in zip(elmats, static_rc):
+                if rc is None:
+                    m, r, c = out_i
+                    vparts.append(m.reshape(-1))
+                    rparts.append(r.reshape(-1))
+                    cparts.append(c.reshape(-1))
+                else:
+                    vparts.append(out_i.reshape(-1))
+                    rparts.append(jnp.asarray(rc[0]))
+                    cparts.append(jnp.asarray(rc[1]))
+            vals = jnp.concatenate(vparts)
+            rows_cat = jnp.concatenate(rparts)
+            cols_cat = jnp.concatenate(cparts)
         self.mat = SparseMatrix(
             rows_cat, cols_cat, vals,
             (self.space.ndof, self.space.ndof),

@@ -209,3 +209,59 @@ def test_newton_fallback_pathological_deformation():
 
     val = Integrate(cf=shifted_eval(gf, back=deform), mesh=mesh, order=3)
     assert np.isfinite(val)
+
+
+def test_moving_band_no_recompile():
+    """A moving interface with per-step re-marked element + ghost-penalty
+    facet selections reuses the compiled assembly program: constant jit-cache
+    size across steps (VERDICT r2 item 7; reference re-assembly loop of
+    py_tutorials/moving_domain.py)."""
+    from ngsxfem_tpu import (
+        CutInfo, HASNEG, GetFacetsWithNeighborTypes, sqrt, grad, specialcf,
+    )
+    from ngsxfem_tpu.forms import assemble as asm
+
+    mesh = MakeStructured2DMesh(quads=False, nx=12, ny=12)
+    Vl = H1(mesh, order=1)
+    lsetp1 = GridFunction(Vl)  # reused across steps (time-stepping pattern)
+    V = H1(mesh, order=1, dgjumps=True)
+    u, v = V.TnT()
+    h = specialcf.mesh_size
+
+    asm._ASM_CACHE.clear()
+    sizes, mats = [], []
+    for step in range(4):
+        c = 0.4 + 0.015 * step
+        InterpolateToP1(sqrt((x - c) ** 2 + (y - 0.5) ** 2) - 0.22, lsetp1)
+        ci = CutInfo(mesh, lsetp1)
+        hasneg = ci.GetElementsOfType(HASNEG)
+        hasif = ci.GetElementsOfType(IF)
+        band = GetFacetsWithNeighborTypes(mesh, a=hasneg, b=hasif)
+        from ngsxfem_tpu import SymbolicFacetPatchBFI
+
+        a = BilinearForm(V)
+        a += SymbolicBFI({"levelset": lsetp1, "domain_type": NEG},
+                         form=grad(u) * grad(v), definedonelements=hasneg)
+        a += SymbolicFacetPatchBFI(form=0.1 / (h * h) * (u - u.Other())
+                                   * (v - v.Other()), definedonelements=band)
+        a.Assemble()
+        sizes.append(len(asm._ASM_CACHE))
+        mats.append(np.asarray(a.mat.todense()))
+    # first step compiles; every further step reuses the same signature
+    assert sizes[0] == sizes[1] == sizes[2] == sizes[3], sizes
+    # matrices genuinely differ across steps (the band really moved)
+    assert np.abs(mats[0] - mats[3]).max() > 1e-8
+
+    # correctness: the cached dynamic-selection program matches a cold build
+    asm._ASM_CACHE.clear()
+    a2 = BilinearForm(V)
+    a2 += SymbolicBFI({"levelset": lsetp1, "domain_type": NEG},
+                      form=grad(u) * grad(v),
+                      definedonelements=ci.GetElementsOfType(HASNEG))
+    from ngsxfem_tpu import SymbolicFacetPatchBFI
+
+    a2 += SymbolicFacetPatchBFI(form=0.1 / (h * h) * (u - u.Other())
+                                * (v - v.Other()), definedonelements=band)
+    a2.Assemble()
+    A2 = np.asarray(a2.mat.todense())
+    assert np.abs(A2 - mats[3]).max() < 1e-12 * max(1.0, np.abs(A2).max())
