@@ -67,7 +67,11 @@ def run(nx=16, nslab=8, order=1, kt=1, T=0.5, verbose=True, deform=False):
             else SpaceTimeFESpace(H1(mesh, 1), ScalarTimeFE(kt)))
         dfm_st = dfm_bot = None
 
-    # static ghost-penalty facet band: elements near the interface at ANY time
+    # ghost-penalty facet band: initialized to a superset (elements near the
+    # interface at ANY time) and RE-MARKED per slab below — facet selections
+    # are dynamic capacity-padded masks, so per-slab re-marking reuses the
+    # compiled assembly program (the initial superset sizes the capacity
+    # bucket; tighter per-slab bands never overflow it)
     verts = mesh.vertices_np
     dmin = np.full(mesh.nv, np.inf)
     for tv in np.linspace(0, T, 4 * nslab + 1):
@@ -141,8 +145,14 @@ def run(nx=16, nslab=8, order=1, kt=1, T=0.5, verbose=True, deform=False):
         RestrictGFInTime(spacetime_gf=lset_st, reference_time=0.0, space_gf=lset_bot)
         ci.Update(lset_st, time_order=kt)
         hn = ci.GetElementsOfType(HASNEG).np
+        # per-slab narrow ghost-penalty band (dynamic facet re-marking)
+        gp_now = GetFacetsWithNeighborTypes(
+            mesh, a=ci.GetElementsOfType(HASNEG), b=ci.GetElementsOfType(IF))
         for integ in list(a.integrals) + list(fl.integrals):
-            if integ.definedonelements is not None and not integ.facet_patch:
+            if integ.facet_patch:
+                integ.definedonelements = np.asarray(gp_now.np) & np.asarray(
+                    gp_facets.np)
+            elif integ.definedonelements is not None:
                 integ.definedonelements = hn
 
         a.Assemble()

@@ -817,7 +817,8 @@ def _bnd_mask_np(integral: Integral, mesh):
     return sel_np
 
 
-_ASM_CACHE = {}
+from ..jitcache import LRUCache as _LRU
+_ASM_CACHE = _LRU(maxsize=128)
 
 
 def _assembly_signature(space, mesh, integrals, kind):

@@ -25,7 +25,8 @@ from .fem.gridfunction import GridFunction
 from .fem.space import H1
 
 
-_INT_CACHE = {}
+from .jitcache import LRUCache as _LRU
+_INT_CACHE = _LRU(maxsize=128)
 
 
 @lru_cache(maxsize=None)

@@ -37,6 +37,42 @@ def obj_uid(obj):
     return u
 
 
+class LRUCache:
+    """Bounded signature->compiled-program cache with LRU eviction.
+
+    Long parameter sweeps in one process otherwise accumulate compiled
+    executables without bound — the exact failure mode tests/run_suite.sh
+    documents for XLA:CPU (mmap'd code pages exhausting vm.max_map_count).
+    """
+
+    def __init__(self, maxsize=128):
+        from collections import OrderedDict
+
+        self.maxsize = maxsize
+        self._d = OrderedDict()
+
+    def get(self, key, default=None):
+        v = self._d.get(key, default)
+        if key in self._d:
+            self._d.move_to_end(key)
+        return v
+
+    def __setitem__(self, key, value):
+        self._d[key] = value
+        self._d.move_to_end(key)
+        while len(self._d) > self.maxsize:
+            self._d.popitem(last=False)
+
+    def __contains__(self, key):
+        return key in self._d
+
+    def __len__(self):
+        return len(self._d)
+
+    def clear(self):
+        self._d.clear()
+
+
 class DynSlots:
     """Ordered registry of dynamic array holders discovered in a CF graph.
 

@@ -35,6 +35,51 @@ def timeit(f, *a, reps=3):
     return ts[len(ts) // 2]
 
 
+def public_api_ab(nx, t_model_asm):
+    """A/B: the PUBLIC BilinearForm.Assemble on the fictdom workload vs the
+    hand-written model's assembly rate (VERDICT r2 item 3 done-criterion:
+    within ~2x after the two-tier compaction landed in _volume_tiers)."""
+    import numpy as np
+    from ngsxfem_tpu import (
+        MakeStructured3DMesh, H1, GridFunction, InterpolateToP1, CutInfo,
+        HASNEG, IF, NEG, BilinearForm, SymbolicBFI, SymbolicFacetPatchBFI,
+        GetFacetsWithNeighborTypes, grad, specialcf, Norm, sqrt, x, y, z,
+    )
+
+    mesh = MakeStructured3DMesh(hexes=False, nx=nx, ny=nx, nz=nx)
+    lsetp1 = GridFunction(H1(mesh, order=1))
+    InterpolateToP1(
+        sqrt((x - .5) ** 2 + (y - .5) ** 2 + (z - .5) ** 2) - 0.4, lsetp1)
+    ci = CutInfo(mesh, lsetp1)
+    hasneg = ci.GetElementsOfType(HASNEG)
+    hasif = ci.GetElementsOfType(IF)
+    V = H1(mesh, order=1, dgjumps=True)
+    u, v = V.TnT()
+    h = specialcf.mesh_size
+    nl = 1.0 / Norm(grad(lsetp1)) * grad(lsetp1)
+    gp = GetFacetsWithNeighborTypes(mesh, a=hasneg, b=hasif)
+    a = BilinearForm(V)
+    a += SymbolicBFI({"levelset": lsetp1, "domain_type": NEG},
+                     form=grad(u) * grad(v), definedonelements=hasneg)
+    a += SymbolicBFI({"levelset": lsetp1, "domain_type": IF},
+                     form=-(grad(u) * nl) * v - (grad(v) * nl) * u
+                     + 20.0 / h * u * v)
+    a += SymbolicFacetPatchBFI(form=0.1 / (h * h) * (u - u.Other())
+                               * (v - v.Other()), definedonelements=gp)
+    a.Assemble()  # compile
+
+    def do():
+        a.Assemble()
+        return a.mat.vals
+
+    t = timeit(do, reps=3)
+    rate = mesh.ne / t
+    print(f"  public BilinearForm.Assemble (fictdom, nx={nx}): "
+          f"{rate/1e6:.2f}M elts/s ({t*1e3:.1f} ms) — "
+          f"{t / t_model_asm:.2f}x the hand-written model's assembly time")
+    return t
+
+
 def main():
     from ngsxfem_tpu.models.poisson import UnfittedPoisson
     from ngsxfem_tpu.solvers.sparse import ELLMatrix
@@ -101,6 +146,8 @@ def main():
             t_mvp = None
         t_cg = timeit(solve50, ell_vals, colsj, b, reps=2)
         report.append((nx, model.mesh.ne, model.ndof, t_asm, t_asg, t_mv, t_mvp, t_cg))
+        if os.environ.get("PERF_AB", "1") != "0" and nx == sizes[0]:
+            public_api_ab(nx, t_asm)
 
     # host reads only now
     for nx, ne, ndof, t_asm, t_asg, t_mv, t_mvp, t_cg in report:
