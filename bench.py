@@ -248,13 +248,17 @@ def main():
                        f64_asm=r64["asm_elts_per_sec"], f64_ne=r64["ne"])
         except Exception as e:
             out["f64_error"] = f"{type(e).__name__}: {e}"[:200]
-        try:
-            rmx = bench_pipeline(jnp.float64, nx64, max(2, reps), block=4096,
-                                 scan=False, mixed=True)
-            out.update(f64_mixed_pipe=rmx["pipe_elts_per_sec"],
-                       f64_mixed_asm=rmx["asm_elts_per_sec"])
-        except Exception as e:
-            out["f64_mixed_error"] = f"{type(e).__name__}: {e}"[:200]
+        # timed mixed-precision run measured once (r3): 59.7k elts/s pipe at
+        # nx=32 — indistinguishable from full f64 (f64 emulation dominates
+        # geometry too), so only the achieved-precision measure is kept
+        if os.environ.get("BENCH_F64_MIXED") == "1":
+            try:
+                rmx = bench_pipeline(jnp.float64, nx64, max(2, reps),
+                                     block=4096, scan=False, mixed=True)
+                out.update(f64_mixed_pipe=rmx["pipe_elts_per_sec"],
+                           f64_mixed_asm=rmx["asm_elts_per_sec"])
+            except Exception as e:
+                out["f64_mixed_error"] = f"{type(e).__name__}: {e}"[:200]
         # achieved mixed-precision element-matrix error vs full f64
         # (size-independent relative measure, computed at nx=16)
         try:
@@ -267,6 +271,17 @@ def main():
         except Exception as e:
             out["mixed_err_error"] = f"{type(e).__name__}: {e}"[:200]
         print(json.dumps(out))
+        return
+
+    if os.environ.get("BENCH_INNER_CPUPIPE") == "1":
+        # same XLA programs on the host CPU: a MEASURED hardware comparison
+        # point next to the (unmeasurable, estimated) NGSolve baseline
+        jax.config.update("jax_platforms", "cpu")
+        r = bench_pipeline(jnp.float32, nx, 2, scan=False)
+        print(json.dumps({
+            "cpu_pipe_elts_per_sec": r["pipe_elts_per_sec"],
+            "cpu_asm_elts_per_sec": r["asm_elts_per_sec"],
+        }))
         return
 
     if os.environ.get("BENCH_INNER_COST") == "1":
@@ -312,6 +327,8 @@ def main():
         if os.environ.get("BENCH_F64", "1") != "0" else None
     cost = _sub("BENCH_INNER_COST", 2400) \
         if os.environ.get("BENCH_COST", "1") != "0" else None
+    cpu = _sub("BENCH_INNER_CPUPIPE", 2400) \
+        if os.environ.get("BENCH_CPU", "1") != "0" else None
 
     # MFU / roofline from the amortized in-program time (regime 2+3 above)
     mfu = None
@@ -353,6 +370,7 @@ def main():
         "cg_iters": CG_ITERS,
         "mg_converged_solve": mg,
         "f64": f64,
+        "cpu_xla_measured": cpu,
         "mfu_estimate": round(mfu, 5) if mfu else None,
         "roofline": roofline,
         "ne": r32["ne"],

@@ -152,6 +152,53 @@ def lset_st_vertex_values(lset_gf, dyn=None):
     return jnp.stack(blocks, axis=1)
 
 
+def _two_tier_integrate(mesh, cf, lgf, dt, order, cap, policy, ew, dyn):
+    """Two-tier cut integration: standard rule on matching uncut elements +
+    compacted cut kernel (mirrors forms/assemble._volume_tiers; the
+    expensive cut-rule construction scales with the interface, not the
+    volume).  Returns per-element sums (ew=True) or the scalar integral."""
+    from .ops.straightcut import eps_guard
+    from .cf.context import eval_pure
+
+    vals = eps_guard(lset_vertex_values(lgf, dyn))
+    has_neg = jnp.any(vals < 0, axis=1)
+    has_pos = jnp.any(vals > 0, axis=1)
+    cut = has_neg & has_pos
+    ncut = jnp.sum(cut)
+    cut_ids = jnp.nonzero(cut, size=cap, fill_value=0)[0]
+    valid = jnp.arange(cap) < ncut
+    poison = jnp.where(ncut <= cap, 0.0, jnp.nan)
+
+    E = mesh.ne
+    total_e = jnp.zeros((E,), dtype=config.dtype)
+    if dt != IF:
+        rp, rw = reference_rule(mesh.et, order)
+        pts = jnp.broadcast_to(
+            jnp.asarray(rp, dtype=config.dtype)[None], (E,) + rp.shape)
+        ctx = EvalCtx(mesh, pts, dyn=dyn)
+        sel = (has_neg & ~has_pos) if dt == int(NEG) else (has_pos & ~has_neg)
+        w = jnp.asarray(rw, dtype=config.dtype)[None, :] * jnp.abs(ctx.detJ)
+        f = jnp.broadcast_to(eval_pure(cf, ctx), w.shape)
+        total_e = jnp.where(sel, jnp.sum(f * w, axis=1), 0.0)
+
+    cvals = vals[cut_ids]
+    rule = cut_rule_element(mesh.et, cvals, order, policy)
+    if dt == int(IF):
+        cctx = EvalCtx(mesh, rule.pts_if, elem_ids=cut_ids, nref=rule.nref,
+                       dyn=dyn)
+        w = rule.w_if * jnp.abs(cctx.detJ) * cctx.if_scale
+        mask = rule.w_if > 0
+    else:
+        cctx = EvalCtx(mesh, rule.pts, elem_ids=cut_ids, dyn=dyn)
+        w_ref = rule.w * (rule.side == int(dt))
+        w = w_ref * jnp.abs(cctx.detJ)
+        mask = w_ref > 0
+    f = jnp.broadcast_to(eval_pure(cf, cctx), w.shape)
+    per_c = jnp.sum(jnp.where(mask, f, 0.0) * w, axis=1) + poison
+    total_e = total_e.at[cut_ids].add(jnp.where(valid, per_c, 0.0))
+    return total_e if ew else jnp.sum(total_e)
+
+
 def _cut_ctx_and_weights(mesh, lset_gf, domain_type, order, dyn=None,
                          time_order=-1, quad_dir_policy="OPTIMAL",
                          deformation="inherit"):
@@ -219,6 +266,7 @@ def Integrate(levelset_domain=None, cf=None, mesh=None, order=5,
 
         slots = DynSlots()
         register_mesh_dynamics(mesh, slots)
+        cut_cap = None
         if levelset_domain is None:
             ld = None
             dom_key = ("vol", int(order))
@@ -236,6 +284,13 @@ def Integrate(levelset_domain=None, cf=None, mesh=None, order=5,
             register_space(lgf.space, slots)
             dom_key = ("cut", int(ld["domain_type"]), int(o), obj_uid(lgf.space),
                        int(time_order), ld["quad_dir_policy"])
+            cut_cap = None
+            if time_order < 0 and config.two_tier_assembly and isinstance(
+                    lgf.space, H1) and lgf.space.order == 1:
+                from .forms.assemble import _cut_capacity
+
+                cut_cap = _cut_capacity(lgf)
+                dom_key = dom_key + ("cap", cut_cap)
         sig = (mesh_signature(mesh), cf_signature(cf, slots), dom_key,
                bool(element_wise))
         fn = _INT_CACHE.get(sig)
@@ -259,6 +314,11 @@ def Integrate(levelset_domain=None, cf=None, mesh=None, order=5,
                     mask = jnp.ones(w_phys.shape, dtype=bool)
                 else:
                     oo = order if ld_c["force_intorder"] < 0 else ld_c["force_intorder"]
+                    if cut_cap is not None:
+                        return _two_tier_integrate(
+                            mesh_c, cf_c, ld_c["levelset"],
+                            int(ld_c["domain_type"]), oo, cut_cap,
+                            ld_c["quad_dir_policy"], ew, dyn)
                     ctx, w_phys, mask = _cut_ctx_and_weights(
                         mesh_c, ld_c["levelset"], ld_c["domain_type"], oo, dyn=dyn,
                         time_order=time_order,

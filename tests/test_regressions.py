@@ -130,7 +130,8 @@ def test_timefe_node_bounds():
         fe.IsNodeActive(-1)
 
 
-def test_two_tier_assembly_equivalence():
+@pytest.mark.parametrize("dom", ["NEG", "POS"])
+def test_two_tier_assembly_equivalence(dom):
     """Two-tier compacted cut assembly (public BilinearForm path) matches the
     single-tier full-cut-kernel path to roundoff on the fictdom workload
     (VERDICT r2 item 3; model: models/poisson.py elmats_compact)."""
@@ -153,11 +154,12 @@ def test_two_tier_assembly_equivalence():
         u, v = V.TnT()
         h = specialcf.mesh_size
         n_lset = 1.0 / Norm(grad(lsetp1)) * grad(lsetp1)
-        ld_neg = {"levelset": lsetp1, "domain_type": NEG}
+        ld_neg = {"levelset": lsetp1,
+                  "domain_type": NEG if dom == "NEG" else POS}
         ld_if = {"levelset": lsetp1, "domain_type": IF}
         a = BilinearForm(V)
         a += SymbolicBFI(ld_neg, form=grad(u) * grad(v),
-                         definedonelements=hasneg)
+                         definedonelements=None if dom == "POS" else hasneg)
         a += SymbolicBFI(ld_if, form=-(grad(u) * n_lset) * v
                          - (grad(v) * n_lset) * u + 20.0 / h * u * v)
         a.Assemble()
@@ -265,3 +267,41 @@ def test_moving_band_no_recompile():
     a2.Assemble()
     A2 = np.asarray(a2.mat.todense())
     assert np.abs(A2 - mats[3]).max() < 1e-12 * max(1.0, np.abs(A2).max())
+
+
+def test_asm_cache_lru_bounded():
+    """_ASM_CACHE is LRU-bounded (VERDICT r2 weak 7: unbounded growth over
+    parameter sweeps was the XLA:CPU vm.max_map_count failure mode) and
+    re-assembly after eviction still produces correct results."""
+    from ngsxfem_tpu.forms import assemble as asm
+    from ngsxfem_tpu.jitcache import LRUCache
+
+    assert isinstance(asm._ASM_CACHE, LRUCache)
+    c = LRUCache(maxsize=3)
+    for i in range(10):
+        c[i] = i * i
+    assert len(c) == 3 and 9 in c and 0 not in c
+    c.get(7)
+    c[10] = 0  # evicts 8 (LRU), keeps recently-touched 7
+    assert 7 in c and 8 not in c
+
+    # eviction + re-assembly correctness on a real form
+    mesh = MakeStructured2DMesh(quads=False, nx=4, ny=4)
+    V = H1(mesh, order=1)
+    u, v = V.TnT()
+    a = BilinearForm(V)
+    a += SymbolicBFI(form=u * v)
+    a.Assemble()
+    A1 = np.asarray(a.mat.todense())
+    old = asm._ASM_CACHE
+    try:
+        asm._ASM_CACHE = LRUCache(maxsize=1)
+        a.Assemble()
+        # displace it, then re-assemble (recompiles transparently)
+        f = LinearForm(V)
+        f += SymbolicLFI(form=v)
+        f.Assemble()
+        a.Assemble()
+        assert np.abs(np.asarray(a.mat.todense()) - A1).max() < 1e-14
+    finally:
+        asm._ASM_CACHE = old
