@@ -64,6 +64,15 @@ from .mesh.io import (  # noqa: F401
     WriteGmsh,
     MakeUnstructuredMesh,
 )
+from .mesh.composite import (  # noqa: F401
+    CompositeMesh,
+    MakeQuadDominated2DMesh,
+    CompositeGridFunction,
+    CompositeCutInfo,
+    CompositeBilinearForm,
+    CompositeLinearForm,
+    IntegrateC,
+)
 
 from .fem.space import (  # noqa: F401
     FESpace,
