@@ -195,11 +195,22 @@ def bench_mg_solve(dtype, nx, reps):
     cols_f = jnp.asarray(stf["ell_cols"])
     TOL = 1e-8
 
-    @jax.jit
-    def mg_solve(params, vf, b):
-        pp = mg.prepare(params)
-        mv = lambda x: jnp.sum(vf * x[cols_f], axis=1)
-        return cg(mv, b, M=lambda r: mg.apply(pp, r), maxiter=100, tol=TOL)
+    # coarse factorization on the host in f64 (the f32/TPU-default-precision
+    # in-jit Cholesky of the ill-conditioned coarse Nitsche block produces a
+    # garbage preconditioner: CG diverged at nx=48 on-chip); the V-cycle's
+    # dense triangular solves run at HIGHEST matmul precision — TPU default
+    # lowers f32 matmuls through bf16 passes.
+    t0p = time.perf_counter()
+    pp = mg.prepare_host(params)
+    t_prep = time.perf_counter() - t0p
+
+    with jax.default_matmul_precision("highest"):
+
+        @jax.jit
+        def mg_solve(pp, vf, b):
+            mv = lambda x: jnp.sum(vf * x[cols_f], axis=1)
+            return cg(mv, b, M=lambda r: mg.apply(pp, r), maxiter=100,
+                      tol=TOL)
 
     @jax.jit
     def jac_solve(vf, b):
@@ -210,7 +221,7 @@ def bench_mg_solve(dtype, nx, reps):
         return cg(mv, b, M=lambda r: dinv * r, maxiter=3000, tol=TOL)
 
     bn = float(jnp.linalg.norm(b))
-    t_mg, (x_mg, k_mg, res_mg) = _time(mg_solve, params, vf, b, reps=reps)
+    t_mg, (x_mg, k_mg, res_mg) = _time(mg_solve, pp, vf, b, reps=reps)
     t_j, (x_j, k_j, res_j) = _time(jac_solve, vf, b, reps=reps)
     # the bench asserts the tolerance (converged solves, not fixed budgets)
     assert float(res_mg) <= TOL * bn * 1.5, (float(res_mg), bn)
@@ -219,6 +230,7 @@ def bench_mg_solve(dtype, nx, reps):
         jnp.linalg.norm(x_j))
     return {
         "mg_solve_seconds": t_mg,
+        "mg_prepare_seconds": t_prep,
         "mg_iters": int(k_mg),
         "jacobi_solve_seconds": t_j,
         "jacobi_iters": int(k_j),

@@ -384,7 +384,10 @@ class FunctionalELLMG:
     def prepare(self, params):
         """Factor the coarse level (dense Cholesky of the full coarse ELL,
         identity rows included; requires an SPD coarse system).  Returns
-        params + the factor — run ONCE per assembled matrix."""
+        params + the factor — run ONCE per assembled matrix.  Jit-safe (all
+        device ops), but in f32 the in-jit Cholesky of the ill-conditioned
+        coarse Nitsche block loses too much precision — use
+        ``prepare_host`` for f32 production solves."""
         cols0, vals0 = params["cols"][0], params["vals"][0]
         n0 = cols0.shape[0]
         A0 = jnp.zeros((n0, n0), dtype=vals0.dtype)
@@ -392,6 +395,37 @@ class FunctionalELLMG:
         A0 = 0.5 * (A0 + A0.T)
         out = dict(params)
         out["chol0"] = jnp.linalg.cholesky(A0)
+        out["dinv"] = [self._dinv(params, l) for l in range(self.nlevels)]
+        return out
+
+    def prepare_host(self, params):
+        """Host variant of ``prepare``: the coarse factorization runs in
+        NUMPY f64 regardless of the device dtype (the coarse cut system's
+        condition ~ lam/h * h^-2 overwhelms an f32 Cholesky), then the
+        factor is stored back at device precision.  One D2H of the coarse
+        level per assembled matrix."""
+        cols0 = np.asarray(params["cols"][0])
+        vals0 = np.asarray(params["vals"][0], dtype=np.float64)
+        n0 = cols0.shape[0]
+        A0 = np.zeros((n0, n0))
+        np.add.at(A0, (np.repeat(np.arange(n0), cols0.shape[1]),
+                       cols0.reshape(-1)), vals0.reshape(-1))
+        A0 = 0.5 * (A0 + A0.T)
+        try:
+            L = np.linalg.cholesky(A0)
+        except np.linalg.LinAlgError:
+            import scipy.linalg as sla
+
+            lu, piv = sla.lu_factor(A0)
+            out = dict(params)
+            out["lu0"] = (jnp.asarray(lu, dtype=params["vals"][0].dtype),
+                          jnp.asarray(piv))
+            out["chol0"] = None
+            out["dinv"] = [self._dinv(params, l)
+                           for l in range(self.nlevels)]
+            return out
+        out = dict(params)
+        out["chol0"] = jnp.asarray(L, dtype=params["vals"][0].dtype)
         out["dinv"] = [self._dinv(params, l) for l in range(self.nlevels)]
         return out
 
@@ -443,6 +477,10 @@ class FunctionalELLMG:
 
     def _cycle(self, params, l, b):
         if l == 0:
+            if params.get("chol0") is None and "lu0" in params:
+                from jax.scipy.linalg import lu_solve
+
+                return lu_solve(params["lu0"], b)
             from jax.scipy.linalg import cho_solve
 
             return cho_solve((params["chol0"], True), b)
