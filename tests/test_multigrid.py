@@ -113,3 +113,53 @@ def test_functional_ell_mg():
     assert float(jnp.linalg.norm(x_mg - x_j)) < 1e-5 * float(
         jnp.linalg.norm(x_j))
     assert int(k_mg) < int(k_j) / 2, (int(k_mg), int(k_j))
+
+
+def test_functional_ell_mg_f32_host_prepare():
+    """f32 production path: host-f64 coarse factorization (prepare_host) —
+    the in-jit f32 Cholesky of the ill-conditioned coarse Nitsche block is
+    what diverged on TPU default precision (bench r3 finding)."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+    from ngsxfem_tpu.models.poisson import UnfittedPoisson
+    from ngsxfem_tpu.solvers.mg import FunctionalELLMG, prolongation_coo_np
+    from ngsxfem_tpu.solvers.krylov import cg
+
+    def level(nx):
+        m = UnfittedPoisson(nx=nx, dim=3, order=1, dtype=jnp.float32)
+        ve = m.lset_np[m.mesh.elements_np]
+        cut = (ve < 0).any(1) & (ve > 0).any(1)
+        st = m.ell_structure()
+        sd = {k: jnp.asarray(v) for k, v in st.items() if k != "K"}
+        vals, _ = jax.jit(
+            lambda v, l, s: m.assemble_ell_vals(
+                v, l, int(cut.sum()) + 8, dict(s, K=st["K"]))
+        )(m.vertices.astype(jnp.float32), m.lset.astype(jnp.float32), sd)
+        ifm = np.zeros(m.ndof, bool)
+        ifm[m.space.el2dof_np[cut].ravel()] = True
+        return m, st, vals, ifm & m.active_dofs
+
+    levels = [level(n) for n in (4, 8, 16)]
+    models = [lv[0] for lv in levels]
+    mg = FunctionalELLMG(
+        [lv[1]["ell_cols"] for lv in levels],
+        [prolongation_coo_np(models[i].space, models[i + 1].space)
+         for i in range(2)],
+        if_masks=[None] + [lv[3] for lv in levels[1:]], if_iters=10,
+        active_masks=[m.active_dofs for m in models])
+    params = mg.params([lv[2] for lv in levels], dtype=jnp.float32)
+    pp = mg.prepare_host(params)
+    mf, stf, vf, _ = levels[-1]
+    b = jnp.where(jnp.asarray(mf.active_dofs), 1.0, 0.0).astype(jnp.float32)
+    cols_f = jnp.asarray(stf["ell_cols"])
+
+    @jax.jit
+    def solve(pp, vf, b):
+        mv = lambda x: jnp.sum(vf * x[cols_f], axis=1)
+        return cg(mv, b, M=lambda r: mg.apply(pp, r), maxiter=60, tol=1e-6)
+
+    x, k, res = solve(pp, vf, b)
+    bn = float(jnp.linalg.norm(b))
+    assert float(res) <= 1e-6 * bn * 1.5
+    assert int(k) <= 20, int(k)
