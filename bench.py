@@ -198,19 +198,20 @@ def bench_mg_solve(dtype, nx, reps):
     # coarse factorization on the host in f64 (the f32/TPU-default-precision
     # in-jit Cholesky of the ill-conditioned coarse Nitsche block produces a
     # garbage preconditioner: CG diverged at nx=48 on-chip); the V-cycle's
-    # dense triangular solves run at HIGHEST matmul precision — TPU default
-    # lowers f32 matmuls through bf16 passes.
+    # dense triangular solves must run at HIGHEST matmul precision — TPU
+    # default lowers f32 matmuls through bf16 passes.  NOTE: the precision
+    # setting must be active at TRACE time (first call), hence the config
+    # update rather than a context manager around the jit definition.
     t0p = time.perf_counter()
     pp = mg.prepare_host(params)
     t_prep = time.perf_counter() - t0p
+    jax.config.update("jax_default_matmul_precision", "highest")
 
-    with jax.default_matmul_precision("highest"):
-
-        @jax.jit
-        def mg_solve(pp, vf, b):
-            mv = lambda x: jnp.sum(vf * x[cols_f], axis=1)
-            return cg(mv, b, M=lambda r: mg.apply(pp, r), maxiter=100,
-                      tol=TOL)
+    @jax.jit
+    def mg_solve(pp, vf, b):
+        mv = lambda x: jnp.sum(vf * x[cols_f], axis=1)
+        return cg(mv, b, M=lambda r: mg.apply(pp, r), maxiter=100,
+                  tol=TOL)
 
     @jax.jit
     def jac_solve(vf, b):
@@ -221,8 +222,11 @@ def bench_mg_solve(dtype, nx, reps):
         return cg(mv, b, M=lambda r: dinv * r, maxiter=3000, tol=TOL)
 
     bn = float(jnp.linalg.norm(b))
-    t_mg, (x_mg, k_mg, res_mg) = _time(mg_solve, pp, vf, b, reps=reps)
-    t_j, (x_j, k_j, res_j) = _time(jac_solve, vf, b, reps=reps)
+    try:
+        t_mg, (x_mg, k_mg, res_mg) = _time(mg_solve, pp, vf, b, reps=reps)
+        t_j, (x_j, k_j, res_j) = _time(jac_solve, vf, b, reps=reps)
+    finally:
+        jax.config.update("jax_default_matmul_precision", None)
     # the bench asserts the tolerance (converged solves, not fixed budgets)
     assert float(res_mg) <= TOL * bn * 1.5, (float(res_mg), bn)
     assert float(res_j) <= TOL * bn * 1.5, (float(res_j), bn)

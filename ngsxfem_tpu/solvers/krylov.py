@@ -12,10 +12,14 @@ import jax.numpy as jnp
 from jax import lax
 
 
-def cg(matvec, b, x0=None, M=None, maxiter=500, tol=1e-10):
+def cg(matvec, b, x0=None, M=None, maxiter=500, tol=1e-10, unroll=1):
     """Preconditioned conjugate gradients; returns (x, iters, res_norm).
 
     `matvec`/`M` are functions on dof vectors (may contain psum collectives).
+    With ``tol=0`` (fixed iteration budget) the loop runs as a
+    ``lax.fori_loop`` with the given ``unroll`` factor — fewer loop-control
+    boundaries for runtimes that charge per iteration (see
+    docs/PERFORMANCE.md tunnel notes).
     """
     if x0 is None:
         x0 = jnp.zeros_like(b)
@@ -46,7 +50,13 @@ def cg(matvec, b, x0=None, M=None, maxiter=500, tol=1e-10):
         p = z + beta * p
         return (x, r, z, p, rz_new, k + 1)
 
-    x, r, z, p, rz, k = lax.while_loop(cond, body, (x0, r0, z0, p0, rz0, 0))
+    state0 = (x0, r0, z0, p0, rz0, 0)
+    if tol == 0:
+        x, r, z, p, rz, k = lax.fori_loop(
+            0, maxiter, lambda _, s: body(s), state0,
+            unroll=min(unroll, maxiter))
+    else:
+        x, r, z, p, rz, k = lax.while_loop(cond, body, state0)
     return x, k, jnp.sqrt(jnp.vdot(r, r))
 
 
