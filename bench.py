@@ -26,7 +26,8 @@ MEASUREMENT REGIMES (tunneled runtime, see docs/PERFORMANCE.md):
    identical program, jax .cost_analysis()), divided by the amortized time:
    mfu_estimate = flops/t_amortized / 197e12 (TPU v5e bf16 peak);
    hbm_roofline_fraction = (bytes/819e9) / t_amortized (1.0 = the program
-   runs exactly at v5e HBM speed of light).
+   runs exactly at v5e HBM speed of light).  The cost model comes from the
+   same backend/compiler as the timed executable.
 
 The MG-preconditioned CONVERGED solve (rel. residual <= 1e-8, asserted)
 uses the functional cut multigrid (solvers/mg.py FunctionalELLMG) over the
@@ -195,17 +196,13 @@ def bench_mg_solve(dtype, nx, reps):
     cols_f = jnp.asarray(stf["ell_cols"])
     TOL = 1e-8
 
-    # coarse factorization on the host in f64 (the f32/TPU-default-precision
-    # in-jit Cholesky of the ill-conditioned coarse Nitsche block produces a
-    # garbage preconditioner: CG diverged at nx=48 on-chip); the V-cycle's
-    # dense triangular solves must run at HIGHEST matmul precision — TPU
-    # default lowers f32 matmuls through bf16 passes.  NOTE: the precision
-    # setting must be active at TRACE time (first call), hence the config
-    # update rather than a context manager around the jit definition.
+    # coarse factorization on the host in f64 and applied as an explicit
+    # inverse at Precision.HIGHEST (solvers/mg.py prepare_host); the library
+    # globally pins f32 matmul precision to "highest" (ngsxfem_tpu/config.py)
+    # after bf16-pass contamination of on-chip f32 assembly was measured.
     t0p = time.perf_counter()
     pp = mg.prepare_host(params)
     t_prep = time.perf_counter() - t0p
-    jax.config.update("jax_default_matmul_precision", "highest")
 
     @jax.jit
     def mg_solve(pp, vf, b):
@@ -222,11 +219,8 @@ def bench_mg_solve(dtype, nx, reps):
         return cg(mv, b, M=lambda r: dinv * r, maxiter=3000, tol=TOL)
 
     bn = float(jnp.linalg.norm(b))
-    try:
-        t_mg, (x_mg, k_mg, res_mg) = _time(mg_solve, pp, vf, b, reps=reps)
-        t_j, (x_j, k_j, res_j) = _time(jac_solve, vf, b, reps=reps)
-    finally:
-        jax.config.update("jax_default_matmul_precision", None)
+    t_mg, (x_mg, k_mg, res_mg) = _time(mg_solve, pp, vf, b, reps=reps)
+    t_j, (x_j, k_j, res_j) = _time(jac_solve, vf, b, reps=reps)
     # the bench asserts the tolerance (converged solves, not fixed budgets)
     assert float(res_mg) <= TOL * bn * 1.5, (float(res_mg), bn)
     assert float(res_j) <= TOL * bn * 1.5, (float(res_j), bn)
@@ -291,8 +285,10 @@ def main():
 
     if os.environ.get("BENCH_INNER_CPUPIPE") == "1":
         # same XLA programs on the host CPU: a MEASURED hardware comparison
-        # point next to the (unmeasurable, estimated) NGSolve baseline
-        jax.config.update("jax_platforms", "cpu")
+        # point next to the (unmeasurable, estimated) NGSolve baseline.
+        # JAX_PLATFORMS=cpu is set by the spawning process (an in-process
+        # platform switch cannot displace a registered TPU plugin).
+        assert jax.devices()[0].platform == "cpu", "cpu inner not on cpu"
         r = bench_pipeline(jnp.float32, nx, 2, scan=False)
         print(json.dumps({
             "cpu_pipe_elts_per_sec": r["pipe_elts_per_sec"],
@@ -301,8 +297,8 @@ def main():
         return
 
     if os.environ.get("BENCH_INNER_COST") == "1":
-        # XLA cost model of the EXACT pipeline program (CPU backend twin)
-        jax.config.update("jax_platforms", "cpu")
+        # XLA cost model of the EXACT pipeline program, from the same
+        # backend/compiler the timed run used (TPU executable when available)
         (model, cap, struct, sd, K, assemble_fn, solve_fn, pipeline_fn,
          pipeline_k_fn, b) = _build(jnp.float32, nx)
         out = {}
@@ -329,9 +325,9 @@ def main():
         except Exception as e:
             mg = {"error": f"{type(e).__name__}: {e}"[:300]}
 
-    def _sub(env_key, timeout):
+    def _sub(env_key, timeout, extra_env=None):
         try:
-            env = dict(os.environ, **{env_key: "1"})
+            env = dict(os.environ, **{env_key: "1"}, **(extra_env or {}))
             out = subprocess.run(
                 [sys.executable, os.path.abspath(__file__)], env=env,
                 capture_output=True, text=True, timeout=timeout)
@@ -339,11 +335,16 @@ def main():
         except Exception:
             return None
 
+    # CPU-backend inners: the platform MUST be pinned via the environment
+    # BEFORE the subprocess imports jax — an in-process
+    # jax.config.update("jax_platforms") does not displace an
+    # already-registered TPU plugin
+    _cpu_env = {"JAX_PLATFORMS": "cpu"}
     f64 = _sub("BENCH_INNER_F64", 2400) \
         if os.environ.get("BENCH_F64", "1") != "0" else None
     cost = _sub("BENCH_INNER_COST", 2400) \
         if os.environ.get("BENCH_COST", "1") != "0" else None
-    cpu = _sub("BENCH_INNER_CPUPIPE", 2400) \
+    cpu = _sub("BENCH_INNER_CPUPIPE", 2400, _cpu_env) \
         if os.environ.get("BENCH_CPU", "1") != "0" else None
 
     # MFU / roofline from the amortized in-program time (regime 2+3 above)

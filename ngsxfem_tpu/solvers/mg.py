@@ -399,11 +399,14 @@ class FunctionalELLMG:
         return out
 
     def prepare_host(self, params):
-        """Host variant of ``prepare``: the coarse factorization runs in
-        NUMPY f64 regardless of the device dtype (the coarse cut system's
-        condition ~ lam/h * h^-2 overwhelms an f32 Cholesky), then the
-        factor is stored back at device precision.  One D2H of the coarse
-        level per assembled matrix."""
+        """Host variant of ``prepare``: the coarse system is solved in NUMPY
+        f64 for its EXPLICIT inverse (the coarse cut system's condition
+        ~ lam/h * h^-2 overwhelms an f32 factorization, and the TPU's
+        TriangularSolve runs at reduced internal precision regardless of the
+        jax matmul-precision setting), stored at device precision; the
+        per-cycle coarse solve is then a single dense matvec executed at
+        Precision.HIGHEST — numerically controlled on every backend.  One
+        D2H of the coarse level per assembled matrix."""
         cols0 = np.asarray(params["cols"][0])
         vals0 = np.asarray(params["vals"][0], dtype=np.float64)
         n0 = cols0.shape[0]
@@ -411,21 +414,16 @@ class FunctionalELLMG:
         np.add.at(A0, (np.repeat(np.arange(n0), cols0.shape[1]),
                        cols0.reshape(-1)), vals0.reshape(-1))
         A0 = 0.5 * (A0 + A0.T)
-        try:
-            L = np.linalg.cholesky(A0)
-        except np.linalg.LinAlgError:
-            import scipy.linalg as sla
+        import scipy.linalg as sla
 
-            lu, piv = sla.lu_factor(A0)
-            out = dict(params)
-            out["lu0"] = (jnp.asarray(lu, dtype=params["vals"][0].dtype),
-                          jnp.asarray(piv))
-            out["chol0"] = None
-            out["dinv"] = [self._dinv(params, l)
-                           for l in range(self.nlevels)]
-            return out
+        try:
+            cf = sla.cho_factor(A0)
+            Ainv = sla.cho_solve(cf, np.eye(n0))
+        except np.linalg.LinAlgError:
+            Ainv = sla.lu_solve(sla.lu_factor(A0), np.eye(n0))
         out = dict(params)
-        out["chol0"] = jnp.asarray(L, dtype=params["vals"][0].dtype)
+        out["ainv0"] = jnp.asarray(Ainv, dtype=params["vals"][0].dtype)
+        out["chol0"] = None
         out["dinv"] = [self._dinv(params, l) for l in range(self.nlevels)]
         return out
 
@@ -477,10 +475,11 @@ class FunctionalELLMG:
 
     def _cycle(self, params, l, b):
         if l == 0:
-            if params.get("chol0") is None and "lu0" in params:
-                from jax.scipy.linalg import lu_solve
+            if params.get("ainv0") is not None:
+                import jax as _jax
 
-                return lu_solve(params["lu0"], b)
+                return jnp.matmul(params["ainv0"], b,
+                                  precision=_jax.lax.Precision.HIGHEST)
             from jax.scipy.linalg import cho_solve
 
             return cho_solve((params["chol0"], True), b)
