@@ -62,15 +62,20 @@ if os.environ.get("NGSXFEM_TPU_COMPCACHE", "1") != "0":
     except Exception:  # pragma: no cover - older jax versions
         pass
 
-# f32 einsums/dots must run at FULL f32 precision: the TPU MXU default
-# routes them through bf16 passes, which was measured to perturb assembled
-# element matrices by ~3e-3 relative — fatal for deep CG/MG convergence
-# (docs/PERFORMANCE.md).  The pipeline is HBM-bound, so the extra MXU
-# passes are free; CPU/GPU backends ignore the setting.
-try:
-    jax.config.update("jax_default_matmul_precision", "highest")
-except Exception:  # pragma: no cover - older jax versions
-    pass
+# TPU f32 matmul precision: the MXU default routes f32 einsums through bf16
+# passes, measured to perturb assembled element matrices by ~3e-3 relative
+# (docs/PERFORMANCE.md).  The numerically FATAL part — loss of element-matrix
+# symmetry, which stalls CG/MG — is fixed structurally (kernels symmetrize,
+# models/poisson.py), so the default stays "fastest"; set
+# NGSXFEM_TPU_MATMUL_PRECISION=highest for CPU-equivalent f32 entries
+# (costs HBM: "highest" changes fusion and materializes the padded einsum
+# operands — nx=48 assembly then exceeds HBM unless block-streamed).
+_prec = os.environ.get("NGSXFEM_TPU_MATMUL_PRECISION", "")
+if _prec:
+    try:
+        jax.config.update("jax_default_matmul_precision", _prec)
+    except Exception:  # pragma: no cover - older jax versions
+        pass
 
 import jax.numpy as jnp  # noqa: E402  (after x64 flag)
 import numpy as np  # noqa: E402

@@ -67,10 +67,14 @@ def cut_poisson_elmats(et: str, order: int, coords, vals, lam_nitsche=20.0,
     # mesh size from element volume
     h = jnp.abs(detJ[:, :1]) ** (1.0 / d)  # (E,1)
     lam = lam_nitsche * order * order / jnp.maximum(h[:, 0], 1e-30)  # (E,)
-    A = A - hi(jnp.einsum("eq,eqi,eqj->eij", lo(Wi), lo(dn), lo(B)))
-    A = A - hi(jnp.einsum("eq,eqi,eqj->eij", lo(Wi), lo(B), lo(dn)))
+    # symmetric-by-construction: the Nitsche cross term is computed ONCE and
+    # transposed, and the whole matrix is symmetrized — on TPU the default
+    # (bf16-pass) einsum precision otherwise breaks A = A^T at ~3e-3, which
+    # stalls CG/MG (docs/PERFORMANCE.md "f32 numerical integrity")
+    C = hi(jnp.einsum("eq,eqi,eqj->eij", lo(Wi), lo(dn), lo(B)))
+    A = A - C - jnp.swapaxes(C, 1, 2)
     A = A + hi(jnp.einsum("e,eq,eqi,eqj->eij", lo(lam), lo(Wi), lo(B), lo(B)))
-    return A
+    return 0.5 * (A + jnp.swapaxes(A, 1, 2))
 
 
 def cut_poisson_rhs_elvecs(et: str, order: int, coords, vals, f_fn):
@@ -127,6 +131,7 @@ def ghost_penalty_elmats(et: str, order: int, coords1, coords2, gamma=0.1,
     scale = gamma / jnp.maximum(h[:, 0] ** 2, 1e-30)
     lo = (lambda a: a.astype(jnp.float32)) if mixed else (lambda a: a)
     out = jnp.einsum("f,fq,fqi,fqj->fij", lo(scale), lo(w), lo(Bj), lo(Bj))
+    out = 0.5 * (out + jnp.swapaxes(out, 1, 2))  # exact symmetry
     return out.astype(coords1.dtype) if mixed else out
 
 
@@ -282,6 +287,7 @@ class UnfittedPoisson:
             Gp = jnp.einsum("eqid,eqdg->eqig", G, Jinv)
             W = rw[None, :] * jnp.abs(detJ) * w_b[:, None]
             out = jnp.einsum("eq,eqig,eqjg->eij", lo(W), lo(Gp), lo(Gp))
+            out = 0.5 * (out + jnp.swapaxes(out, 1, 2))  # exact symmetry
             return out.astype(vertices.dtype) if mixed else out
 
         w_std = neg_uncut.astype(vertices.dtype)
