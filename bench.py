@@ -221,17 +221,23 @@ def bench_mg_solve(dtype, nx, reps):
     bn = float(jnp.linalg.norm(b))
     t_mg, (x_mg, k_mg, res_mg) = _time(mg_solve, pp, vf, b, reps=reps)
     t_j, (x_j, k_j, res_j) = _time(jac_solve, vf, b, reps=reps)
-    # the bench asserts the tolerance (converged solves, not fixed budgets)
+    # the bench ASSERTS the tolerance for the MG solve (a converged solve,
+    # not a fixed budget); Jacobi-CG is the comparison point and is reported
+    # with whatever it achieved within its 3000-iteration cap
     assert float(res_mg) <= TOL * bn * 1.5, (float(res_mg), bn)
-    assert float(res_j) <= TOL * bn * 1.5, (float(res_j), bn)
-    assert float(jnp.linalg.norm(x_mg - x_j)) < 1e-4 * float(
-        jnp.linalg.norm(x_j))
+    jac_converged = float(res_j) <= TOL * bn * 1.5
+    if jac_converged:
+        assert float(jnp.linalg.norm(x_mg - x_j)) < 1e-4 * float(
+            jnp.linalg.norm(x_j))
     return {
         "mg_solve_seconds": t_mg,
         "mg_prepare_seconds": t_prep,
         "mg_iters": int(k_mg),
+        "mg_rel_res": float(res_mg) / bn,
         "jacobi_solve_seconds": t_j,
         "jacobi_iters": int(k_j),
+        "jacobi_rel_res": float(res_j) / bn,
+        "jacobi_converged": jac_converged,
         "solve_tol": TOL,
     }
 

@@ -618,8 +618,10 @@ class UnfittedPoisson:
                 return jnp.concatenate([yi, ys])
 
             def dots(a, b):
-                return (jax.lax.psum(jnp.vdot(a[:Ni], b[:Ni]), "e")
-                        + jnp.vdot(a[Ni:], b[Ni:]))
+                hp = jax.lax.Precision.HIGHEST  # TPU default dot is bf16
+                return (jax.lax.psum(jnp.vdot(a[:Ni], b[:Ni], precision=hp),
+                                     "e")
+                        + jnp.vdot(a[Ni:], b[Ni:], precision=hp))
 
             b = jnp.concatenate([bi, bsh])
             x = jnp.zeros_like(b)

@@ -12,6 +12,13 @@ import jax.numpy as jnp
 from jax import lax
 
 
+def _vdot(a, b):
+    """Krylov inner product at FULL precision: on TPU a default-precision
+    f32 dot runs through bf16 passes, which poisons alpha/beta and stalls
+    CG far above tolerance (docs/PERFORMANCE.md f32-integrity notes)."""
+    return jnp.vdot(a, b, precision=lax.Precision.HIGHEST)
+
+
 def cg(matvec, b, x0=None, M=None, maxiter=500, tol=1e-10, unroll=1):
     """Preconditioned conjugate gradients; returns (x, iters, res_norm).
 
@@ -29,23 +36,23 @@ def cg(matvec, b, x0=None, M=None, maxiter=500, tol=1e-10, unroll=1):
     r0 = b - matvec(x0)
     z0 = M(r0)
     p0 = z0
-    rz0 = jnp.vdot(r0, z0)
-    bnorm = jnp.sqrt(jnp.vdot(b, b))
+    rz0 = _vdot(r0, z0)
+    bnorm = jnp.sqrt(_vdot(b, b))
     atol2 = (tol * jnp.maximum(bnorm, 1e-30)) ** 2
 
     def cond(state):
         x, r, z, p, rz, k = state
-        return (jnp.vdot(r, r) > atol2) & (k < maxiter)
+        return (_vdot(r, r) > atol2) & (k < maxiter)
 
     def body(state):
         x, r, z, p, rz, k = state
         Ap = matvec(p)
-        denom = jnp.vdot(p, Ap)
+        denom = _vdot(p, Ap)
         alpha = rz / jnp.where(denom == 0, 1.0, denom)
         x = x + alpha * p
         r = r - alpha * Ap
         z = M(r)
-        rz_new = jnp.vdot(r, z)
+        rz_new = _vdot(r, z)
         beta = rz_new / jnp.where(rz == 0, 1.0, rz)
         p = z + beta * p
         return (x, r, z, p, rz_new, k + 1)
@@ -57,7 +64,7 @@ def cg(matvec, b, x0=None, M=None, maxiter=500, tol=1e-10, unroll=1):
             unroll=min(unroll, maxiter))
     else:
         x, r, z, p, rz, k = lax.while_loop(cond, body, state0)
-    return x, k, jnp.sqrt(jnp.vdot(r, r))
+    return x, k, jnp.sqrt(_vdot(r, r))
 
 
 def jacobi_preconditioner(diag, free_mask=None):

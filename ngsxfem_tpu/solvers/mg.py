@@ -438,6 +438,9 @@ class FunctionalELLMG:
                                  bvals, 0.0), axis=1)
         dinv = jnp.where(jnp.abs(diag) > 1e-30, 1.0 / diag, 1.0)
         r = (b - self._mv(params, l, x))[idx]
+        import jax as _jax
+
+        _vd = lambda a, c: jnp.vdot(a, c, precision=_jax.lax.Precision.HIGHEST)
 
         def mv(z):
             return jnp.sum(bvals * z[bcols], axis=1)
@@ -447,17 +450,17 @@ class FunctionalELLMG:
         rr = r - mv(z)
         q = dinv * rr
         p = q
-        rz = jnp.vdot(rr, q)
+        rz = _vd(rr, q)
 
         def body(_, st):
             z, rr, p, rz = st
             Ap = mv(p)
-            denom = jnp.vdot(p, Ap)
+            denom = _vd(p, Ap)
             alpha = rz / jnp.where(denom == 0, 1.0, denom)
             z = z + alpha * p
             rr = rr - alpha * Ap
             q = dinv * rr
-            rz2 = jnp.vdot(rr, q)
+            rz2 = _vd(rr, q)
             p = q + (rz2 / jnp.where(rz == 0, 1.0, rz)) * p
             return z, rr, p, rz2
 
