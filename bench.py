@@ -161,10 +161,19 @@ def bench_pipeline(dtype, nx, reps, block=None, scan=True, mixed=False):
 
 
 def bench_mg_solve(dtype, nx, reps):
-    """Converged solves at nx (rel res <= 1e-8): MG-CG vs Jacobi-CG."""
+    """Converged solves at nx (rel res <= 1e-8): MG-CG vs Jacobi-CG.
+
+    Every program here traces at HIGHEST matmul precision: the TPU-default
+    bf16 einsum passes leave ~3e-3 noise in the level matrices, which
+    degrades the geometric-MG contraction rate from ~0.2 to ~0.8 (the
+    levels become mutually inconsistent).  The level assembly is
+    block-streamed because full-f32 precision materializes the padded
+    einsum operands (docs/PERFORMANCE.md "f32 numerical integrity")."""
     from ngsxfem_tpu.models.poisson import UnfittedPoisson
     from ngsxfem_tpu.solvers.mg import FunctionalELLMG, prolongation_coo_np
     from ngsxfem_tpu.solvers.krylov import cg
+
+    jax.config.update("jax_default_matmul_precision", "highest")
 
     def level(nxl):
         m = UnfittedPoisson(nx=nxl, dim=3, order=1, dtype=dtype)
@@ -175,7 +184,8 @@ def bench_mg_solve(dtype, nx, reps):
         sd = {k: jnp.asarray(v) for k, v in st.items() if k != "K"}
         vals, _ = jax.jit(
             lambda v, l, s: m.assemble_ell_vals(v, l, ncut + 8,
-                                                dict(s, K=st["K"]))
+                                                dict(s, K=st["K"]),
+                                                block=16384)
         )(m.vertices, m.lset, sd)
         ifm = np.zeros(m.ndof, bool)
         ifm[m.space.el2dof_np[cut].ravel()] = True
@@ -219,8 +229,11 @@ def bench_mg_solve(dtype, nx, reps):
         return cg(mv, b, M=lambda r: dinv * r, maxiter=1500, tol=TOL)
 
     bn = float(jnp.linalg.norm(b))
-    t_mg, (x_mg, k_mg, res_mg) = _time(mg_solve, pp, vf, b, reps=reps)
-    t_j, (x_j, k_j, res_j) = _time(jac_solve, vf, b, reps=reps)
+    try:
+        t_mg, (x_mg, k_mg, res_mg) = _time(mg_solve, pp, vf, b, reps=reps)
+        t_j, (x_j, k_j, res_j) = _time(jac_solve, vf, b, reps=reps)
+    finally:
+        jax.config.update("jax_default_matmul_precision", None)
     # the bench ASSERTS the tolerance for the MG solve (a converged solve,
     # not a fixed budget); Jacobi-CG is the comparison point and is reported
     # with whatever it achieved within its 3000-iteration cap
