@@ -240,7 +240,8 @@ def bench_mg_solve(dtype, nx, reps):
     assert float(res_mg) <= TOL * bn * 1.5, (float(res_mg), bn)
     jac_converged = float(res_j) <= TOL * bn * 1.5
     if jac_converged:
-        assert float(jnp.linalg.norm(x_mg - x_j)) < 1e-4 * float(
+        # solution agreement bounded by cond(A)*tol ~ 1e5 * 1e-8
+        assert float(jnp.linalg.norm(x_mg - x_j)) < 1e-2 * float(
             jnp.linalg.norm(x_j))
     return {
         "mg_solve_seconds": t_mg,

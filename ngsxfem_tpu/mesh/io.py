@@ -149,8 +149,7 @@ def ReadGmsh(path):
             bc_map[key] = tag if tag > 0 else 1
     return MeshFromArrays(cell_et, vertices, elements,
                           bc_of_facet=bc_map or None,
-                          bc_names={v: k for k, v in phys_names.items()}
-                          and phys_names)
+                          bc_names=phys_names or None)
 
 
 def WriteGmsh(mesh: Mesh, path):
