@@ -372,11 +372,13 @@ def main():
     # jax.config.update("jax_platforms") does not displace an
     # already-registered TPU plugin
     _cpu_env = {"JAX_PLATFORMS": "cpu"}
+    # cost first (cheap + compile-cached: feeds the MFU/roofline estimate),
+    # then the expensive f64, then the CPU comparison point
+    cost = _sub("BENCH_INNER_COST", max(300, budget_left())) \
+        if os.environ.get("BENCH_COST", "1") != "0" else None
     f64 = (_sub("BENCH_INNER_F64", max(300, budget_left()))
            if os.environ.get("BENCH_F64", "1") != "0"
            and budget_left() > 600 else None)
-    cost = _sub("BENCH_INNER_COST", max(300, budget_left())) \
-        if os.environ.get("BENCH_COST", "1") != "0" else None
     cpu = (_sub("BENCH_INNER_CPUPIPE", max(300, budget_left()), _cpu_env)
            if os.environ.get("BENCH_CPU", "1") != "0"
            and budget_left() > 300 else None)
