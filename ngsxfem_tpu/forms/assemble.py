@@ -113,6 +113,17 @@ def _ensure_p1_ld(integral: Integral, mesh):
     from ..integrate import ensure_p1_levelset
 
     ld = integral.levelset_domain
+    if ld["subdivlvl"] > 0:
+        # subdivision path: the level set stays a genuine CF (legacy-engine
+        # semantics, cutint/xintegration.cpp:698+); only volume integrals
+        # support it
+        if (integral.element_boundary or integral.skeleton
+                or integral.facet_patch or integral.vb == BND):
+            raise NotImplementedError(
+                "subdivlvl>0 is only supported for volume cut integrals; "
+                "facet/boundary integrators use the straight-cut rule "
+                "(as the reference does)")
+        return
     orig = ld.get("_orig_levelset", ld["levelset"])
     p1 = ensure_p1_levelset(orig, mesh, cache_on=integral)
     if p1 is not orig:
@@ -164,6 +175,7 @@ def _volume_ctx(integral: Integral, mesh, order, dyn=None):
             time_order=integral.time_order,
             quad_dir_policy=ld["quad_dir_policy"],
             deformation=deform,
+            subdivlvl=ld["subdivlvl"],
         )
     else:
         o = order if integral.force_intorder < 0 else integral.force_intorder
@@ -220,6 +232,7 @@ def _two_tier_applicable(integral: Integral, mesh):
 
     return (config.two_tier_assembly
             and integral.levelset_domain is not None
+            and integral.levelset_domain["subdivlvl"] == 0
             and integral.time_order < 0
             and not isinstance(integral.levelset_domain["levelset"].space,
                                SpaceTimeFESpace))
@@ -854,17 +867,35 @@ def _assembly_signature(space, mesh, integrals, kind):
                            lambda i=integral: jnp.asarray(i.definedonelements))
                 p.append(("mask",))
         if integral.levelset_domain is not None:
-            lgf = integral.levelset_domain["levelset"]
-            slots.slot(lgf, "vec", lambda g=lgf: g._arr)
-            register_space(lgf.space, slots)
-            p.append(
-                (
-                    "cut",
-                    int(integral.levelset_domain["domain_type"]),
-                    obj_uid(lgf.space),
-                    integral.levelset_domain["force_intorder"],
+            if integral.levelset_domain["subdivlvl"] > 0:
+                # CF level set under the subdivision path: key by the CF's
+                # structural signature (GF dofs / Parameters become dynamic
+                # slots, so a moving interface never recompiles)
+                from ..cf.coefficient import wrap as _wrap
+
+                p.append(
+                    (
+                        "subdiv",
+                        int(integral.levelset_domain["domain_type"]),
+                        integral.levelset_domain["subdivlvl"],
+                        cf_signature(
+                            _wrap(integral.levelset_domain["levelset"]),
+                            slots),
+                        integral.levelset_domain["force_intorder"],
+                    )
                 )
-            )
+            else:
+                lgf = integral.levelset_domain["levelset"]
+                slots.slot(lgf, "vec", lambda g=lgf: g._arr)
+                register_space(lgf.space, slots)
+                p.append(
+                    (
+                        "cut",
+                        int(integral.levelset_domain["domain_type"]),
+                        obj_uid(lgf.space),
+                        integral.levelset_domain["force_intorder"],
+                    )
+                )
             if (_two_tier_applicable(integral, mesh)
                     and not (integral.facet_patch or integral.skeleton
                              or integral.element_boundary

@@ -127,12 +127,58 @@ def normalize_levelset_domain(levelset_domain: dict):
             f"unknown quad_dir_policy {ld['quad_dir_policy']!r}; "
             "expected FIRST, OPTIMAL or FALLBACK"
         )
-    if ld["subdivlvl"] != 0:
-        raise NotImplementedError(
-            "subdivlvl>0 (legacy adaptive quadrature) is not supported; "
-            "interpolate the level set to P1 instead"
-        )
+    lvl = int(ld["subdivlvl"])
+    if lvl < 0:
+        raise ValueError("subdivlvl must be >= 0")
+    ld["subdivlvl"] = lvl
     return ld
+
+
+def _subdiv_ctx_and_weights(mesh, levelset, domain_type, order, lvl,
+                            dyn=None, deformation="inherit"):
+    """(ctx, physical weights, validity mask) via the uniform-subdivision
+    quadrature path — the TPU-native replacement for the reference's legacy
+    adaptive engine (``subdivlvl>0``/CoefficientFunction level sets,
+    cutint/xintegration.cpp:698+).
+
+    The level set stays a genuine CF: it is evaluated at the (deduplicated)
+    dyadic subdivision lattice of every element and the batched straight-cut
+    kernel runs on each sub-simplex (ops/subdivide.py).
+    """
+    from .ops.subdivide import subdivision_tables
+    from .ops.straightcut import cut_rule_simplices, eps_guard, CutRule
+
+    dt = DOMAIN_TYPE(int(domain_type))
+    d = mesh.dim
+    lattice, subs = subdivision_tables(mesh.et, lvl)
+    E = mesh.ne
+    latj = jnp.asarray(lattice, dtype=config.dtype)
+    ctxL = EvalCtx(mesh, jnp.broadcast_to(latj[None], (E,) + lattice.shape),
+                   dyn=dyn, deformation=deformation)
+    vals = jnp.broadcast_to(eval_pure(wrap(levelset), ctxL),
+                            (E, lattice.shape[0]))
+    vals = eps_guard(vals)
+
+    nsub = subs.shape[0]
+    coords = jnp.asarray(lattice[subs], dtype=config.dtype)  # (nsub, d+1, d)
+    coords_b = jnp.broadcast_to(coords[None], (E, nsub, d + 1, d)).reshape(
+        E * nsub, d + 1, d)
+    svals = vals[:, jnp.asarray(subs)].reshape(E * nsub, d + 1)
+    r = cut_rule_simplices(coords_b, svals, d, order)
+    merge = lambda a: a.reshape(E, nsub * a.shape[1], *a.shape[2:])
+    rule = CutRule(*(merge(a) for a in r))
+
+    if dt == IF:
+        ctx = EvalCtx(mesh, rule.pts_if, nref=rule.nref, dyn=dyn,
+                      deformation=deformation)
+        w_ref = rule.w_if
+        w_phys = w_ref * jnp.abs(ctx.detJ) * ctx.if_scale
+    else:
+        ctx = EvalCtx(mesh, rule.pts, dyn=dyn, deformation=deformation)
+        sidesel = (rule.side == int(dt)).astype(rule.w.dtype)
+        w_ref = rule.w * sidesel
+        w_phys = w_ref * jnp.abs(ctx.detJ)
+    return ctx, w_phys, w_ref > 0
 
 
 def lset_st_vertex_values(lset_gf, dyn=None):
@@ -201,9 +247,16 @@ def _two_tier_integrate(mesh, cf, lgf, dt, order, cap, policy, ew, dyn):
 
 def _cut_ctx_and_weights(mesh, lset_gf, domain_type, order, dyn=None,
                          time_order=-1, quad_dir_policy="OPTIMAL",
-                         deformation="inherit"):
+                         deformation="inherit", subdivlvl=0):
     """Build (ctx, physical weights, validity mask) for a cut domain."""
     dt = DOMAIN_TYPE(int(domain_type))
+    if subdivlvl > 0:
+        if time_order >= 0:
+            raise NotImplementedError(
+                "subdivlvl>0 combined with space-time integrals is not "
+                "supported; use the P1 space-time level set path")
+        return _subdiv_ctx_and_weights(mesh, lset_gf, dt, order, subdivlvl,
+                                       dyn=dyn, deformation=deformation)
     if time_order >= 0:
         from .ops.spacetimecut import spacetime_cut_rule
         from .spacetime.space import SpaceTimeFESpace
@@ -272,25 +325,33 @@ def Integrate(levelset_domain=None, cf=None, mesh=None, order=5,
             dom_key = ("vol", int(order))
         else:
             ld = normalize_levelset_domain(levelset_domain)
-            ld["levelset"] = ensure_p1_levelset(ld["levelset"], mesh,
-                                                cache_on=ld.get("_cache_obj"))
-            o = order if ld["force_intorder"] < 0 else ld["force_intorder"]
             if "time_order" in ld:
                 time_order = ld["time_order"]
-            lgf = ld["levelset"]
-            slots.slot(lgf, "vec", lambda g=lgf: g._arr)
-            from .jitcache import obj_uid, register_space
-
-            register_space(lgf.space, slots)
-            dom_key = ("cut", int(ld["domain_type"]), int(o), obj_uid(lgf.space),
-                       int(time_order), ld["quad_dir_policy"])
+            o = order if ld["force_intorder"] < 0 else ld["force_intorder"]
             cut_cap = None
-            if time_order < 0 and config.two_tier_assembly and isinstance(
-                    lgf.space, H1) and lgf.space.order == 1:
-                from .forms.assemble import _cut_capacity
+            if ld["subdivlvl"] > 0:
+                # subdivision path: the level set stays a genuine CF
+                # (reference legacy-engine semantics, xintegration.cpp:698+)
+                dom_key = ("subdiv", int(ld["domain_type"]), int(o),
+                           ld["subdivlvl"], int(time_order),
+                           cf_signature(wrap(ld["levelset"]), slots))
+            else:
+                ld["levelset"] = ensure_p1_levelset(
+                    ld["levelset"], mesh, cache_on=ld.get("_cache_obj"))
+                lgf = ld["levelset"]
+                slots.slot(lgf, "vec", lambda g=lgf: g._arr)
+                from .jitcache import obj_uid, register_space
 
-                cut_cap = _cut_capacity(lgf)
-                dom_key = dom_key + ("cap", cut_cap)
+                register_space(lgf.space, slots)
+                dom_key = ("cut", int(ld["domain_type"]), int(o),
+                           obj_uid(lgf.space), int(time_order),
+                           ld["quad_dir_policy"])
+                if time_order < 0 and config.two_tier_assembly and isinstance(
+                        lgf.space, H1) and lgf.space.order == 1:
+                    from .forms.assemble import _cut_capacity
+
+                    cut_cap = _cut_capacity(lgf)
+                    dom_key = dom_key + ("cap", cut_cap)
         sig = (mesh_signature(mesh), cf_signature(cf, slots), dom_key,
                bool(element_wise))
         fn = _INT_CACHE.get(sig)
@@ -323,6 +384,7 @@ def Integrate(levelset_domain=None, cf=None, mesh=None, order=5,
                         mesh_c, ld_c["levelset"], ld_c["domain_type"], oo, dyn=dyn,
                         time_order=time_order,
                         quad_dir_policy=ld_c["quad_dir_policy"],
+                        subdivlvl=ld_c["subdivlvl"],
                     )
                 f = eval_pure(cf_c, ctx)
                 f = jnp.broadcast_to(f, w_phys.shape)
