@@ -130,8 +130,10 @@ class Mesh:
         """Refine marked elements in place (uniform if no marks and none
         stored via RefineAtLevelSet/MarkForRefinement).  Trig meshes:
         longest-edge red/green/blue subdivision; tet meshes: Rivara
-        longest-edge bisection — both with conformity closure
-        (mesh/refine.py); spaces/GridFunctions must be rebuilt afterwards."""
+        longest-edge bisection — both with conformity closure; quad/hex
+        meshes: uniform 1->4 / 1->8 tensor refinement (adaptive would hang
+        nodes — netgen's restriction too) (mesh/refine.py);
+        spaces/GridFunctions must be rebuilt afterwards."""
         from .refine import refine_mesh
 
         if marks is None:

@@ -225,6 +225,89 @@ def _tet_bc_assign(mesh, face_list, vfaces):
     return bc
 
 
+def uniform_refine_tensor(vertices: np.ndarray, elements: np.ndarray,
+                          et: str):
+    """Uniform 1->4 (quad) / 1->8 (hex) refinement of a tensor-product mesh.
+
+    The netgen-analog of ``mesh.Refine()`` on quad/hex meshes (the reference
+    relies on netgen's uniform refinement there; adaptive tensor refinement
+    would create hanging nodes and is not offered — matching netgen).
+
+    New vertices are identified **topologically** (key = sorted tuple of the
+    parent vertex ids they average: edge pair, face quad, or cell), so shared
+    midpoints between neighboring elements dedup exactly regardless of
+    floating-point summation order.  For the (multi)linear geometry map the
+    averaged coordinates coincide with the map evaluated at the dyadic
+    lattice, so the refined mesh is geometrically conforming.
+
+    Returns (vertices, elements, vkey): `vkey[new_vid] = sorted parent-id
+    tuple` for every newly created vertex (used for bc inheritance).
+    """
+    V = np.asarray(vertices, dtype=np.float64)
+    E = np.asarray(elements, dtype=np.int64)
+    d = 2 if et == "quad" else 3
+    # REF_VERTS-consistent corner ordering as (x,y[,z]) offsets
+    if et == "quad":
+        corner_off = [(0, 0), (1, 0), (1, 1), (0, 1)]
+    else:
+        corner_off = [(0, 0, 0), (1, 0, 0), (1, 1, 0), (0, 1, 0),
+                      (0, 0, 1), (1, 0, 1), (1, 1, 1), (0, 1, 1)]
+
+    verts = [v for v in V]
+    key2id: dict[tuple, int] = {}
+    vkey: dict[int, tuple] = {}
+
+    def lattice_vid(el, pt):
+        """Vertex id of lattice point pt in {0,1,2}^d of element el."""
+        support = []
+        for ci, off in enumerate(corner_off):
+            ok = all(
+                (p == 1) or (p == 0 and o == 0) or (p == 2 and o == 1)
+                for p, o in zip(pt, off)
+            )
+            if ok:
+                support.append(int(E[el, ci]))
+        if len(support) == 1:
+            return support[0]
+        key = tuple(sorted(support))
+        vid = key2id.get(key)
+        if vid is None:
+            vid = len(verts)
+            key2id[key] = vid
+            verts.append(V[np.array(key)].mean(axis=0))
+            vkey[vid] = key
+        return vid
+
+    children = []
+    cells = ([(i, j) for j in (0, 1) for i in (0, 1)] if d == 2 else
+             [(i, j, k) for k in (0, 1) for j in (0, 1) for i in (0, 1)])
+    for el in range(E.shape[0]):
+        for cell in cells:
+            child = [
+                lattice_vid(el, tuple(c + o for c, o in zip(cell, off)))
+                for off in corner_off
+            ]
+            children.append(child)
+    return (np.asarray(verts, dtype=np.float64),
+            np.asarray(children, dtype=np.int64), vkey)
+
+
+def _tensor_bc_assign(mesh, vkey, bc_facets):
+    """Inherit bc ids onto child boundary facets of a refined quad/hex mesh.
+
+    A child boundary facet consists of parent-level vertices and averaged
+    vertices; replacing each averaged vertex by its parent-id key and taking
+    the union reproduces the parent facet's vertex set exactly."""
+    bc = np.zeros(mesh.nfacets, dtype=np.int32)
+    for fi in mesh.boundary_facets_np:
+        parents = set()
+        for v in mesh.facets_np[fi]:
+            v = int(v)
+            parents.update(vkey.get(v, (v,)))
+        bc[fi] = bc_facets.get(tuple(sorted(parents)), 1)
+    return bc
+
+
 def refine_mesh(mesh, marks=None):
     """In-place refinement of a trig Mesh; marks=None refines uniformly.
 
@@ -232,10 +315,9 @@ def refine_mesh(mesh, marks=None):
     rebuild them (the reference tutorials also reconstruct spaces after
     mesh.Refine()).
     """
-    if mesh.et not in ("trig", "tet"):
+    if mesh.et not in ("trig", "tet", "quad", "hex"):
         raise NotImplementedError(
-            "adaptive refinement is implemented for simplicial (trig/tet) "
-            "meshes; for quad/hex use a finer structured mesh"
+            f"refinement for element type {mesh.et!r}"
         )
     if (getattr(mesh, "periodic_facet_np", None) is not None
             and (mesh.periodic_facet_np >= 0).any()):
@@ -249,7 +331,28 @@ def refine_mesh(mesh, marks=None):
         marks = np.asarray(marks.np if hasattr(marks, "np") else marks,
                            dtype=bool)
 
-    if mesh.et == "trig":
+    if mesh.et in ("quad", "hex"):
+        if not marks.all():
+            raise NotImplementedError(
+                "adaptive refinement of quad/hex meshes would create "
+                "hanging nodes (netgen has the same restriction); call "
+                "Refine() without marks for uniform refinement or use a "
+                "simplicial mesh"
+            )
+        bc_facets = {
+            tuple(sorted(int(v) for v in mesh.facets_np[fi])):
+            int(mesh.bc_of_facet_np[fi])
+            for fi in mesh.boundary_facets_np
+        }
+        Vn, En, vkey = uniform_refine_tensor(
+            mesh.vertices_np, mesh.elements_np, mesh.et)
+        mesh.vertices_np = np.asarray(Vn, dtype=np.float64)
+        mesh.elements_np = np.asarray(En, dtype=np.int32)
+        mesh.nv = len(Vn)
+        mesh.ne = len(En)
+        mesh._build_facets()
+        mesh.bc_of_facet_np = _tensor_bc_assign(mesh, vkey, bc_facets)
+    elif mesh.et == "trig":
         # current boundary bc map
         bc_edges = {}
         for fi in mesh.boundary_facets_np:

@@ -139,3 +139,67 @@ def test_tet_refine_improves_geometry():
     assert errs[2] < errs[0] / 2.5, (errs, nes)
     # two uniform refines would be 64x; the band-driven loop stays well under
     assert nes[2] < 64 * nes[0] / 2, nes
+
+
+def test_quad_uniform_refine():
+    """Uniform 1->4 quad refinement: counts, conformity, measure, bc ids,
+    and the reference backup-rule refinement loop (circle EOC on a
+    refined-in-place quad mesh, cf. tests/pytests/test_backuprule.py of the
+    reference with quad meshes)."""
+    from math import pi, log
+
+    mesh = MakeStructured2DMesh(quads=True, nx=2, ny=2)
+    nbc0 = sorted(set(int(b) for b in mesh.bc_of_facet_np[
+        mesh.boundary_facets_np]))
+    mesh.Refine()
+    assert mesh.ne == 16
+    # conforming tensor mesh: (2n+1)^2 vertices
+    assert mesh.nv == 25
+    assert len(mesh.boundary_facets_np) == 16
+    assert sorted(set(int(b) for b in mesh.bc_of_facet_np[
+        mesh.boundary_facets_np])) == nbc0
+    val = Integrate(cf=CoefficientFunction(1.0), mesh=mesh, order=2)
+    assert abs(val - 1.0) < 1e-13
+
+    r = 0.6
+    levelset = sqrt(x * x + y * y) - r
+    errors = []
+    for _ in range(3):
+        lsp1 = GridFunction(H1(mesh, order=1))
+        InterpolateToP1(levelset, lsp1)
+        a = Integrate(
+            levelset_domain={"levelset": lsp1, "domain_type": NEG},
+            cf=CoefficientFunction(1.0), mesh=mesh, order=2)
+        errors.append(abs(a - pi * r * r / 4))
+        mesh.Refine()
+    eoc = [log(errors[i] / errors[i + 1]) / log(2) for i in range(2)]
+    assert sum(eoc) / len(eoc) > 1.75, (errors, eoc)
+
+
+def test_hex_uniform_refine():
+    from ngsxfem_tpu import MakeStructured3DMesh
+
+    mesh = MakeStructured3DMesh(hexes=True, nx=2, ny=2, nz=2)
+    mesh.Refine()
+    assert mesh.ne == 64
+    assert mesh.nv == 125
+    assert len(mesh.boundary_facets_np) == 6 * 16
+    val = Integrate(cf=CoefficientFunction(1.0), mesh=mesh, order=2)
+    assert abs(val - 1.0) < 1e-13
+    # cut integration on the refined hex mesh (multilinear rules)
+    from ngsxfem_tpu import z as zc
+    lsp1 = GridFunction(H1(mesh, order=1))
+    InterpolateToP1(1 - 2 * x - 2 * y - 2 * zc, lsp1)
+    a = Integrate(levelset_domain={"levelset": lsp1, "domain_type": NEG},
+                  cf=CoefficientFunction(1.0), mesh=mesh, order=2)
+    assert abs(a - 47.0 / 48) < 1e-12
+
+
+def test_quad_adaptive_refine_raises():
+    import pytest
+
+    mesh = MakeStructured2DMesh(quads=True, nx=2, ny=2)
+    marks = np.zeros(mesh.ne, dtype=bool)
+    marks[0] = True
+    with pytest.raises(NotImplementedError):
+        mesh.Refine(marks)
