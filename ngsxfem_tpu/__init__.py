@@ -123,6 +123,22 @@ from .lsetcurv import (  # noqa: F401
     LevelSetMeshAdaptation,
     LevelSetMeshAdaptation_Spacetime,
     shifted_eval,
+    ProjectShift,
+    CalcMaxDistance,
+    CalcDistances,
+)
+from .solvers.mg import (  # noqa: F401
+    MultiGridCL,
+    CutFemSmoother,
+    LinearMGIterator,
+    CompoundProlongation,
+    P1Prolongation,
+    P2Prolongation,
+    P2CutProlongation,
+    P2TwoGridCL,
+    VertPatches,
+    ElemPatches,
+    EdgePatches,
 )
 from .utils.utils import (  # noqa: F401
     LevelsetExamples,
@@ -155,6 +171,7 @@ from .fem.space import NumberSpace, Periodic  # noqa: F401
 from .spacetime import (  # noqa: F401
     ScalarTimeFE,
     SpaceTimeFESpace,
+    SpaceTimeFESpace as CSpaceTimeFESpace,  # reference C++ class name alias
     ReferenceTimeVariable,
     tref,
     dt,
@@ -165,6 +182,7 @@ from .spacetime import (  # noqa: F401
 )
 from .fem.xfespace import (  # noqa: F401
     XFESpace,
+    XFESpace as CXFESpace,  # reference C++ class name alias
     XToNegPos,
     neg,
     pos,

@@ -318,3 +318,75 @@ def RefineAtLevelSet(gf, lower=0.0, upper=0.0):
     from ..fem.space import BitArray
 
     return BitArray(marks)
+
+
+def _adapter_from_gfs(lset_ho, lset_p1, deform, threshold=1.0):
+    """Internal: wrap existing GridFunctions in a LevelSetMeshAdaptation
+    shell so the free-function bindings (reference
+    lsetcurving/python_lsetcurving.cpp ProjectShift/CalcMaxDistance/
+    CalcDistances) can reuse the class kernels."""
+    self = LevelSetMeshAdaptation.__new__(LevelSetMeshAdaptation)
+    self.mesh = lset_ho.space.mesh
+    self.order = lset_ho.space.order
+    self.threshold = threshold
+    self.ho_space = lset_ho.space
+    self.p1_space = lset_p1.space
+    self.deform_space = deform.space if deform is not None else None
+    self.lset_ho = lset_ho
+    self.lset_p1 = lset_p1
+    self.deform = deform
+    self.levelset = lset_ho
+    return self
+
+
+def ProjectShift(lset_ho, lset_p1, deform, qn=None, active_elements=None,
+                 blending=None, lower=0.0, upper=0.0, threshold=1.0,
+                 heapsize=None):
+    """Free-function shift projection (reference
+    lsetcurving/python_lsetcurving.cpp:125-136, projshift.cpp:8-173):
+    writes into `deform` the nodal shift mapping the lset_p1 zero set onto
+    the lset_ho one.  `qn` (the quasi-normal CF) is unused: the batched
+    Newton search takes its direction from grad(lset_ho) directly.
+    [lower, upper] widen the active band; `active_elements` overrides it."""
+    self = _adapter_from_gfs(lset_ho, lset_p1, deform, threshold)
+    band = None
+    if active_elements is not None:
+        band = np.asarray(
+            active_elements.np if hasattr(active_elements, "np")
+            else active_elements, dtype=bool)
+    elif lower != 0.0 or upper != 0.0:
+        from ..integrate import lset_vertex_values
+
+        vv = np.asarray(lset_vertex_values(lset_p1))
+        band = (vv.min(axis=1) <= upper) & (vv.max(axis=1) >= lower)
+    return self._shift_from_nodal(lset_ho, lset_p1, deform,
+                                  blending=blending, band=band)
+
+
+def CalcMaxDistance(lset, lset_p1, deform, heapsize=None):
+    """Free-function max-distance estimate (reference
+    lsetcurving/python_lsetcurving.cpp:49-60): max |lset| over the deformed
+    lset_p1 zero set."""
+    self = _adapter_from_gfs(
+        lset if hasattr(lset, "space") else lset_p1, lset_p1, deform)
+    if not hasattr(lset, "space") and deform is not None:
+        self.order = deform.space.order  # quadrature order for a CF levelset
+    return self.CalcMaxDistance(levelset=lset, deform=deform)
+
+
+def CalcDistances(lset, lset_p1, deform, stats=None, heapsize=None,
+                  refine_threshold=-1.0, absolute=False):
+    """Free-function distance statistics (reference
+    lsetcurving/python_lsetcurving.cpp:99-110): (max, L1, L2) of |lset|
+    over the deformed lset_p1 zero set; appends to `stats` when given and
+    sets refinement flags when refine_threshold >= 0."""
+    self = _adapter_from_gfs(
+        lset if hasattr(lset, "space") else lset_p1, lset_p1, deform)
+    if not hasattr(lset, "space") and deform is not None:
+        self.order = deform.space.order  # quadrature order for a CF levelset
+    out = self.CalcDistances(levelset=lset, stats=stats)
+    if refine_threshold >= 0:
+        self.MarkForRefinement(levelset=lset,
+                               refine_threshold=refine_threshold,
+                               absolute=absolute)
+    return out

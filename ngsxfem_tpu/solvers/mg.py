@@ -102,6 +102,109 @@ def _invert_geom_pp(et, verts, pts):
     return loc
 
 
+def _prepare_blocks(A: SparseMatrix, blocks, free):
+    """Host setup for patch-block smoothing: pad blocks to the max size K,
+    extract each dense sub-block of A, invert on host in f64, and stack.
+
+    Returns (idx (nb,K) int32, inv (nb,K,K), valid (nb,K) bool) with padded
+    lanes pointing at dof 0 but masked out of both gather and scatter."""
+    S = A.to_scipy().tocsr()
+    blks = []
+    for b in blocks:
+        b = np.asarray(sorted(b), dtype=np.int64)
+        if len(b) == 0:
+            continue
+        b = b[free[b]]
+        if len(b):
+            blks.append(b)
+    if not blks:
+        return None
+    K = max(len(b) for b in blks)
+    nb = len(blks)
+    idx = np.zeros((nb, K), dtype=np.int32)
+    valid = np.zeros((nb, K), dtype=bool)
+    inv = np.zeros((nb, K, K), dtype=np.float64)
+    for i, b in enumerate(blks):
+        k = len(b)
+        idx[i, :k] = b
+        valid[i, :k] = True
+        Ab = S[b][:, b].toarray().astype(np.float64)
+        Ab = 0.5 * (Ab + Ab.T)
+        try:
+            inv[i, :k, :k] = np.linalg.inv(Ab)
+        except np.linalg.LinAlgError:
+            inv[i, :k, :k] = np.linalg.pinv(Ab)
+    # per-dof overlap multiplicity: additive Schwarz over overlapping
+    # patches must be scaled by 1/#patches-per-dof to contract
+    count = np.zeros(A.shape[0], dtype=np.float64)
+    np.add.at(count, idx[valid], 1.0)
+    scale = 1.0 / np.maximum(count, 1.0)
+    return (jnp.asarray(idx), jnp.asarray(inv, dtype=config.dtype),
+            jnp.asarray(valid), jnp.asarray(scale, dtype=config.dtype))
+
+
+def VertPatches(fes, mesh=None):
+    """Vertex-patch dof blocks (cutmg.py:221-232): for each mesh vertex, the
+    free dofs of all elements containing it."""
+    mesh = mesh if mesh is not None else fes.mesh
+    free = np.asarray(fes.FreeDofs().np if hasattr(fes.FreeDofs(), "np")
+                      else fes.FreeDofs())
+    els = mesh.elements_np  # (ne, nvel)
+    ne, nvel = els.shape
+    # group elements by vertex via a sorted (vertex, element) list
+    v = els.reshape(-1)
+    e = np.repeat(np.arange(ne), nvel)
+    order = np.argsort(v, kind="stable")
+    v, e = v[order], e[order]
+    starts = np.searchsorted(v, np.arange(mesh.nv))
+    ends = np.searchsorted(v, np.arange(mesh.nv), side="right")
+    eldofs = fes.el2dof_np
+    blocks = []
+    for s, t in zip(starts, ends):
+        d = np.unique(eldofs[e[s:t]].reshape(-1))
+        d = d[(d >= 0) & free[d]]
+        blocks.append(d)
+    return blocks
+
+
+def ElemPatches(fes):
+    """Element-patch dof blocks (cutmg.py:234-240)."""
+    free = np.asarray(fes.FreeDofs().np if hasattr(fes.FreeDofs(), "np")
+                      else fes.FreeDofs())
+    blocks = []
+    for row in fes.el2dof_np:
+        d = np.unique(row)
+        d = d[(d >= 0) & free[d]]
+        blocks.append(d)
+    return blocks
+
+
+def EdgePatches(fes, mesh=None):
+    """Edge-patch dof blocks (cutmg.py:242-261): for each mesh edge, the
+    free dofs of the elements sharing it."""
+    mesh = mesh if mesh is not None else fes.mesh
+    free = np.asarray(fes.FreeDofs().np if hasattr(fes.FreeDofs(), "np")
+                      else fes.FreeDofs())
+    from ..mesh.mesh import EDGE_VERTS
+
+    ed = np.asarray(EDGE_VERTS[mesh.et])  # (nedg_local, 2) local vertex pairs
+    els = mesh.elements_np
+    pairs = np.sort(els[:, ed], axis=2).reshape(-1, 2)  # (ne*nl, 2)
+    e = np.repeat(np.arange(mesh.ne), ed.shape[0])
+    uniq, inv = np.unique(pairs, axis=0, return_inverse=True)
+    order = np.argsort(inv, kind="stable")
+    inv, e = inv[order], e[order]
+    starts = np.searchsorted(inv, np.arange(len(uniq)))
+    ends = np.searchsorted(inv, np.arange(len(uniq)), side="right")
+    eldofs = fes.el2dof_np
+    blocks = []
+    for s, t in zip(starts, ends):
+        d = np.unique(eldofs[e[s:t]].reshape(-1))
+        d = d[(d >= 0) & free[d]]
+        blocks.append(d)
+    return blocks
+
+
 class CutFemSmoother:
     """Damped Jacobi + optional interface-dof block correction
     (cutmg.py:61-111).
@@ -113,7 +216,8 @@ class CutFemSmoother:
     """
 
     def __init__(self, A: SparseMatrix, freedofs=None, if_dofs=None,
-                 damping=0.6, if_correction=True, if_maxit=40, if_tol=1e-4):
+                 damping=0.6, if_correction=True, if_maxit=40, if_tol=1e-4,
+                 blocks=None, block_damping=0.7):
         self.A = A
         self.damping = damping
         diag = np.asarray(A.diagonal())
@@ -125,6 +229,14 @@ class CutFemSmoother:
         self.ifsolve = None
         self.if_maxit = if_maxit
         self.if_tol = if_tol
+        # optional patch-block additive-Schwarz smoothing (the reference's
+        # CreateBlockSmoother path used by P2TwoGridCL, cutmg.py:264-297):
+        # per-block dense inverses are batched into one (nb, K, K) tensor so
+        # a smoothing step is a single gather + batched matmul + scatter-add.
+        self.blockdata = None
+        self.block_damping = block_damping
+        if blocks is not None:
+            self.blockdata = _prepare_blocks(A, blocks, free)
         if if_correction and if_dofs is not None:
             idx = np.nonzero(np.asarray(if_dofs.np if hasattr(if_dofs, "np")
                                         else if_dofs) & free)[0]
@@ -144,7 +256,15 @@ class CutFemSmoother:
 
         for _ in range(steps):
             r = b - self.A.matvec(x)
-            x = x + self.damping * self.dinv * r
+            if self.blockdata is not None:
+                idx, inv, valid, scale = self.blockdata
+                rb = jnp.where(valid, r[idx], 0.0)  # (nb, K)
+                zb = jnp.einsum("bij,bj->bi", inv, rb)
+                dx = jnp.zeros_like(x).at[idx.reshape(-1)].add(
+                    jnp.where(valid, zb, 0.0).reshape(-1))
+                x = x + self.block_damping * scale * dx
+            else:
+                x = x + self.damping * self.dinv * r
         if self.ifsolve is not None:
             idx, Aff, dsub = self.ifsolve
             r = b - self.A.matvec(x)
@@ -225,23 +345,205 @@ class MultiGridCL:
         return self(b)
 
 
-def CompoundProlongation(prols):
+class P1Prolongation:
+    """Reference-style prolongation object (utils/xprolongation.hpp:13-40):
+    constructed on a mesh, ``Update(fes)`` is called once per refinement
+    level and records the transfer from the previous level's space; the
+    transfer itself is the unified coarse-basis-at-fine-nodes matrix
+    (`prolongation_matrix`), which covers any order uniformly."""
+
+    def __init__(self, mesh=None):
+        self.mesh = mesh
+        self.spaces = []
+        self.mats = []  # mats[l-1]: level l-1 -> level l
+
+    def Update(self, fes):
+        if self.spaces:
+            self.mats.append(prolongation_matrix(self.spaces[-1], fes))
+        self.spaces.append(fes)
+
+    def Prolongate(self, level, vec):
+        """Transfer a level-(level-1) vector up to `level` (1-based)."""
+        return self.mats[level - 1].matvec(jnp.asarray(vec))
+
+    def Restrict(self, level, vec):
+        """Transpose-transfer a level vector down to level-1."""
+        return self.mats[level - 1].T.matvec(jnp.asarray(vec))
+
+    # finest-level matrix protocol so instances slot into MultiGridCL
+    def matvec(self, x):
+        return self.mats[-1].matvec(x)
+
+    @property
+    def T(self):
+        return self.mats[-1].T
+
+
+class P2Prolongation(P1Prolongation):
+    """Order-2 variant (utils/xprolongation.hpp:42-71) — same unified
+    construction; kept as a named class for API parity."""
+
+
+class P2CutProlongation(P2Prolongation):
+    """Cut-space variant (utils/xprolongation.hpp:73-101).  The XFE
+    sign-mask split is applied outside the transfer in this design (the
+    unfitted space stores per-element-dof sign masks, fem/xfespace.py), so
+    the nodal transfer is identical to P2Prolongation."""
+
+
+class CompoundProlongation:
     """Block-diagonal prolongation for compound spaces (reference
-    utils/python_utils.cpp:277-293): apply per-component prolongations."""
+    utils/python_utils.cpp:277-293): per-component prolongations.
 
-    class _CP:
-        def __init__(self, ps):
-            self.ps = ps
+    Accepts either a list of per-component prolongation matrices (matrix
+    protocol) or, reference-style, the compound space followed by
+    ``AddProlongation`` calls and per-level ``Update``."""
 
-        def matvec(self, x):
-            outs, off = [], 0
-            for P in self.ps:
-                nc = P.shape[1]
-                outs.append(P.matvec(x[off:off + nc]))
-                off += nc
-            return jnp.concatenate(outs)
+    def __init__(self, arg=None):
+        if isinstance(arg, (list, tuple)):
+            self.ps = list(arg)
+            self.space = None
+        else:
+            self.ps = []
+            self.space = arg
 
-    return _CP(prols)
+    def AddProlongation(self, p):
+        self.ps.append(p)
+
+    def Update(self, fes):
+        for p, comp in zip(self.ps, fes.components):
+            p.Update(comp)
+
+    def _comp_mats(self):
+        return [p.mats[-1] if isinstance(p, P1Prolongation) else p
+                for p in self.ps]
+
+    def matvec(self, x):
+        outs, off = [], 0
+        for P in self._comp_mats():
+            nc = P.shape[1]
+            outs.append(P.matvec(x[off:off + nc]))
+            off += nc
+        return jnp.concatenate(outs)
+
+    def Prolongate(self, level, vec):
+        outs, off = [], 0
+        for p in self.ps:
+            nc = p.mats[level - 1].shape[1]
+            outs.append(p.Prolongate(level, vec[off:off + nc]))
+            off += nc
+        return jnp.concatenate(outs)
+
+    def Restrict(self, level, vec):
+        outs, off = [], 0
+        for p in self.ps:
+            nr = p.mats[level - 1].shape[0]
+            outs.append(p.Restrict(level, vec[off:off + nr]))
+            off += nr
+        return jnp.concatenate(outs)
+
+    @property
+    def T(self):
+        mats = self._comp_mats()
+
+        class _CPT:
+            def matvec(_self, x):
+                outs, off = [], 0
+                for P in mats:
+                    nr = P.shape[0]
+                    outs.append(P.T.matvec(x[off:off + nr]))
+                    off += nr
+                return jnp.concatenate(outs)
+
+        return _CPT()
+
+
+class P2TwoGridCL:
+    """Two-grid solver for order-2 cut problems (cutmg.py:264-331): a
+    patch-block CutFemSmoother on the P2 system + a P1 coarse correction
+    driven by a LinearMGIterator (or any preconditioner/solver callable),
+    iterated to tolerance.
+
+    kwargs (reference names): a (SparseMatrix or object with .mat), fes,
+    mesh, ci, ifsolver, linmgiter, coarse_space (our addition: the P1 space
+    the linmgiter lives on), patchtype ('edge'|'vert'|'elem'), nu, maxit,
+    tol, printinfo."""
+
+    def __init__(self, **kwargs):
+        a = kwargs["a"]
+        self.A = a.mat if hasattr(a, "mat") else a
+        self.fes = kwargs["fes"]
+        mesh = kwargs.get("mesh", self.fes.mesh)
+        patchtype = kwargs.get("patchtype", "edge")
+        if patchtype == "edge":
+            blocks = EdgePatches(self.fes, mesh)
+        elif patchtype == "vert":
+            blocks = VertPatches(self.fes, mesh)
+        elif patchtype == "elem":
+            blocks = ElemPatches(self.fes)
+        else:
+            raise ValueError(
+                "Unknown patchtype for block smoothing! "
+                "choose between 'edge', 'vert' and 'elem'")
+        ci = kwargs.get("ci")
+        if_dofs = None
+        if ci is not None:
+            from ..domaintype import IF
+            from ..fem.space import GetDofsOfElements
+
+            if_dofs = GetDofsOfElements(self.fes, ci.GetElementsOfType(IF))
+        self.smoother = CutFemSmoother(
+            self.A, freedofs=self.fes.FreeDofs(), if_dofs=if_dofs,
+            blocks=blocks,
+            if_correction=kwargs.get("ifsolver") is not None)
+        self.linmgiter = kwargs["linmgiter"]
+        coarse_space = kwargs.get("coarse_space")
+        if coarse_space is None:
+            from ..fem.space import H1
+
+            coarse_space = H1(mesh, order=1)
+        self.P = prolongation_matrix(coarse_space, self.fes)
+        self.nu = kwargs.get("nu", 3)
+        self.maxit = kwargs.get("maxit", 20)
+        self.tol = kwargs.get("tol", 1e-6)
+        self.printinfo = kwargs.get("printinfo", False)
+        free = self.fes.FreeDofs()
+        self.free = jnp.asarray(np.asarray(
+            free.np if hasattr(free, "np") else free))
+
+    def _coarse_correct(self, r):
+        rc = self.P.T.matvec(r)
+        if callable(self.linmgiter):
+            zc = self.linmgiter(rc)
+        else:
+            zc = self.linmgiter * rc
+        return self.P.matvec(zc)
+
+    def Mult(self, rhs, usol=None):
+        b = jnp.where(self.free, jnp.asarray(rhs), 0.0)
+        x = jnp.zeros_like(b)
+        normb = float(jnp.linalg.norm(b))
+        for it in range(self.maxit):
+            x = self.smoother.smooth(x, b, self.nu)
+            r = jnp.where(self.free, b - self.A.matvec(x), 0.0)
+            x = x + self._coarse_correct(r)
+            x = self.smoother.smooth(x, b, self.nu)
+            r = jnp.where(self.free, b - self.A.matvec(x), 0.0)
+            res = float(jnp.linalg.norm(r)) / max(normb, 1e-300)
+            if self.printinfo:
+                print("it =", it + 1, " ||res||_2 =", res)
+            if res < self.tol:
+                break
+        return x
+
+    def __mul__(self, rhs):
+        return self.Mult(rhs)
+
+    def Height(self):
+        return self.A.shape[0]
+
+    def Width(self):
+        return self.A.shape[0]
 
 
 # ---------------------------------------------------------------------------
