@@ -48,12 +48,17 @@ def test_force_intorder(force):
     assert abs(val - exact) < 1e-13
 
 
-def test_subdivlvl_rejected():
+def test_subdivlvl_accepted_negative_rejected():
+    """subdivlvl>0 runs the uniform-subdivision engine (test_backuprule.py
+    covers its accuracy); negative values raise."""
     mesh = Make1DMesh(2)
     g = GridFunction(H1(mesh, order=1))
     g.Set(0.5 - x)
-    with pytest.raises(NotImplementedError):
-        Integrate({"levelset": g, "domain_type": NEG, "subdivlvl": 2},
+    val = Integrate({"levelset": g, "domain_type": NEG, "subdivlvl": 2},
+                    x, mesh, order=2)
+    assert abs(val - 0.375) < 1e-12  # NEG = {x > 1/2}: int_{1/2}^1 x dx
+    with pytest.raises(ValueError):
+        Integrate({"levelset": g, "domain_type": NEG, "subdivlvl": -1},
                   x, mesh, order=2)
 
 
