@@ -196,6 +196,55 @@ class ELLMatrix:
         return out[:n, 0]
 
 
+def dia_matvec(offsets, vals, x):
+    """Offset-diagonal (DIA) SpMV: y[r] = sum_k vals[k, r] * x[r + o_k].
+
+    `offsets` are HOST ints (static); each diagonal contributes one static
+    shifted slice of x and an elementwise FMA — no gather instructions at
+    all.  On TPU this is the speed-of-light format for stencil operators
+    (structured meshes): the ELL gather path serializes scalar loads
+    (~24.5 ms for n=117k, K=28), the DIA path streams (n,) vectors at HBM
+    bandwidth.  Entries off the right/left end of a diagonal read zero
+    padding, so boundary rows need no masking.
+    """
+    offs = [int(o) for o in np.asarray(offsets).tolist()]
+    n = x.shape[0]
+    mneg = max(-min(offs), 0)
+    mpos = max(max(offs), 0)
+    xp = jnp.pad(x, (mneg, mpos))
+    y = None
+    for k, o in enumerate(offs):
+        t = vals[k] * jax.lax.dynamic_slice_in_dim(xp, mneg + o, n)
+        y = t if y is None else y + t
+    return y
+
+
+class DIAMatrix:
+    """Offset-diagonal sparse matrix for stencil-structured operators.
+
+    vals (n_off, n): diagonal k holds A[r, r + offsets[k]] at position r
+    (absent entries zero).  Built by ``UnfittedPoisson.dia_structure`` for
+    structured meshes; see `dia_matvec` for why this is the TPU-native
+    format.
+    """
+
+    def __init__(self, offsets, vals):
+        self.offsets = np.asarray(offsets)
+        self.vals = vals
+        n = vals.shape[1]
+        self.shape = (n, n)
+
+    def matvec(self, x):
+        return dia_matvec(self.offsets, self.vals, _as_array(x))
+
+    __mul__ = matvec
+    __matmul__ = matvec
+
+    def diagonal(self):
+        k0 = int(np.searchsorted(self.offsets, 0))
+        return self.vals[k0]
+
+
 class InverseMatrix:
     """Solver object: `inv * rhs` solves on the free dofs (zero elsewhere)."""
 

@@ -50,3 +50,59 @@ def test_gather_assembly_matches_scatter():
         lambda v, l: m.assemble_ell_vals_gather(v, l, cap, struct, gtable))(
         m.vertices, m.lset)
     assert float(jnp.max(jnp.abs(a1 - a2))) < 1e-13
+
+
+def test_soa_assembly_matches_aos():
+    """Tile-padding-free SoA assembly equals the AoS ELL assembly exactly
+    (both f64 on CPU): same std/cut two-tier split, same scatter targets."""
+    for dim, order, nx in ((2, 1, 8), (3, 1, 5), (2, 2, 6), (3, 2, 4)):
+        m = UnfittedPoisson(nx=nx, dim=dim, order=order, dtype=jnp.float64)
+        vals = m.lset_np[m.mesh.elements_np]
+        cap = int(((vals < 0).any(1) & (vals > 0).any(1)).sum()) + 4
+        st = m.ell_structure()
+        a1, _ = jax.jit(lambda v, l: m.assemble_ell_vals(v, l, cap, st))(
+            m.vertices, m.lset)
+        a2, n2 = jax.jit(lambda v, l: m.assemble_ell_vals_soa(v, l, cap, st))(
+            m.vertices, m.lset)
+        rel = float(jnp.max(jnp.abs(a1 - a2)) / jnp.max(jnp.abs(a1)))
+        assert rel < 1e-12, (dim, order, rel)
+
+
+def test_dia_assembly_matvec_matches_ell():
+    """DIA (offset-diagonal, vertex-lexicographic) operator equals the ELL
+    operator: random-vector matvecs agree after un-permuting."""
+    from ngsxfem_tpu.solvers.sparse import dia_matvec, DIAMatrix
+
+    for dim, nx in ((2, 8), (3, 6)):
+        m = UnfittedPoisson(nx=nx, dim=dim, order=1, dtype=jnp.float64)
+        vals = m.lset_np[m.mesh.elements_np]
+        cap = int(((vals < 0).any(1) & (vals > 0).any(1)).sum()) + 4
+        st = m.ell_structure()
+        dst = m.dia_structure()
+        ell, _ = jax.jit(lambda v, l: m.assemble_ell_vals(v, l, cap, st))(
+            m.vertices, m.lset)
+        dia, _ = jax.jit(lambda v, l: m.assemble_ell_vals_soa(v, l, cap, dst))(
+            m.vertices, m.lset)
+        x = np.random.default_rng(1).standard_normal(m.ndof)
+        y_ell = np.asarray(jnp.sum(ell * jnp.asarray(x)[st["ell_cols"]],
+                                   axis=1))
+        A = DIAMatrix(dst["offsets"], dia)
+        y_dia = np.asarray(A.matvec(jnp.asarray(x[dst["perm_inv"]])))
+        rel = np.max(np.abs(y_ell - y_dia[dst["perm"]])) / np.max(
+            np.abs(y_ell))
+        assert rel < 1e-12, (dim, rel)
+        # diagonal helper agrees with the ELL diagonal
+        rid = jnp.arange(m.ndof)[:, None]
+        d_ell = np.asarray(jnp.sum(
+            jnp.where(jnp.asarray(st["ell_cols"]) == rid, ell, 0.0), axis=1))
+        d_dia = np.asarray(A.diagonal())[dst["perm"]]
+        assert np.max(np.abs(d_ell - d_dia)) < 1e-12
+
+
+def test_dia_requires_order1():
+    m = UnfittedPoisson(nx=4, dim=2, order=2)
+    try:
+        m.dia_structure()
+        assert False, "expected NotImplementedError"
+    except NotImplementedError:
+        pass
