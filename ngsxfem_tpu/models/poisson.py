@@ -246,6 +246,190 @@ def _std_stiffness_soa_flat(et, order, S_np, det, Jinv, w):
                             for j in range(nd_l)])
 
 
+@lru_cache(maxsize=None)
+def _p1_affine_basis(et):
+    """Host: P1 basis as an affine map: B_i(p) = b0[i] + Gref[i, :] @ p,
+    plus the reference vertex coordinates R (basis-node order)."""
+    from ..fem.basis import lagrange_element
+
+    b = lagrange_element(et, 1)
+    exps, C = b["exps"], b["coeff"]
+    d = exps.shape[1]
+    nv = C.shape[1]
+    b0 = np.zeros(nv)
+    Gref = np.zeros((nv, d))
+    for m in range(exps.shape[0]):
+        e = exps[m]
+        if e.sum() == 0:
+            b0 += C[m]
+        elif e.sum() == 1:
+            Gref[:, int(np.argmax(e))] += C[m]
+    return b0, Gref, b["nodes"]
+
+
+def cut_poisson_flat_soa(et, lv, det, Jinv, lam_nitsche):
+    """One-pass SoA P1 fictitious-domain Poisson element values.
+
+    For P1 on affine simplices every term of the cut operator reduces to
+    closed-form scalars per element: basis gradients are element-constant, so
+    the NEG-volume stiffness needs only the NEG reference volume; the
+    interface is planar, so the Nitsche terms need only degree<=2 interface
+    moments (midpoint rule on <=2 reference sub-triangles / 2-pt Gauss on the
+    segment).  Everything is computed from the edge cut parameters
+    t = phi_a / (phi_a - phi_b) in REFERENCE coordinates — no quadrature
+    tensors, no physical cut points, no (E, Q, nd, d) arrays to tile-pad.
+
+    The 2^(d+1) sign patterns are unrolled at trace time as masked vector
+    arithmetic over the validated decomposition tables
+    (ops/cuttables._decompose — the batched analog of the reference's
+    LevelsetCutSimplex::Decompose, cutint/straightcutrule.cpp:131-204; the
+    cut stiffness/Nitsche forms mirror xfem/symboliccutbfi.cpp:73-276).
+    The uncut-NEG pattern contributes the full reference volume, so this
+    single pass covers BOTH tiers of the former std/cut split.
+
+    Args: lv list[nv] of eps-guarded (E,) level-set values, det (E,),
+    Jinv nested list [d][d] of (E,) (J^{-1}[d, g]).  Returns A as a nested
+    list A[i][j] of (E,) vectors (symmetric).
+    """
+    import math
+
+    from ..ops.cuttables import _decompose
+    from ..integrate import vertex_local_ids
+
+    d = ET_DIM[et]
+    nv = d + 1
+    b0, Gref, R = _p1_affine_basis(et)
+    # `lv` arrives in element-corner (REF_VERTS) order; everything below —
+    # basis values, gradients, the output dof indices — lives in Lagrange
+    # node order, so permute once (corner c sits at node vperm[c])
+    vperm = vertex_local_ids(et, 1)
+    inv = np.argsort(vperm)
+    lv = [lv[int(inv[j])] for j in range(nv)]
+    dtype = det.dtype
+    E = det.shape[0]
+    zero = jnp.zeros((E,), dtype)
+
+    absdet = jnp.abs(det)
+    # element-constant physical basis gradients Gp[i][g]
+    Gp = [[sum(float(Gref[i, a]) * Jinv[a][g] for a in range(d))
+           for g in range(d)] for i in range(nv)]
+    K = [[sum(Gp[i][g] * Gp[j][g] for g in range(d)) for j in range(nv)]
+         for i in range(nv)]
+    # reference / physical level-set gradients (element-constant)
+    gref = [sum(float(Gref[i, a]) * lv[i] for i in range(nv)) for a in range(d)]
+    gphys = [sum(Jinv[a][g] * gref[a] for a in range(d)) for g in range(d)]
+    ngref = jnp.sqrt(sum(g * g for g in gref))
+    ngphys = jnp.sqrt(sum(g * g for g in gphys))
+    nsafe = jnp.maximum(ngphys, 1e-30)
+    nphys = [g / nsafe for g in gphys]          # outward normal of NEG
+    dn = [sum(Gp[i][g] * nphys[g] for g in range(d)) for i in range(nv)]
+    # physical measure of a unit-ref-area piece of the interface plane
+    ifscale = absdet * ngphys / jnp.maximum(ngref, 1e-30)
+    h = absdet ** (1.0 / d)
+    lam = lam_nitsche / jnp.maximum(h, 1e-30)
+
+    # edge cut parameters (safe everywhere; only used under matching masks)
+    def tpar(a, b):
+        den = lv[a] - lv[b]
+        den = jnp.where(jnp.abs(den) < 1e-30, 1.0, den)
+        return lv[a] / den
+
+    pos = [(v > 0) for v in lv]
+    pat = None
+    for i in range(nv):
+        term = pos[i].astype(jnp.int32) << i
+        pat = term if pat is None else pat | term
+
+    Wvol = zero          # NEG volume in reference coordinates
+    m_if = []            # (weight (E,), point coords list[d]) if-quad points
+
+    for p in range(2 ** nv):
+        negs = [i for i in range(nv) if not (p >> i) & 1]
+        poss = [i for i in range(nv) if (p >> i) & 1]
+        if not negs:
+            continue
+        mask = (pat == p).astype(dtype)
+        if not poss:
+            Wvol = Wvol + mask * (1.0 / math.factorial(d))
+            continue
+        subs, sides, ifs = _decompose(d, p)
+        ts = {}
+
+        def pt(spec):
+            a, b = spec
+            if a == b:
+                return [float(R[a][g]) for g in range(d)]
+            if (a, b) not in ts:
+                ts[(a, b)] = tpar(a, b)
+            t = ts[(a, b)]
+            return [float(R[a][g]) + t * (float(R[b][g]) - float(R[a][g]))
+                    for g in range(d)]
+
+        for sub, side in zip(subs, sides):
+            if side != 0:
+                continue
+            ps = [pt(s) for s in sub]
+            e = [[ps[k + 1][g] - ps[0][g] for g in range(d)]
+                 for k in range(d)]
+            if d == 3:
+                vol = (e[0][0] * (e[1][1] * e[2][2] - e[1][2] * e[2][1])
+                       - e[0][1] * (e[1][0] * e[2][2] - e[1][2] * e[2][0])
+                       + e[0][2] * (e[1][0] * e[2][1] - e[1][1] * e[2][0]))
+                vol = jnp.abs(vol) / 6.0
+            elif d == 2:
+                vol = jnp.abs(e[0][0] * e[1][1] - e[0][1] * e[1][0]) / 2.0
+            else:
+                vol = jnp.abs(e[0][0])
+            Wvol = Wvol + mask * vol
+
+        for f in ifs:
+            ps = [pt(s) for s in f]
+            if d == 3:
+                u = [ps[1][g] - ps[0][g] for g in range(3)]
+                v = [ps[2][g] - ps[0][g] for g in range(3)]
+                cx = u[1] * v[2] - u[2] * v[1]
+                cy = u[2] * v[0] - u[0] * v[2]
+                cz = u[0] * v[1] - u[1] * v[0]
+                area = 0.5 * jnp.sqrt(cx * cx + cy * cy + cz * cz)
+                w = mask * area / 3.0
+                # edge-midpoint rule: exact for degree 2
+                for (a, b) in ((0, 1), (1, 2), (0, 2)):
+                    q = [0.5 * (ps[a][g] + ps[b][g]) for g in range(3)]
+                    m_if.append((w, q))
+            elif d == 2:
+                u = [ps[1][g] - ps[0][g] for g in range(2)]
+                ln = jnp.sqrt(u[0] * u[0] + u[1] * u[1])
+                w = mask * ln / 2.0
+                # 2-pt Gauss: exact for degree 3
+                c = 0.5 / np.sqrt(3.0)
+                for s in (-c, c):
+                    q = [0.5 * (ps[0][g] + ps[1][g]) + s * u[g]
+                         for g in range(2)]
+                    m_if.append((w, q))
+            else:
+                m_if.append((mask, [ps[0][0]]))
+
+    Wp = Wvol * absdet
+    A = [[Wp * K[i][j] if j >= i else None for j in range(nv)]
+         for i in range(nv)]
+
+    # Nitsche: -dn_i B_j - dn_j B_i + lam B_i B_j over the interface points
+    for (w, q) in m_if:
+        wp = w * ifscale
+        B = [float(b0[i]) + sum(float(Gref[i, g]) * q[g] for g in range(d))
+             for i in range(nv)]
+        wl = wp * lam
+        for i in range(nv):
+            for j in range(i, nv):
+                A[i][j] = (A[i][j]
+                           - wp * (dn[i] * B[j] + dn[j] * B[i])
+                           + wl * B[i] * B[j])
+    for i in range(nv):
+        for j in range(i):
+            A[i][j] = A[j][i]
+    return A
+
+
 def _map_blocks(fn, blk, *args):
     """Apply `fn` over leading-axis blocks of size `blk` via lax.map so the
     per-element temporaries stay bounded.  XLA pads the small trailing dims
@@ -563,6 +747,114 @@ class UnfittedPoisson:
             "n": n,
         }
 
+    def stencil_groups(self, offsets):
+        """Host: scatter-free DIA assembly plan for the structured mesh.
+
+        The structured mesh is lattice-periodic: with cubes enumerated in
+        odometer order and S simplices per cube, the permuted dof row of
+        corner i of simplex t in cube (a, b, c) is
+        a*nv1^2 + b*nv1 + c + D[t, i] with a CONSTANT corner-displacement
+        table D (verified by assertion).  Every (t, i, j) element-matrix
+        entry therefore lands on a fixed diagonal k at a fixed corner
+        displacement — the global element-stream assembly becomes ~50 static
+        windowed adds on the (n_off, nv1, ..)-lattice view of the DIA table
+        instead of a 10M-value scatter-add (which serializes on TPU).
+
+        Returns (groups, S, nc) where groups maps
+        (k, (dz, dy, dx)) -> list of (t, i, j).
+        """
+        if self.order != 1:
+            raise NotImplementedError("stencil assembly requires order=1")
+        d = self.dim
+        nx = self.nx
+        nv1 = nx + 1
+        p = np.asarray(self.p1dof2vertex, dtype=np.int64)
+        rows = p[self.space.el2dof_np]
+        ne, nd = rows.shape
+        nc = nx ** d
+        S = ne // nc
+        assert S * nc == ne
+        rows = rows.reshape(nc, S, nd)
+        idx = np.arange(nc)
+        base = np.zeros(nc, dtype=np.int64)
+        rem = idx
+        for ax in range(d):
+            q = rem // nx ** (d - 1 - ax)
+            rem = rem % nx ** (d - 1 - ax)
+            base += q * nv1 ** (d - 1 - ax)
+        D = rows - base[:, None, None]
+        if not (D == D[0:1]).all():
+            raise NotImplementedError("mesh is not lattice-periodic")
+        D = D[0]  # (S, nd)
+
+        def disp(v):
+            out = []
+            for ax in range(d):
+                out.append(int(v // nv1 ** (d - 1 - ax)))
+                v = v % nv1 ** (d - 1 - ax)
+            return tuple(out)
+
+        groups = {}
+        for t in range(S):
+            for i in range(nd):
+                for j in range(nd):
+                    o = int(D[t, j] - D[t, i])
+                    k = int(np.searchsorted(offsets, o))
+                    assert k < len(offsets) and offsets[k] == o
+                    key = (k, disp(int(D[t, i])))
+                    groups.setdefault(key, []).append((t, i, j))
+        return groups, S, nc
+
+    def assemble_vals_stencil(self, vertices, lset_vertex, struct):
+        """Scatter-free one-pass assembly: SoA closed-form element values +
+        windowed lattice adds into the DIA table (see `stencil_groups`).
+        Ghost-penalty and identity streams remain scatter-adds (small).
+        `struct` must be a `dia_structure` dict.  Returns (V (n_off, n),
+        ncut)."""
+        from ..ops.straightcut import eps_guard
+
+        et = self.et
+        d = ET_DIM[et]
+        nv = d + 1
+        nx = self.nx
+        nv1 = nx + 1
+        offsets = struct["offsets"]
+        n_off = len(offsets)
+        groups, S, nc = self._stencil_cache if hasattr(
+            self, "_stencil_cache") else (None, None, None)
+        if groups is None:
+            groups, S, nc = self.stencil_groups(offsets)
+            self._stencil_cache = (groups, S, nc)
+
+        x, lv = _soa_corner_arrays(vertices, self.elements, lset_vertex)
+        lv = [eps_guard(v) for v in lv]
+        has_neg = lv[0] < 0
+        has_pos = lv[0] > 0
+        for v in lv[1:]:
+            has_neg = has_neg | (v < 0)
+            has_pos = has_pos | (v > 0)
+        ncut = jnp.sum(has_neg & has_pos)
+
+        det, Jinv = _soa_jacobian(x, d)
+        A = cut_poisson_flat_soa(et, lv, det, Jinv, self.lam_nitsche)
+
+        lat_shape = (n_off,) + (nv1,) * d
+        V = jnp.zeros(lat_shape, dtype=vertices.dtype)
+        for (k, dsp), combos in sorted(groups.items()):
+            s = None
+            for (t, i, j) in combos:
+                term = A[i][j].reshape(nc, S)[:, t]
+                s = term if s is None else s + term
+            lat = s.reshape((nx,) * d)
+            idx = (k,) + tuple(slice(dz, dz + nx) for dz in dsp)
+            V = V.at[idx].add(lat)
+
+        flat = V.reshape(-1)
+        G = self.gp_mats(vertices)
+        flat = flat.at[struct["gp_slots"]].add(G.reshape(-1))
+        flat = flat.at[struct["id_slots"]].add(1.0)
+        return flat.reshape(n_off, struct["n"]), ncut
+
     def ell_gather_structure(self, struct):
         """Inverse slot map for scatter-free global assembly: for every flat
         ELL value slot, the (padded) list of indices into the concatenated
@@ -699,6 +991,50 @@ class UnfittedPoisson:
         vals = vals.at[slots_cut.reshape(-1)].add(A_cut.reshape(-1))
 
         G = self.gp_mats(vertices, block=block)
+        vals = vals.at[struct["gp_slots"]].add(G.reshape(-1))
+        vals = vals.at[struct["id_slots"]].add(1.0)
+        return vals.reshape(out_shape), ncut
+
+    def assemble_vals_soa1(self, vertices, lset_vertex, struct):
+        """Fully SoA one-pass global assembly (P1 simplices only).
+
+        Uses `cut_poisson_flat_soa`: a single masked-pattern sweep computes
+        std-tier AND cut-tier element values as (E,) vectors (no compaction,
+        no cut capacity, no quadrature tensors), scattered once through
+        `elm_slots_soa`.  Accepts ELL and DIA structures like
+        `assemble_ell_vals_soa`.  Returns (value table, ncut).
+        """
+        from ..ops.straightcut import eps_guard
+
+        et = self.et
+        if self.order != 1 or et not in ("trig", "tet"):
+            raise NotImplementedError("one-pass SoA assembly is P1-simplex")
+        d = ET_DIM[et]
+        nv = d + 1
+        elements = self.elements
+
+        x, lv = _soa_corner_arrays(vertices, elements, lset_vertex)
+        lv = [eps_guard(v) for v in lv]
+        has_neg = lv[0] < 0
+        has_pos = lv[0] > 0
+        for v in lv[1:]:
+            has_neg = has_neg | (v < 0)
+            has_pos = has_pos | (v > 0)
+        ncut = jnp.sum(has_neg & has_pos)
+
+        det, Jinv = _soa_jacobian(x, d)
+        A = cut_poisson_flat_soa(et, lv, det, Jinv, self.lam_nitsche)
+        flat = jnp.concatenate([A[i][j] for i in range(nv)
+                                for j in range(nv)])
+
+        if "offsets" in struct:
+            out_shape = (len(struct["offsets"]), struct["n"])
+        else:
+            out_shape = tuple(struct["ell_cols"].shape)
+        nK = out_shape[0] * out_shape[1]
+        vals = jnp.zeros((nK,), dtype=vertices.dtype)
+        vals = vals.at[struct["elm_slots_soa"]].add(flat)
+        G = self.gp_mats(vertices)
         vals = vals.at[struct["gp_slots"]].add(G.reshape(-1))
         vals = vals.at[struct["id_slots"]].add(1.0)
         return vals.reshape(out_shape), ncut

@@ -106,3 +106,32 @@ def test_dia_requires_order1():
         assert False, "expected NotImplementedError"
     except NotImplementedError:
         pass
+
+
+def test_stencil_assembly_matches_scatter():
+    """Scatter-free windowed-lattice (stencil) assembly equals the one-pass
+    SoA scatter assembly on the DIA table."""
+    for dim, nx in ((2, 8), (3, 6)):
+        m = UnfittedPoisson(nx=nx, dim=dim, order=1, dtype=jnp.float64)
+        dst = m.dia_structure()
+        a, _ = jax.jit(lambda v, l: m.assemble_vals_soa1(v, l, dst))(
+            m.vertices, m.lset)
+        b, _ = jax.jit(lambda v, l: m.assemble_vals_stencil(v, l, dst))(
+            m.vertices, m.lset)
+        assert float(jnp.max(jnp.abs(a - b))) < 1e-13
+
+
+def test_one_pass_soa_matches_quadrature():
+    """Closed-form P1 cut element values (cut_poisson_flat_soa) equal the
+    quadrature-rule assembly to machine precision in f64."""
+    for dim, nx in ((2, 8), (3, 6)):
+        m = UnfittedPoisson(nx=nx, dim=dim, order=1, dtype=jnp.float64)
+        vals = m.lset_np[m.mesh.elements_np]
+        cap = int(((vals < 0).any(1) & (vals > 0).any(1)).sum()) + 4
+        st = m.ell_structure()
+        a, _ = jax.jit(lambda v, l: m.assemble_ell_vals(v, l, cap, st))(
+            m.vertices, m.lset)
+        b, _ = jax.jit(lambda v, l: m.assemble_vals_soa1(v, l, st))(
+            m.vertices, m.lset)
+        rel = float(jnp.max(jnp.abs(a - b)) / jnp.max(jnp.abs(a)))
+        assert rel < 1e-12, (dim, rel)
