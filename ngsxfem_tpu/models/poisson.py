@@ -246,6 +246,84 @@ def _std_stiffness_soa_flat(et, order, S_np, det, Jinv, w):
                             for j in range(nd_l)])
 
 
+def ghost_penalty_flat_soa(et, x1, x2, gamma=0.1):
+    """SoA closed-form P1 facet-patch ghost penalty.
+
+    For P1 the patch jump (u - u_other) is affine on each of the two patch
+    elements, so the penalty integral is exact from vertex values alone:
+    int_T f g = V_T / ((d+1)(d+2)) * [sum_k f_k g_k + (sum_k f_k)(sum_k g_k)]
+    for affine f, g on a d-simplex.  All arrays stay (F,)-shaped (the AoS
+    kernel materializes (F, 2Q, 2nd) quadrature tensors).  Mirrors
+    `ghost_penalty_elmats` (reference SymbolicFacetPatchBFI,
+    xfem/symboliccutbfi.cpp:1104-1413).
+
+    x1/x2: nested per-corner coordinate lists [nv][d] of (F,) vectors for
+    the two neighbor elements.  Returns nested A[i][j] ((2nv)^2) of (F,).
+    """
+    d = ET_DIM[et]
+    nv = d + 1
+    b0, Gref, _ = _p1_affine_basis(et)
+    det1, Jinv1 = _soa_jacobian(x1, d)
+    det2, Jinv2 = _soa_jacobian(x2, d)
+    V1 = jnp.abs(det1) / float(np.prod(range(1, d + 1)))
+    V2 = jnp.abs(det2) / float(np.prod(range(1, d + 1)))
+
+    def basis_at(Jinv, x0, pt):
+        """All P1 basis values of the element (Jinv, x0) at physical pt."""
+        xi = [sum(Jinv[a][g] * (pt[g] - x0[g]) for g in range(d))
+              for a in range(d)]
+        return [float(b0[i]) + sum(float(Gref[i, a]) * xi[a]
+                                   for a in range(d)) for i in range(nv)]
+
+    from ..integrate import vertex_local_ids
+
+    vperm = vertex_local_ids(et, 1)  # corner k holds Lagrange node vperm[k]
+    x0_1 = [x1[0][g] for g in range(d)]
+    x0_2 = [x2[0][g] for g in range(d)]
+    # f_i values at the patch vertices; vertex columns: [T1 verts; T2 verts]
+    # f_i = B1_i (i < nv), f_i = -B2_{i-nv} (i >= nv)   [the (u - u_other)
+    # jump with the same stacked-dof sign convention as ghost_penalty_elmats]
+    F = [[None] * (2 * nv) for _ in range(2 * nv)]
+    for k in range(nv):
+        pt1 = [x1[k][g] for g in range(d)]
+        pt2 = [x2[k][g] for g in range(d)]
+        B2_at_1 = basis_at(Jinv2, x0_2, pt1)
+        B1_at_2 = basis_at(Jinv1, x0_1, pt2)
+        for i in range(nv):
+            F[i][k] = 1.0 if i == int(vperm[k]) else 0.0
+            F[i][nv + k] = B1_at_2[i]
+            F[nv + i][k] = -B2_at_1[i]
+            F[nv + i][nv + k] = -1.0 if i == int(vperm[k]) else 0.0
+
+    c = 1.0 / ((d + 1) * (d + 2))
+    h2 = jnp.abs(det1) ** (2.0 / d)
+    scale = gamma / jnp.maximum(h2, 1e-30)
+    w1 = scale * V1 * c
+    w2 = scale * V2 * c
+    A = [[None] * (2 * nv) for _ in range(2 * nv)]
+    for i in range(2 * nv):
+        for j in range(i, 2 * nv):
+            s1 = None
+            s2 = None
+            sum_i1 = sum_j1 = sum_i2 = sum_j2 = None
+            for k in range(nv):
+                t = F[i][k] * F[j][k]
+                s1 = t if s1 is None else s1 + t
+                t = F[i][nv + k] * F[j][nv + k]
+                s2 = t if s2 is None else s2 + t
+                sum_i1 = F[i][k] if sum_i1 is None else sum_i1 + F[i][k]
+                sum_j1 = F[j][k] if sum_j1 is None else sum_j1 + F[j][k]
+                sum_i2 = (F[i][nv + k] if sum_i2 is None
+                          else sum_i2 + F[i][nv + k])
+                sum_j2 = (F[j][nv + k] if sum_j2 is None
+                          else sum_j2 + F[j][nv + k])
+            Aij = (w1 * (s1 + sum_i1 * sum_j1)
+                   + w2 * (s2 + sum_i2 * sum_j2))
+            A[i][j] = Aij
+            A[j][i] = Aij
+    return A
+
+
 @lru_cache(maxsize=None)
 def _p1_affine_basis(et):
     """Host: P1 basis as an affine map: B_i(p) = b0[i] + Gref[i, :] @ p,
@@ -735,6 +813,7 @@ class UnfittedPoisson:
         idx0 = int(np.searchsorted(offsets, 0))
         slots_i = idx0 * n + inact
         soa = (slots_e.reshape(ne, nd, nd).transpose(1, 2, 0).reshape(-1))
+        gp_soa = (slots_f.reshape(F, nd2, nd2).transpose(1, 2, 0).reshape(-1))
         it = np.int32 if len(offsets) * n < 2**31 else np.int64
         return {
             "offsets": offsets,
@@ -743,6 +822,7 @@ class UnfittedPoisson:
             "elm_slots": slots_e.astype(it),
             "elm_slots_soa": soa.astype(it),
             "gp_slots": slots_f.astype(it),
+            "gp_slots_soa": gp_soa.astype(it),
             "id_slots": slots_i.astype(it),
             "n": n,
         }
@@ -850,10 +930,30 @@ class UnfittedPoisson:
             V = V.at[idx].add(lat)
 
         flat = V.reshape(-1)
-        G = self.gp_mats(vertices)
-        flat = flat.at[struct["gp_slots"]].add(G.reshape(-1))
+        flat = flat.at[struct["gp_slots_soa"]].add(self.gp_flat_soa(vertices))
         flat = flat.at[struct["id_slots"]].add(1.0)
         return flat.reshape(n_off, struct["n"]), ncut
+
+    def gp_flat_soa(self, vertices):
+        """SoA closed-form ghost-penalty values, flat (i, j, f) stream
+        matching `gp_slots_soa` (see ghost_penalty_flat_soa)."""
+        d = ET_DIM[self.et]
+        nv = d + 1
+        e1 = self.elements[self.gp_e1]
+        e2 = self.elements[self.gp_e2]
+
+        def corners(eidx):
+            out = []
+            for i in range(nv):
+                rows = vertices[eidx[:, i]]
+                out.append([rows[:, a] for a in range(d)])
+            return out
+
+        A = ghost_penalty_flat_soa(self.et, corners(e1), corners(e2),
+                                   self.gamma_gp)
+        n2 = 2 * nv
+        return jnp.concatenate([A[i][j] for i in range(n2)
+                                for j in range(n2)])
 
     def ell_gather_structure(self, struct):
         """Inverse slot map for scatter-free global assembly: for every flat
