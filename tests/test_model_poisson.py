@@ -135,3 +135,37 @@ def test_one_pass_soa_matches_quadrature():
             m.vertices, m.lset)
         rel = float(jnp.max(jnp.abs(a - b)) / jnp.max(jnp.abs(a)))
         assert rel < 1e-12, (dim, rel)
+
+
+def test_lattice_assembly_matches_stencil():
+    """Fully lattice-native assembly (slice-based corners, lattice ghost
+    penalty with device-computed band mask) equals the stencil assembly."""
+    for dim, nx in ((2, 8), (3, 6)):
+        m = UnfittedPoisson(nx=nx, dim=dim, order=1, dtype=jnp.float64)
+        dst = m.dia_structure()
+        a, n1 = jax.jit(lambda v, l: m.assemble_vals_stencil(v, l, dst))(
+            m.vertices, m.lset)
+        b, n2 = jax.jit(lambda v, l: m.assemble_vals_lattice(v, l, dst))(
+            m.vertices, m.lset)
+        assert float(jnp.max(jnp.abs(a - b))) < 1e-13
+        assert int(n1) == int(n2)
+
+
+def test_gp_soa_matches_quadrature():
+    """Closed-form SoA ghost penalty equals the quadrature AoS kernel."""
+    from ngsxfem_tpu.models.poisson import (ghost_penalty_elmats,
+                                            ghost_penalty_flat_soa)
+
+    for dim, nx in ((2, 8), (3, 5)):
+        m = UnfittedPoisson(nx=nx, dim=dim, order=1, dtype=jnp.float64)
+        c1 = m.vertices[m.elements[m.gp_e1]]
+        c2 = m.vertices[m.elements[m.gp_e2]]
+        G1 = np.asarray(ghost_penalty_elmats(m.et, 1, c1, c2, m.gamma_gp))
+        x1 = [[c1[:, i, a] for a in range(dim)] for i in range(dim + 1)]
+        x2 = [[c2[:, i, a] for a in range(dim)] for i in range(dim + 1)]
+        A = ghost_penalty_flat_soa(m.et, x1, x2, m.gamma_gp)
+        n2 = 2 * (dim + 1)
+        G2 = np.stack([np.stack([np.asarray(A[i][j]) for j in range(n2)], -1)
+                       for i in range(n2)], -2)
+        rel = np.max(np.abs(G1 - G2)) / np.max(np.abs(G1))
+        assert rel < 1e-12, (dim, rel)
