@@ -5,11 +5,12 @@ The BASELINE.json headline config (reference workload
 geometry, cut stiffness + Nitsche + facet-patch ghost penalty, global
 operator build, and the solve.
 
-FAST PATH (round 3): the pipeline is fully SoA/stencil —
+FAST PATH (round 3): the pipeline is fully lattice-native —
   * closed-form P1 cut element values (models/poisson.cut_poisson_flat_soa):
     no quadrature tensors, every array (E,)-shaped (TPU tile-padding-free);
-  * scatter-free global assembly: windowed lattice adds into an
-    offset-diagonal (DIA) operator table (assemble_vals_stencil);
+  * gather-free AND scatter-free global assembly: corner data are shifted
+    lattice slices, contributions are windowed lattice adds into an
+    offset-diagonal (DIA) operator table (assemble_vals_lattice);
   * gather-free SpMV: 27 static shifted slices (solvers/sparse.dia_matvec),
     0.22 ms per PCG iteration at 117k dofs (the ELL gather path serialized
     at 24.5 ms/iter);
@@ -102,7 +103,7 @@ def _build_fast(dtype, nx):
     dd = {k: (jnp.asarray(v) if "slots" in k else v) for k, v in dst.items()}
 
     def assemble_fn(vertices, lset):
-        return model.assemble_vals_stencil(vertices, lset, dd)
+        return model.assemble_vals_lattice(vertices, lset, dd)
 
     def pcg_fn(V, b, iters=CG_ITERS):
         dinv = jnp.where(jnp.abs(V[k0]) > 1e-30, 1.0 / V[k0], 1.0)
