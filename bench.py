@@ -47,6 +47,7 @@ import os
 import sys
 import time
 import json
+import threading
 import subprocess
 
 os.environ.setdefault("NGSXFEM_TPU_X64", "0")  # f32 compute path for speed
@@ -60,6 +61,17 @@ import jax.numpy as jnp
 # native-f64 assembly stage; the f32 fast path is explicitly typed
 jax.config.update("jax_enable_x64", True)
 
+# honor JAX_PLATFORMS for the CPU subprocess stages: the site-installed
+# axon PJRT plugin pre-imports jax and outranks the env var, so it must be
+# re-applied after import and BEFORE the first jax.devices() (same dance as
+# tests/conftest.py; ngsxfem_tpu.config does it too, but the inner stages
+# touch jax before importing the package)
+if os.environ.get("JAX_PLATFORMS"):
+    try:
+        jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+    except Exception:
+        pass
+
 NGSOLVE_BASELINE_ELTS_PER_SEC = 2.0e4  # estimate, no published number exists
 CG_ITERS = 50          # fixed-budget PCG stage (round-2-comparable metric)
 SCAN_K = 8
@@ -68,6 +80,39 @@ SOLVE_TOL = 1e-10      # asserted on the TRUE f64 residual of the IR solve
 # TPU v5e single-chip peaks (public spec / jax-ml scaling book)
 V5E_PEAK_BF16_FLOPS = 197e12
 V5E_HBM_BYTES_PER_SEC = 819e9
+
+
+def _hb(msg):
+    """Stage heartbeat on stderr (the tunneled TPU can wedge mid-run —
+    memory/axon pathologies #5 — and a silent hang is undiagnosable)."""
+    print(f"[bench +{time.perf_counter() - _T0:7.1f}s] {msg}",
+          file=sys.stderr, flush=True)
+
+
+_T0 = time.perf_counter()
+_PARTIAL = {}           # filled stage by stage; the watchdog emits it on hang
+
+
+def _start_watchdog(deadline_seconds):
+    """If the process is still alive past the deadline (a wedged tunnel
+    blocks in C and is neither interruptible nor raisable), print ONE JSON
+    line from whatever stages completed and hard-exit — the driver must
+    always receive a record."""
+    def w():
+        time.sleep(deadline_seconds)
+        out = dict(_PARTIAL)
+        out.setdefault("metric", "3d_fictdom_pipeline_throughput")
+        out.setdefault("value", 0.0)
+        out.setdefault("unit", "elements/sec")
+        out.setdefault("vs_baseline", 0.0)
+        out["incomplete"] = (
+            f"watchdog: stage hung past {deadline_seconds:.0f}s budget "
+            "(tunneled TPU runtime wedge); values are from completed stages")
+        print(json.dumps(out), flush=True)
+        os._exit(0)
+
+    t = threading.Thread(target=w, daemon=True)
+    t.start()
 
 
 def _time(fn, *args, reps=3):
@@ -143,16 +188,21 @@ def _build_fast(dtype, nx):
 
 
 def bench_pipeline(dtype, nx, reps, scan=True, ir=True):
+    _hb(f"pipeline stage: build nx={nx} {jnp.dtype(dtype).name}")
     model, F, b = _build_fast(dtype, nx)
     assemble = jax.jit(F["assemble"])
     pipeline = jax.jit(F["pipeline"])
     v, l = model.vertices, model.lset
 
+    _hb("pipeline stage: compile+first assemble")
     V, n_dev = assemble(v, l)
     jax.block_until_ready(V)
 
+    _hb("pipeline stage: timing assemble")
     t_asm, _ = _time(assemble, v, l, reps=reps)
+    _hb("pipeline stage: timing pcg")
     t_slv, (xs, res) = _time(jax.jit(F["pcg"]), V, b, reps=reps)
+    _hb("pipeline stage: timing fused pipeline")
     t_pipe, (_, res_p, _) = _time(pipeline, v, l, b, reps=reps)
 
     r0 = float(jnp.linalg.norm(b))
@@ -166,6 +216,7 @@ def bench_pipeline(dtype, nx, reps, scan=True, ir=True):
         "t_pipe": t_pipe,
     }
     if ir:
+        _hb("pipeline stage: timing IR converged solve")
         t_ir, (x64, res64) = _time(jax.jit(F["ir"]), V, b, reps=reps)
         rel = float(res64) / r0
         # converged solve: TRUE f64 residual, asserted
@@ -174,6 +225,7 @@ def bench_pipeline(dtype, nx, reps, scan=True, ir=True):
         out["ir_true_rel_residual"] = rel
         out["converged_pipe_elts_per_sec"] = model.mesh.ne / (t_asm + t_ir)
     if scan:
+        _hb(f"pipeline stage: timing amortized scan K={SCAN_K}")
         pipeline_k = jax.jit(F["pipeline_k"])
         t_k, (_, ress) = _time(pipeline_k, v, l, b, reps=max(2, reps - 1))
         out["t_pipe_k"] = t_k
@@ -279,22 +331,43 @@ def main():
         print(json.dumps(out))
         return
 
-    # enter the synchronous (observable-completion) regime BEFORE timing
-    _ = float(jnp.sum(jnp.ones((8, 8), jnp.float32)))
-
     budget = float(os.environ.get("BENCH_BUDGET_SECONDS", "2700"))
     t_start = time.perf_counter()
+    _start_watchdog(budget + 120)
 
     def budget_left():
         return budget - (time.perf_counter() - t_start)
 
+    # enter the synchronous (observable-completion) regime BEFORE timing
+    _hb("entering synchronous regime (first D2H read)")
+    _ = float(jnp.sum(jnp.ones((8, 8), jnp.float32)))
+    _hb("synchronous regime entered")
+
     r32 = bench_pipeline(jnp.float32, nx, reps)
+    _PARTIAL.update({
+        "metric": "3d_fictdom_pipeline_throughput",
+        "value": round(r32.get("amortized_pipe_elts_per_sec",
+                               r32["pipe_elts_per_sec"]), 1),
+        "unit": "elements/sec",
+        "vs_baseline": round(
+            r32.get("amortized_pipe_elts_per_sec", r32["pipe_elts_per_sec"])
+            / NGSOLVE_BASELINE_ELTS_PER_SEC, 2),
+        "ne": r32["ne"], "ndof": r32["ndof"],
+        "percall_pipe_elts_per_sec": round(r32["pipe_elts_per_sec"], 1),
+        "assembly_elts_per_sec": round(r32["asm_elts_per_sec"], 1),
+        "converged_solve": {
+            "seconds": r32.get("ir_solve_seconds"),
+            "true_f64_rel_residual": r32.get("ir_true_rel_residual"),
+            "pipe_elts_per_sec": r32.get("converged_pipe_elts_per_sec"),
+        },
+    })
 
     # native-f64 stage: the SoA/stencil pipeline has no tile-padded
     # tensors, so full-f64 assembly runs at benchmark scale (round 2 was
     # capped at nx=16 by the padded-quadrature HBM blowup)
     f64 = None
     if os.environ.get("BENCH_F64", "1") != "0" and budget_left() > 400:
+        _hb("f64 stage")
         try:
             r64 = bench_pipeline(jnp.float64, nx, max(2, reps - 1),
                                  scan=False, ir=True)
@@ -309,15 +382,19 @@ def main():
         except Exception as e:
             f64 = {"error": f"{type(e).__name__}: {e}"[:300]}
 
+    _PARTIAL["f64_native"] = f64
+
     mg = None
     if os.environ.get("BENCH_MG", "1") != "0":
         if budget_left() < 600:
             mg = {"skipped": "bench budget exhausted"}
         else:
+            _hb("MG converged-solve stage")
             try:
                 mg = bench_mg_solve(jnp.float32, nx, 1)
             except Exception as e:
                 mg = {"error": f"{type(e).__name__}: {e}"[:300]}
+    _PARTIAL["mg_converged_solve"] = mg
 
     def _sub(env_key, timeout, extra_env=None):
         try:
@@ -330,11 +407,16 @@ def main():
             return None
 
     _cpu_env = {"JAX_PLATFORMS": "cpu"}
-    cost = _sub("BENCH_INNER_COST", max(300, budget_left())) \
+    _hb("XLA cost-model subprocess stage")
+    # the cost model comes from the CPU-compiled twin of the same program
+    # (the tunneled backend exposes no cost analysis)
+    cost = _sub("BENCH_INNER_COST", max(300, budget_left()), _cpu_env) \
         if os.environ.get("BENCH_COST", "1") != "0" else None
+    _hb("CPU-pipeline subprocess stage")
     cpu = (_sub("BENCH_INNER_CPUPIPE", max(300, budget_left()), _cpu_env)
            if os.environ.get("BENCH_CPU", "1") != "0"
            and budget_left() > 300 else None)
+    _hb("emitting JSON")
 
     mfu = None
     roofline = None
