@@ -131,6 +131,28 @@ def main():
             mv = lambda x: jnp.sum(vals * x[cols], axis=1)
             return cg(mv, b, maxiter=50, tol=0.0, M=lambda r: dinv * r)
 
+        # ---- lattice/DIA fast path (structured meshes; bench.py headline) --
+        from ngsxfem_tpu.solvers.sparse import dia_matvec
+        dst = model.dia_structure()
+        offs = dst["offsets"]
+        k0 = int(np.searchsorted(offs, 0))
+        dd = {k: (jnp.asarray(w) if "slots" in k else w)
+              for k, w in dst.items()}
+
+        @jax.jit
+        def assemble_lat(v, l):
+            return model.assemble_vals_lattice(v, l, dd)
+
+        @jax.jit
+        def mv_dia(V, x):
+            return dia_matvec(offs, V, x)
+
+        @jax.jit
+        def solve50_dia(V, b):
+            dinv = jnp.where(jnp.abs(V[k0]) > 1e-30, 1.0 / V[k0], 1.0)
+            return cg(lambda x: dia_matvec(offs, V, x), b,
+                      maxiter=50, tol=0.0, M=lambda r: dinv * r)
+
         v, l = model.vertices, model.lset
         b = jnp.where(jnp.asarray(model.active_dofs), 1.0, 0.0).astype(jnp.float32)
         colsj = jnp.asarray(cols_np)
@@ -145,18 +167,33 @@ def main():
         except Exception as e:
             t_mvp = None
         t_cg = timeit(solve50, ell_vals, colsj, b, reps=2)
-        report.append((nx, model.mesh.ne, model.ndof, t_asm, t_asg, t_mv, t_mvp, t_cg))
+
+        V_lat, _ = assemble_lat(v, l)
+        jax.block_until_ready(V_lat)
+        b_lat = jnp.asarray(
+            np.where(model.active_dofs[dst["perm_inv"]], 1.0, 0.0),
+            dtype=jnp.float32)
+        t_lat = timeit(assemble_lat, v, l, reps=5)
+        t_mvd = timeit(mv_dia, V_lat, b_lat, reps=5)
+        t_cgd = timeit(solve50_dia, V_lat, b_lat, reps=2)
+
+        report.append((nx, model.mesh.ne, model.ndof, t_asm, t_asg, t_mv,
+                       t_mvp, t_cg, t_lat, t_mvd, t_cgd))
         if os.environ.get("PERF_AB", "1") != "0" and nx == sizes[0]:
             public_api_ab(nx, t_asm)
 
     # host reads only now
-    for nx, ne, ndof, t_asm, t_asg, t_mv, t_mvp, t_cg in report:
+    for (nx, ne, ndof, t_asm, t_asg, t_mv, t_mvp, t_cg,
+         t_lat, t_mvd, t_cgd) in report:
         print(f"nx={nx} ne={ne} ndof={ndof}: "
               f"asm-scatter {ne/t_asm/1e6:.2f}M elts/s ({t_asm*1e3:.1f} ms), "
               f"asm-gather {ne/t_asg/1e6:.2f}M elts/s ({t_asg*1e3:.1f} ms), "
               f"spmv jnp {t_mv*1e6:.0f} us"
               + (f", pallas {t_mvp*1e6:.0f} us" if t_mvp else ", pallas n/a")
               + f", cg50 {t_cg*1e3:.2f} ms")
+        print(f"      lattice/DIA: asm {ne/t_lat/1e6:.2f}M elts/s "
+              f"({t_lat*1e3:.1f} ms), spmv dia {t_mvd*1e6:.0f} us, "
+              f"cg50 {t_cgd*1e3:.2f} ms")
 
 
 if __name__ == "__main__":
