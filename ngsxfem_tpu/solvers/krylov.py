@@ -87,15 +87,29 @@ def cg_ir(matvec32, matvec64, b, M=None, outer=4, inner=120):
         M = lambda r: r
     b64 = b.astype(jnp.float64)
     x64 = jnp.zeros_like(b64)
+    r64 = b64
+    rn = jnp.linalg.norm(r64)
+    # SAFEGUARDED refinement: the inner f32 CG on an ill-conditioned cut
+    # system can diverge (overflow -> inf -> NaN cascade); a correction is
+    # applied only if it REDUCES the true f64 residual, and non-finite
+    # entries are zeroed first.  Same matvec64 count as the plain loop
+    # (the candidate residual IS the next iteration's residual); the
+    # returned residual is monotone non-increasing and finite whenever
+    # (A, b) are.
     for _ in range(outer):
-        r64 = b64 - matvec64(x64)
-        rn = jnp.linalg.norm(r64)
-        scale = jnp.maximum(rn, 1e-300)
+        scale = jnp.maximum(rn, 1e-30)
         r32 = (r64 / scale).astype(jnp.float32)
         d, _, _ = cg(matvec32, r32, M=M, maxiter=inner, tol=0.0)
-        x64 = x64 + scale * d.astype(jnp.float64)
-    r64 = b64 - matvec64(x64)
-    return x64, jnp.linalg.norm(r64)
+        d64 = d.astype(jnp.float64)
+        d64 = jnp.where(jnp.isfinite(d64), d64, 0.0)
+        x_c = x64 + scale * d64
+        r_c = b64 - matvec64(x_c)
+        rn_c = jnp.linalg.norm(r_c)
+        accept = rn_c < rn  # False on NaN: rejects a poisoned correction
+        x64 = jnp.where(accept, x_c, x64)
+        r64 = jnp.where(accept, r_c, r64)
+        rn = jnp.where(accept, rn_c, rn)
+    return x64, rn
 
 
 def jacobi_preconditioner(diag, free_mask=None):

@@ -163,3 +163,46 @@ def test_functional_ell_mg_f32_host_prepare():
     bn = float(jnp.linalg.norm(b))
     assert float(res) <= 1e-6 * bn * 1.5
     assert int(k) <= 20, int(k)
+
+
+def test_cg_ir_converges_and_safeguards():
+    """Safeguarded mixed-precision iterative refinement: converges to true
+    f64 tolerance on an SPD system, and stays FINITE with a non-increasing
+    residual when the inner f32 CG diverges (non-SPD operator — the
+    nx=48-on-TPU NaN regression, bench.py f64 stage)."""
+    import numpy as np
+    import jax.numpy as jnp
+
+    from ngsxfem_tpu.solvers.krylov import cg_ir
+
+    rng = np.random.default_rng(3)
+    n = 200
+    Q = np.linalg.qr(rng.standard_normal((n, n)))[0]
+    # ill-conditioned SPD (cond ~1e4: hard for plain f32, fine for IR)
+    A = (Q * (10.0 ** rng.uniform(-4, 0, n))) @ Q.T
+    A = 0.5 * (A + A.T)
+    b = rng.standard_normal(n)
+    A64 = jnp.asarray(A)
+    A32 = jnp.asarray(A, dtype=jnp.float32)
+    b32 = jnp.asarray(b, dtype=jnp.float32)
+    dinv = jnp.asarray(1.0 / np.diag(A), dtype=jnp.float32)
+    x, res = cg_ir(lambda v: A32 @ v, lambda v: A64 @ v, b32,
+                   M=lambda r: dinv * r, outer=8, inner=200)
+    assert float(res) < 1e-10 * np.linalg.norm(b)
+    xs = np.linalg.solve(A, b)
+    # forward error bound: cond(A)*rel_res amplified through ||x|| ~ 3e4
+    assert np.linalg.norm(np.asarray(x) - xs) < 1e-7 * np.linalg.norm(xs)
+
+    # non-SPD: plain CG diverges/NaNs; the safeguard must reject poisoned
+    # corrections and return a finite residual <= ||b||
+    B = rng.standard_normal((n, n)) - 3 * np.eye(n)  # indefinite
+    B64 = jnp.asarray(B)
+    B32 = jnp.asarray(B, dtype=jnp.float32)
+    x2, res2 = cg_ir(lambda v: B32 @ v, lambda v: B64 @ v, b32,
+                     outer=4, inner=80)
+    assert bool(jnp.isfinite(res2)), "residual must be finite"
+    assert bool(jnp.isfinite(x2).all()), "solution must be finite"
+    # monotone safeguard: residual never exceeds the initial one (||b32||,
+    # since cg_ir starts from x=0 on the f32-cast rhs)
+    bn32 = np.linalg.norm(np.asarray(b32, dtype=np.float64))
+    assert float(res2) <= bn32 * (1 + 1e-12)
