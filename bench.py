@@ -180,10 +180,19 @@ def _build_fast(dtype, nx):
                      b.astype(jnp.float32), M=lambda r: dinv * r,
                      outer=IR_OUTER, inner=IR_INNER)
 
+    def f64cg_fn(V, b):
+        """Native-f64 Jacobi-PCG to SOLVE_TOL — fallback converged solve for
+        the f64 stage when the mixed-precision IR path stalls on-chip."""
+        V64 = V.astype(jnp.float64)
+        dinv = jnp.where(jnp.abs(V64[k0]) > 1e-30, 1.0 / V64[k0], 1.0)
+        b64 = b.astype(jnp.float64)
+        return cg(lambda x: dia_matvec(offs, V64, x), b64,
+                  M=lambda r: dinv * r, maxiter=1200, tol=SOLVE_TOL)
+
     b_np = np.where(model.active_dofs[dst["perm_inv"]], 1.0, 0.0)
     b = jnp.asarray(b_np, dtype=dtype)
     funcs = dict(assemble=assemble_fn, pcg=pcg_fn, pipeline=pipeline_fn,
-                 pipeline_k=pipeline_k_fn, ir=ir_solve_fn)
+                 pipeline_k=pipeline_k_fn, ir=ir_solve_fn, f64cg=f64cg_fn)
     return model, funcs, b
 
 
@@ -219,15 +228,25 @@ def bench_pipeline(dtype, nx, reps, scan=True, ir=True, ir_assert=True):
         _hb("pipeline stage: timing IR converged solve")
         t_ir, (x64, res64) = _time(jax.jit(F["ir"]), V, b, reps=reps)
         rel = float(res64) / r0
-        # converged solve: TRUE f64 residual, asserted (the f64-native
-        # stage reports instead of asserting: the emulated-f64 IR program
-        # NaNs at nx=48 through the tunnel while the same code is correct
-        # on CPU at every size and on TPU at nx<=12 — under diagnosis)
+        # converged solve: TRUE f64 residual, asserted on the f32 stage.
+        # cg_ir is SAFEGUARDED (monotone, finite: corrections that increase
+        # the true f64 residual are rejected), so a diverging inner f32 CG
+        # can only stall it — in which case the f64 stage falls back to a
+        # native-f64 PCG below so the converged metric is always real.
         if ir_assert:
             assert rel <= SOLVE_TOL, f"IR solve missed tolerance: {rel}"
         out["ir_solve_seconds"] = t_ir
         out["ir_true_rel_residual"] = rel
         out["converged_pipe_elts_per_sec"] = model.mesh.ne / (t_asm + t_ir)
+        if not ir_assert and rel > SOLVE_TOL:
+            _hb("pipeline stage: IR stalled -> native-f64 PCG fallback")
+            t_cg, (_, k64, res_cg) = _time(jax.jit(F["f64cg"]), V, b,
+                                           reps=max(2, reps - 1))
+            out["f64cg_solve_seconds"] = t_cg
+            out["f64cg_iters"] = int(k64)
+            out["f64cg_rel_residual"] = float(res_cg) / r0
+            out["converged_pipe_elts_per_sec"] = \
+                model.mesh.ne / (t_asm + t_cg)
     if scan:
         _hb(f"pipeline stage: timing amortized scan K={SCAN_K}")
         pipeline_k = jax.jit(F["pipeline_k"])
@@ -385,6 +404,10 @@ def main():
                     r64.get("converged_pipe_elts_per_sec"),
                 "f64_ir_true_rel_residual": r64.get("ir_true_rel_residual"),
             }
+            for k in ("f64cg_solve_seconds", "f64cg_iters",
+                      "f64cg_rel_residual"):
+                if k in r64:
+                    f64[k] = r64[k]
         except Exception as e:
             f64 = {"error": f"{type(e).__name__}: {e}"[:300]}
 
