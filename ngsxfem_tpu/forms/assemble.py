@@ -259,56 +259,18 @@ def _volume_tiers(integral: Integral, mesh, order, dyn=None):
         ctx, w, mask = _volume_ctx(integral, mesh, order, dyn=dyn)
         return [(ctx, w, mask, None)]
 
-    from ..integrate import lset_vertex_values
-    from ..ops.straightcut import cut_rule_element, eps_guard
+    from ..integrate import two_tier_tiers
     from ..jitcache import dyn_get
 
     ld = integral.levelset_domain
     o = order if ld["force_intorder"] < 0 else ld["force_intorder"]
     if integral.force_intorder > 0:
         o = integral.force_intorder
-    dt = int(ld["domain_type"])
-    lgf = ld["levelset"]
     deform = (integral.deformation if integral.deformation is not None
               else "inherit")
-    cap = getattr(integral, "_cut_cap", None) or _cut_capacity(lgf)
-
-    vals = eps_guard(lset_vertex_values(lgf, dyn))
-    has_neg = jnp.any(vals < 0, axis=1)
-    has_pos = jnp.any(vals > 0, axis=1)
-    cut = has_neg & has_pos
-    ncut = jnp.sum(cut)
-    cut_ids = jnp.nonzero(cut, size=cap, fill_value=0)[0]
-    valid = jnp.arange(cap) < ncut
-
-    tiers = []
-    if dt != int(IF):
-        rp, rw = reference_rule(mesh.et, o)
-        E = mesh.ne
-        pts = jnp.broadcast_to(
-            jnp.asarray(rp, dtype=config.dtype)[None], (E,) + rp.shape)
-        ctx = EvalCtx(mesh, pts, dyn=dyn, deformation=deform)
-        sel = (has_neg & ~has_pos) if dt == int(NEG) else (has_pos & ~has_neg)
-        w = jnp.asarray(rw, dtype=config.dtype)[None, :] * jnp.abs(ctx.detJ)
-        w = jnp.where(sel[:, None], w, 0.0)
-        tiers.append((ctx, w, jnp.broadcast_to(sel[:, None], w.shape), None))
-
-    cvals = vals[cut_ids]
-    rule = cut_rule_element(mesh.et, cvals, o, ld["quad_dir_policy"])
-    if dt == int(IF):
-        cctx = EvalCtx(mesh, rule.pts_if, elem_ids=cut_ids, nref=rule.nref,
-                       dyn=dyn, deformation=deform)
-        w_ref = rule.w_if
-        w = w_ref * jnp.abs(cctx.detJ) * cctx.if_scale
-    else:
-        cctx = EvalCtx(mesh, rule.pts, elem_ids=cut_ids, dyn=dyn,
-                       deformation=deform)
-        w_ref = rule.w * (rule.side == dt)
-        w = w_ref * jnp.abs(cctx.detJ)
-    w = jnp.where(valid[:, None], w, 0.0)
-    w = w + jnp.where(ncut <= cap, 0.0, jnp.nan)  # overflow -> loud NaN
-    cmask = (w_ref > 0) & valid[:, None]
-    tiers.append((cctx, w, cmask, cut_ids))
+    cap = getattr(integral, "_cut_cap", None) or _cut_capacity(ld["levelset"])
+    tiers = two_tier_tiers(mesh, ld["levelset"], int(ld["domain_type"]), o,
+                           cap, ld["quad_dir_policy"], dyn=dyn, deform=deform)
 
     if integral.definedonelements is not None:
         sel_arr = dyn_get(dyn, integral, "mask",

@@ -198,14 +198,19 @@ def lset_st_vertex_values(lset_gf, dyn=None):
     return jnp.stack(blocks, axis=1)
 
 
-def _two_tier_integrate(mesh, cf, lgf, dt, order, cap, policy, ew, dyn):
-    """Two-tier cut integration: standard rule on matching uncut elements +
-    compacted cut kernel (mirrors forms/assemble._volume_tiers; the
-    expensive cut-rule construction scales with the interface, not the
-    volume).  Returns per-element sums (ew=True) or the scalar integral."""
+def two_tier_tiers(mesh, lgf, dt, order, cap, policy, dyn=None,
+                   deform="inherit"):
+    """Two-tier cut quadrature tiers [(ctx, w_phys (R,Q), mask,
+    scatter_ids)]: the cheap standard rule over ALL elements weight-masked
+    to matching uncut elements (NEG/POS only), plus the full cut kernel on
+    a fixed-capacity compaction of cut elements (scatter_ids; pad slots
+    zero-weighted).  The expensive cut-rule construction then scales with
+    the interface, not the volume.  Capacity overflow poisons the cut-tier
+    weights with NaN — loud, never silently wrong.  Shared by
+    ``Integrate`` and ``forms/assemble._volume_tiers``."""
     from .ops.straightcut import eps_guard
-    from .cf.context import eval_pure
 
+    dt = int(dt)
     vals = eps_guard(lset_vertex_values(lgf, dyn))
     has_neg = jnp.any(vals < 0, axis=1)
     has_pos = jnp.any(vals > 0, axis=1)
@@ -213,35 +218,51 @@ def _two_tier_integrate(mesh, cf, lgf, dt, order, cap, policy, ew, dyn):
     ncut = jnp.sum(cut)
     cut_ids = jnp.nonzero(cut, size=cap, fill_value=0)[0]
     valid = jnp.arange(cap) < ncut
-    poison = jnp.where(ncut <= cap, 0.0, jnp.nan)
 
-    E = mesh.ne
-    total_e = jnp.zeros((E,), dtype=config.dtype)
-    if dt != IF:
+    tiers = []
+    if dt != int(IF):
         rp, rw = reference_rule(mesh.et, order)
+        E = mesh.ne
         pts = jnp.broadcast_to(
             jnp.asarray(rp, dtype=config.dtype)[None], (E,) + rp.shape)
-        ctx = EvalCtx(mesh, pts, dyn=dyn)
+        ctx = EvalCtx(mesh, pts, dyn=dyn, deformation=deform)
         sel = (has_neg & ~has_pos) if dt == int(NEG) else (has_pos & ~has_neg)
         w = jnp.asarray(rw, dtype=config.dtype)[None, :] * jnp.abs(ctx.detJ)
-        f = jnp.broadcast_to(eval_pure(cf, ctx), w.shape)
-        total_e = jnp.where(sel, jnp.sum(f * w, axis=1), 0.0)
+        w = jnp.where(sel[:, None], w, 0.0)
+        tiers.append((ctx, w, jnp.broadcast_to(sel[:, None], w.shape), None))
 
     cvals = vals[cut_ids]
     rule = cut_rule_element(mesh.et, cvals, order, policy)
     if dt == int(IF):
         cctx = EvalCtx(mesh, rule.pts_if, elem_ids=cut_ids, nref=rule.nref,
-                       dyn=dyn)
-        w = rule.w_if * jnp.abs(cctx.detJ) * cctx.if_scale
-        mask = rule.w_if > 0
+                       dyn=dyn, deformation=deform)
+        w_ref = rule.w_if
+        w = w_ref * jnp.abs(cctx.detJ) * cctx.if_scale
     else:
-        cctx = EvalCtx(mesh, rule.pts, elem_ids=cut_ids, dyn=dyn)
-        w_ref = rule.w * (rule.side == int(dt))
+        cctx = EvalCtx(mesh, rule.pts, elem_ids=cut_ids, dyn=dyn,
+                       deformation=deform)
+        w_ref = rule.w * (rule.side == dt)
         w = w_ref * jnp.abs(cctx.detJ)
-        mask = w_ref > 0
-    f = jnp.broadcast_to(eval_pure(cf, cctx), w.shape)
-    per_c = jnp.sum(jnp.where(mask, f, 0.0) * w, axis=1) + poison
-    total_e = total_e.at[cut_ids].add(jnp.where(valid, per_c, 0.0))
+    w = jnp.where(valid[:, None], w, 0.0)
+    w = w + jnp.where(ncut <= cap, 0.0, jnp.nan)  # overflow -> loud NaN
+    cmask = (w_ref > 0) & valid[:, None]
+    tiers.append((cctx, w, cmask, cut_ids))
+    return tiers
+
+
+def _two_tier_integrate(mesh, cf, lgf, dt, order, cap, policy, ew, dyn):
+    """Two-tier cut integration of a CoefficientFunction over the tiers of
+    ``two_tier_tiers``.  Returns per-element sums (ew=True) or the scalar
+    integral."""
+    from .cf.context import eval_pure
+
+    total_e = jnp.zeros((mesh.ne,), dtype=config.dtype)
+    for ctx, w, mask, sids in two_tier_tiers(mesh, lgf, dt, order, cap,
+                                             policy, dyn=dyn):
+        f = jnp.broadcast_to(eval_pure(cf, ctx), w.shape)
+        per = jnp.sum(jnp.where(mask, f, 0.0) * w, axis=1)
+        total_e = (total_e + per if sids is None
+                   else total_e.at[sids].add(per))
     return total_e if ew else jnp.sum(total_e)
 
 

@@ -76,9 +76,12 @@ _GMSH_ID = {"segm": 1, "trig": 2, "quad": 3, "tet": 4, "hex": 5}
 def ReadGmsh(path):
     """Read a Gmsh v2.2 ASCII ``.msh`` file into a Mesh.
 
-    Highest-dimension cells become the (single-type) element set; their
-    facet-dimension elements provide boundary ids from the physical tag;
-    ``$PhysicalNames`` populates ``mesh.bc_names``.
+    Highest-dimension cells become the element set; their facet-dimension
+    elements provide boundary ids from the physical tag; ``$PhysicalNames``
+    populates ``mesh.bc_names``.  A file mixing several cell types of the
+    same dimension (e.g. quad-dominated trig+quad) returns a
+    ``CompositeMesh`` of single-type groups (boundary tags are dropped —
+    CompositeMesh carries none; a warning says so).
     """
     with open(path) as f:
         lines = f.read().split("\n")
@@ -134,6 +137,23 @@ def ReadGmsh(path):
     cell_et = max(by_et, key=lambda e: ET_DIM.get(e, 0))
     dim = ET_DIM[cell_et]
     vertices = pts3[:, :dim]
+
+    cell_ets = sorted(e for e in by_et if ET_DIM.get(e, 0) == dim)
+    if len(cell_ets) > 1:
+        # mixed same-dimension cell types: a single-type Mesh would have to
+        # DROP cells — return the composite representation instead
+        import warnings
+
+        from .composite import CompositeMesh
+
+        has_bc = any(ET_DIM.get(e, -1) == dim - 1 for e in by_et)
+        warnings.warn(
+            f"ReadGmsh: mixed cell types {cell_ets} -> CompositeMesh"
+            + ("; boundary tags dropped" if has_bc else ""))
+        groups = [(e, np.array([[id2new[v] for v in verts]
+                                for _, verts in by_et[e]], dtype=np.int32))
+                  for e in cell_ets]
+        return CompositeMesh(vertices, groups)
     elements = np.array(
         [[id2new[v] for v in verts] for _, verts in by_et[cell_et]],
         dtype=np.int32)

@@ -756,7 +756,8 @@ class UnfittedPoisson:
         # host numpy throughout: used as baked-in literals inside jit
         return {
             "ell_cols": ell_cols,
-            "elm_slots": slots[:ns].astype(np.int32) if n < 2**31 else slots[:ns],
+            "elm_slots": slots[:ns].astype(np.int32)
+            if n * K < 2**31 else slots[:ns],
             "elm_slots_soa": slots_soa.astype(np.int32)
             if n * K < 2**31 else slots_soa,
             "gp_slots": slots[ns:ns + len(rows_f)].astype(np.int32)

@@ -90,8 +90,10 @@ class LatticeShard:
                     cur_b = lax.ppermute(cur_b, "z", bwd)
                     prev_parts.insert(0, cur_f)
                     next_parts.append(cur_b)
-                from_prev = jnp.concatenate(prev_parts)[-hp:] \
-                    if hops * Lp >= hp else None
+                # hops = ceil(H/L) guarantees the collected ring covers the
+                # halo: hops * Lp >= hp (static host values)
+                assert hops * Lp >= hp, (hops, Lp, hp)
+                from_prev = jnp.concatenate(prev_parts)[-hp:]
                 from_next = jnp.concatenate(next_parts)[:hp]
             else:
                 from_prev = jnp.zeros((hp,), xl.dtype)

@@ -520,13 +520,23 @@ class P2TwoGridCL:
         return self.P.matvec(zc)
 
     def Mult(self, rhs, usol=None):
+        """Iterate to tolerance; returns the solution.  ``usol`` follows the
+        reference's out-parameter convention (cutmg.py P2TwoGridCL.Mult):
+        a mutable array passed as ``usol`` receives the solution in place
+        (its incoming values also serve as the initial iterate)."""
         b = jnp.where(self.free, jnp.asarray(rhs), 0.0)
-        x = jnp.zeros_like(b)
+        if usol is not None:
+            x = jnp.where(self.free, jnp.asarray(np.asarray(usol)), 0.0)
+        else:
+            x = jnp.zeros_like(b)
         normb = float(jnp.linalg.norm(b))
         for it in range(self.maxit):
             x = self.smoother.smooth(x, b, self.nu)
             r = jnp.where(self.free, b - self.A.matvec(x), 0.0)
-            x = x + self._coarse_correct(r)
+            # mask the prolongated correction: unmasked it deposits values
+            # at non-free (Dirichlet/inactive) dofs that no free-masked
+            # smoother or residual ever cleans up
+            x = x + jnp.where(self.free, self._coarse_correct(r), 0.0)
             x = self.smoother.smooth(x, b, self.nu)
             r = jnp.where(self.free, b - self.A.matvec(x), 0.0)
             res = float(jnp.linalg.norm(r)) / max(normb, 1e-300)
@@ -534,6 +544,11 @@ class P2TwoGridCL:
                 print("it =", it + 1, " ||res||_2 =", res)
             if res < self.tol:
                 break
+        if usol is not None:
+            try:
+                usol[:] = np.asarray(x)
+            except TypeError:
+                pass  # immutable input: caller uses the return value
         return x
 
     def __mul__(self, rhs):

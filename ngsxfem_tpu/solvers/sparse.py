@@ -241,8 +241,10 @@ class DIAMatrix:
     __matmul__ = matvec
 
     def diagonal(self):
-        k0 = int(np.searchsorted(self.offsets, 0))
-        return self.vals[k0]
+        k0 = np.flatnonzero(np.asarray(self.offsets) == 0)
+        if k0.size != 1:
+            raise ValueError("DIAMatrix has no offset-0 diagonal")
+        return self.vals[int(k0[0])]
 
 
 class InverseMatrix:

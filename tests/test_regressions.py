@@ -305,3 +305,22 @@ def test_asm_cache_lru_bounded():
         assert np.abs(np.asarray(a.mat.todense()) - A1).max() < 1e-14
     finally:
         asm._ASM_CACHE = old
+
+
+def test_diamatrix_diagonal_requires_zero_offset():
+    """DIAMatrix.diagonal() must return the TRUE main diagonal (not a
+    searchsorted insertion point) and raise when offset 0 is absent
+    (code-review regression)."""
+    import numpy as np
+    import jax.numpy as jnp
+    import pytest
+
+    from ngsxfem_tpu.solvers.sparse import DIAMatrix
+
+    n = 5
+    vals = jnp.asarray(np.arange(3 * n, dtype=np.float32).reshape(3, n))
+    m = DIAMatrix(offsets=[-1, 0, 1], vals=vals)
+    assert np.allclose(np.asarray(m.diagonal()), np.arange(n, 2 * n))
+    m2 = DIAMatrix(offsets=[-1, 1], vals=vals[:2])
+    with pytest.raises(ValueError):
+        m2.diagonal()

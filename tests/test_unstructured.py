@@ -171,3 +171,43 @@ def test_gmsh_roundtrip(tmp_path):
     assert (b1 == b2).all()
     vol = Integrate(cf=1.0, mesh=m2, order=1)
     assert abs(vol - 1.0) < 1e-12
+
+
+def test_gmsh_mixed_cell_types_composite(tmp_path):
+    """A .msh mixing trig and quad cells of the same dimension must not
+    silently drop either type: ReadGmsh returns a CompositeMesh with both
+    groups (code-review regression)."""
+    import warnings
+
+    from ngsxfem_tpu.mesh.composite import CompositeMesh
+
+    # unit square: left half = 2 trigs, right half = 1 quad (5 nodes)
+    msh = """$MeshFormat
+2.2 0 8
+$EndMeshFormat
+$Nodes
+6
+1 0 0 0
+2 0.5 0 0
+3 1 0 0
+4 0 1 0
+5 0.5 1 0
+6 1 1 0
+$EndNodes
+$Elements
+3
+1 2 1 1 1 2 5
+2 2 1 1 1 5 4
+3 3 1 1 2 3 6 5
+$EndElements
+"""
+    p = tmp_path / "mixed.msh"
+    p.write_text(msh)
+    with warnings.catch_warnings(record=True) as rec:
+        warnings.simplefilter("always")
+        m = ReadGmsh(str(p))
+    assert isinstance(m, CompositeMesh)
+    assert any("mixed cell types" in str(w.message) for w in rec)
+    ets = sorted(sm.et for sm in m.submeshes)
+    assert ets == ["quad", "trig"]
+    assert m.ne == 3 and m.nv == 6
