@@ -502,5 +502,25 @@ def main():
     print(json.dumps(out))
 
 
+def _emit_failure(e):
+    """The driver must ALWAYS receive one JSON line — a dead TPU tunnel
+    (backend init UNAVAILABLE) or a mid-run crash emits the completed
+    stages plus the error instead of a bare traceback."""
+    import traceback
+
+    out = dict(_PARTIAL)
+    out.setdefault("metric", "3d_fictdom_pipeline_throughput")
+    out.setdefault("value", 0.0)
+    out.setdefault("unit", "elements/sec")
+    out.setdefault("vs_baseline", 0.0)
+    out["error"] = f"{type(e).__name__}: {e}"[:500]
+    traceback.print_exc(file=sys.stderr)
+    print(json.dumps(out), flush=True)
+
+
 if __name__ == "__main__":
-    main()
+    try:
+        main()
+    except BaseException as e:  # noqa: BLE001 - always emit the JSON line
+        _emit_failure(e)
+        sys.exit(0)
