@@ -194,3 +194,32 @@ def test_fictdom_hex_mesh():
 
     e1, e2 = solve(6), solve(12)
     assert e2 < e1 / 3.0, (e1, e2)
+
+
+def test_nxfem_example():
+    """examples/nxfem.py (reference py_tutorials/nxfem.py): P1 Nitsche
+    interface Poisson, XFEM formulation."""
+    from examples import nxfem
+
+    err = nxfem.run(nx=15, verbose=False)
+    assert err < 0.08, err
+
+
+def test_nxfem_higher_order_example():
+    """examples/nxfem_higher_order.py: isoparametric high-order interface
+    solve; order-3 error at nx=15 is ~2.7e-4."""
+    from examples import nxfem_higher_order
+
+    err = nxfem_higher_order.run(nx=15, order=3, verbose=False)
+    assert err < 1e-3, err
+
+
+def test_unstructured_nxfem_example():
+    """examples/unstructured_nxfem.py: the nxfem interface solve on a
+    genuinely unstructured (Delaunay) mesh, plus the Gmsh round trip."""
+    from examples import unstructured_nxfem
+
+    e1 = unstructured_nxfem.run(npts=400, seed=5, verbose=False)
+    e2 = unstructured_nxfem.run(npts=400, seed=5, via_gmsh=True,
+                                verbose=False)
+    assert e1 < 0.1 and abs(e1 - e2) < 1e-12, (e1, e2)
