@@ -97,6 +97,14 @@ class StandaloneVec:
     def __array__(self, dtype=None):
         return np.asarray(self.arr, dtype=dtype)
 
+    def __setitem__(self, idx, v):
+        # NGSolve out-parameter convention (vec[:] = ..., used e.g. by
+        # P2TwoGridCL.Mult(rhs, usol)): functional update of the array
+        self.arr = jnp.asarray(self.arr).at[idx].set(jnp.asarray(v))
+
+    def __getitem__(self, idx):
+        return self.arr[idx]
+
     def __add__(self, o):
         return self.arr + _a(o)
 

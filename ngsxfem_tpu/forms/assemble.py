@@ -215,16 +215,31 @@ def _volume_ctx(integral: Integral, mesh, order, dyn=None):
 def _cut_capacity(lgf):
     """Host-side cut-element count of a P1 level set, bucketed to the next
     power of two (>=64) so the compiled signature survives a moving level
-    set until the cut count doubles."""
+    set until the cut count doubles.
+
+    The count needs a device->host read of the dof vector; since arrays are
+    functional, the result is cached on the GridFunction keyed by the
+    current vector OBJECT — repeated Integrate/Assemble calls with an
+    unchanged level set pay zero extra D2H syncs."""
     import math
+
+    cached = getattr(lgf, "_cutcap_cache", None)
+    if cached is not None and cached[0] is lgf._arr:
+        return cached[1]
 
     sp = lgf.space
     from ..integrate import vertex_local_ids
 
     vperm = vertex_local_ids(sp.mesh.et, 1)
     vals = np.asarray(lgf._arr)[sp.el2dof_np[:, vperm]]
-    ncut = int(((vals < 0).any(1) & (vals > 0).any(1)).sum())
-    return 1 << max(6, math.ceil(math.log2(max(1, int(ncut * 1.3) + 16))))
+    # match the device predicate (two_tier_tiers runs eps_guard, which maps
+    # exact zeros to +eps): a vertex value of 0 counts as POSITIVE here,
+    # otherwise the host capacity undercounts and the overflow NaN poison
+    # fires on valid inputs (level set vanishing exactly on vertices)
+    ncut = int(((vals < 0).any(1) & (vals >= 0).any(1)).sum())
+    cap = 1 << max(6, math.ceil(math.log2(max(1, int(ncut * 1.3) + 16))))
+    lgf._cutcap_cache = (lgf._arr, cap)
+    return cap
 
 
 def _two_tier_applicable(integral: Integral, mesh):

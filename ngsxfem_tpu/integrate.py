@@ -211,6 +211,11 @@ def two_tier_tiers(mesh, lgf, dt, order, cap, policy, dyn=None,
     from .ops.straightcut import eps_guard
 
     dt = int(dt)
+    if dt not in (int(NEG), int(POS), int(IF)):
+        # combined domain types (HASNEG, ...) must not silently fall into
+        # the POS branch; the non-two-tier path raises the same way
+        raise ValueError(
+            f"two-tier cut quadrature supports NEG/POS/IF, got {dt}")
     vals = eps_guard(lset_vertex_values(lgf, dyn))
     has_neg = jnp.any(vals < 0, axis=1)
     has_pos = jnp.any(vals > 0, axis=1)
@@ -324,6 +329,10 @@ def Integrate(levelset_domain=None, cf=None, mesh=None, order=5,
     """
     if cf is None or mesh is None:
         raise TypeError("Integrate needs cf and mesh")
+    if region_wise:
+        raise NotImplementedError(
+            "region_wise integration is not supported (meshes carry no "
+            "material regions); use element_wise=True and reduce per region")
     cf = wrap(cf)
     if cf.has_proxy:
         raise TypeError("cannot Integrate an expression containing trial/test functions")

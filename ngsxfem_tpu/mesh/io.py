@@ -158,8 +158,7 @@ def ReadGmsh(path):
         [[id2new[v] for v in verts] for _, verts in by_et[cell_et]],
         dtype=np.int32)
 
-    # boundary ids from facet-dimension elements
-    facet_et = {2: "segm", 3: ("trig", "quad")}.get(dim)
+    # boundary ids from facet-dimension elements (keyed by vertex tuple)
     bc_map = {}
     for et, items in by_et.items():
         if et == cell_et or ET_DIM.get(et, -1) != dim - 1:

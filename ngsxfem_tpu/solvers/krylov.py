@@ -137,7 +137,7 @@ def masked_matvec(matvec, free_mask):
 from functools import partial
 
 
-@partial(jax.jit, static_argnames=("maxiter",))
+@partial(jax.jit, static_argnames=("maxiter", "tol"))
 def _cg_ell(vals, cols, b, free, maxiter, tol):
     """Jacobi-preconditioned CG on a free-dof-masked ELL operator, one XLA
     program with every array as an ARGUMENT (a closure-captured device array

@@ -548,7 +548,14 @@ class P2TwoGridCL:
             try:
                 usol[:] = np.asarray(x)
             except TypeError:
-                pass  # immutable input: caller uses the return value
+                try:
+                    usol.data = np.asarray(x)  # vector shims expose .data
+                except AttributeError:
+                    import warnings
+
+                    warnings.warn(
+                        "P2TwoGridCL.Mult: usol out-parameter is not "
+                        "writable; use the return value")
         return x
 
     def __mul__(self, rhs):

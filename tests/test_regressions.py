@@ -324,3 +324,96 @@ def test_diamatrix_diagonal_requires_zero_offset():
     m2 = DIAMatrix(offsets=[-1, 1], vals=vals[:2])
     with pytest.raises(ValueError):
         m2.diagonal()
+
+
+def test_cgsolver_ell_fast_path_runs():
+    """CGSolver's cached ELL fast path jits `tol` statically; a traced tol
+    hit `if tol == 0:` inside cg and crashed with TracerBoolConversionError
+    (code-review regression)."""
+    import numpy as np
+    import jax.numpy as jnp
+
+    from ngsxfem_tpu.solvers.sparse import SparseMatrix
+    from ngsxfem_tpu.solvers.krylov import CGSolver
+
+    n = 30
+    idx = np.arange(n)
+    prev = np.roll(idx, 1)
+    # SPD cyclic tridiagonal: 4 on the diagonal, -1 on both off-diagonals
+    A = SparseMatrix(np.concatenate([idx, idx, prev]),
+                     np.concatenate([idx, prev, idx]),
+                     np.concatenate([np.full(n, 4.0), np.full(n, -1.0),
+                                     np.full(n, -1.0)]),
+                     shape=(n, n))
+    rng = np.random.default_rng(0)
+    b = rng.standard_normal(n)
+    x = CGSolver(A, maxsteps=200, tol=1e-10) * b
+    r = np.asarray(A.matvec(jnp.asarray(x))) - b
+    assert np.linalg.norm(r) < 1e-6 * np.linalg.norm(b)
+
+
+def test_levelset_zero_on_vertices_no_poison():
+    """A level set vanishing EXACTLY on mesh vertices: eps_guard classifies
+    those elements as cut on device, so the host capacity must count them
+    the same way or the overflow NaN poison fires on valid geometry
+    (code-review regression)."""
+    import numpy as np
+
+    from ngsxfem_tpu import (
+        MakeStructured2DMesh, H1, GridFunction, InterpolateToP1, Integrate,
+        NEG, x,
+    )
+
+    mesh = MakeStructured2DMesh(quads=False, nx=8, ny=8)
+    lset = GridFunction(H1(mesh, order=1))
+    InterpolateToP1(x - 0.5, lset)  # zero plane through the x=0.5 vertices
+    # force exact zeros (InterpolateToP1 may eps-perturb)
+    arr = np.array(lset.vec, copy=True)
+    arr[np.abs(arr) < 1e-12] = 0.0
+    lset.vec.data = arr
+    val = Integrate(levelset_domain={"levelset": lset, "domain_type": NEG},
+                    cf=1.0, mesh=mesh, order=2)
+    assert np.isfinite(val), val
+    assert abs(val - 0.5) < 1e-6, val
+
+
+def test_two_tier_rejects_combined_domain_types():
+    """HASNEG etc. must raise, not silently integrate the POS uncut tier
+    (code-review regression)."""
+    import pytest
+
+    from ngsxfem_tpu import (
+        MakeStructured2DMesh, H1, GridFunction, InterpolateToP1, Integrate, x,
+    )
+    from ngsxfem_tpu.domaintype import HASNEG
+
+    mesh = MakeStructured2DMesh(quads=False, nx=4, ny=4)
+    lset = GridFunction(H1(mesh, order=1))
+    InterpolateToP1(x - 0.5, lset)
+    with pytest.raises(ValueError):
+        Integrate(levelset_domain={"levelset": lset, "domain_type": HASNEG},
+                  cf=1.0, mesh=mesh, order=2)
+
+
+def test_integrate_region_wise_raises():
+    import pytest
+
+    from ngsxfem_tpu import MakeStructured2DMesh, Integrate
+
+    mesh = MakeStructured2DMesh(quads=False, nx=2, ny=2)
+    with pytest.raises(NotImplementedError):
+        Integrate(cf=1.0, mesh=mesh, order=1, region_wise=True)
+
+
+def test_standalone_vec_setitem():
+    """CreateVector() vectors accept slice assignment (NGSolve out-parameter
+    convention used by P2TwoGridCL.Mult(rhs, usol))."""
+    import numpy as np
+
+    from ngsxfem_tpu import MakeStructured2DMesh, H1, GridFunction
+
+    mesh = MakeStructured2DMesh(quads=False, nx=2, ny=2)
+    gfu = GridFunction(H1(mesh, order=1))
+    v = gfu.vec.CreateVector()
+    v[:] = np.arange(gfu.space.ndof, dtype=np.float64)
+    assert np.allclose(np.asarray(v), np.arange(gfu.space.ndof))
