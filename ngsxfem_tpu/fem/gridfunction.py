@@ -176,6 +176,20 @@ class GridFunction(CF):
         sp = self.space
         if isinstance(sp, CompoundFESpace):
             raise TypeError("Set on compound GF: use components")
+        if type(sp).__name__ == "SpaceTimeFESpace":
+            # reference semantics (spacetime/py_demos/set_test.py): Set on a
+            # space-time GF interpolates spatially AT EACH ACTIVE TIME NODE
+            # (tref fixed to the node value) into the time-major blocks
+            from ..spacetime.space import TimeFixedCF
+
+            tmp = GridFunction(sp.spacefes)
+            arr = jnp.asarray(self._arr)
+            for i, ti in enumerate(sp.tfe.nodes):
+                tmp.Set(TimeFixedCF(cf, float(ti)), boundary=boundary,
+                        definedonelements=definedonelements, BND=BND)
+                arr = arr.at[i * sp.ndof_s:(i + 1) * sp.ndof_s].set(tmp._arr)
+            self._set_array(arr)
+            return
         scal = sp.scalar if isinstance(sp, VectorFESpace) else sp
         slots = DynSlots()
         register_mesh_dynamics(sp.mesh, slots)

@@ -261,3 +261,25 @@ def test_spacetime_quad_mesh_eoc():
     exact = np.pi * 0.25 ** 2
     errs = [abs(vol(nx, nx) - exact) for nx in (8, 16)]
     assert np.log2(errs[0] / errs[1]) > 1.75, errs
+
+
+def test_spacetime_gridfunction_set():
+    """GridFunction.Set on a SpaceTimeFESpace interpolates spatially at each
+    active time node with tref fixed (reference demo
+    spacetime/py_demos/set_test.py, incl. the only_first_node variant)."""
+    import numpy as np
+
+    from ngsxfem_tpu import (
+        MakeStructured2DMesh, H1, GridFunction, SpaceTimeFESpace,
+        ScalarTimeFE, CreateTimeRestrictedGF, Integrate, tref, x,
+    )
+
+    mesh = MakeStructured2DMesh(quads=False, nx=4, ny=4)
+    for kw in ({}, {"skip_first_node": True}, {"only_first_node": True}):
+        st = SpaceTimeFESpace(H1(mesh, order=2), ScalarTimeFE(2, **kw))
+        gf = GridFunction(st)
+        gf.Set(x + tref)
+        for t in st.tfe.nodes:
+            gs = CreateTimeRestrictedGF(gf, float(t))
+            avg = Integrate(cf=gs, mesh=mesh, order=4)
+            assert abs(avg - (0.5 + float(t))) < 1e-12, (kw, t, avg)
