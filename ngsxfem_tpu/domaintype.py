@@ -66,7 +66,19 @@ def INVERT(cdt: COMBINED_DOMAIN_TYPE) -> COMBINED_DOMAIN_TYPE:
 
 
 def as_cdt(dt_or_cdt) -> COMBINED_DOMAIN_TYPE:
-    """Normalize a DOMAIN_TYPE or COMBINED_DOMAIN_TYPE to a CDT bitmask."""
+    """Normalize a DOMAIN_TYPE or COMBINED_DOMAIN_TYPE to a CDT bitmask.
+
+    Plain ints 0..2 are AMBIGUOUS (NEG/POS/IF atomic codes vs
+    CDOM_NO/CDOM_NEG/CDOM_POS bitmasks) and are rejected — pass the enum
+    member.  Ints >= 3 are unambiguous CDT masks and accepted.
+    """
     if isinstance(dt_or_cdt, DOMAIN_TYPE):
         return TO_CDT(dt_or_cdt)
-    return COMBINED_DOMAIN_TYPE(int(dt_or_cdt))
+    if isinstance(dt_or_cdt, COMBINED_DOMAIN_TYPE):
+        return dt_or_cdt
+    v = int(dt_or_cdt)
+    if 0 <= v <= 2:
+        raise TypeError(
+            f"ambiguous plain int {v}: pass DOMAIN_TYPE (NEG/POS/IF) or "
+            "COMBINED_DOMAIN_TYPE (CDOM_*) explicitly")
+    return COMBINED_DOMAIN_TYPE(v)

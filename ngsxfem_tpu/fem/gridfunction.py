@@ -39,47 +39,47 @@ class VecShim:
 
     @property
     def data(self):
-        return self._gf._array
+        return self._gf._arr
 
     @data.setter
     def data(self, v):
         self._gf._set_array(jnp.asarray(v))
 
     def __setitem__(self, idx, v):
-        arr = np.asarray(self._gf._array).copy()
+        arr = np.asarray(self._gf._arr).copy()
         arr[idx] = v
         self._gf._set_array(jnp.asarray(arr))
 
     def __getitem__(self, idx):
-        return self._gf._array[idx]
+        return self._gf._arr[idx]
 
     def __len__(self):
-        return self._gf._array.shape[0]
+        return self._gf._arr.shape[0]
 
     def __array__(self, dtype=None):
-        return np.asarray(self._gf._array, dtype=dtype)
+        return np.asarray(self._gf._arr, dtype=dtype)
 
     def CreateVector(self):
-        return StandaloneVec(jnp.zeros_like(self._gf._array))
+        return StandaloneVec(jnp.zeros_like(self._gf._arr))
 
     def FV(self):
         return self
 
     def NumPy(self):
-        return np.asarray(self._gf._array)
+        return np.asarray(self._gf._arr)
 
     # arithmetic delegates to the underlying array
     def __add__(self, o):
-        return self._gf._array + _a(o)
+        return self._gf._arr + _a(o)
 
     def __sub__(self, o):
-        return self._gf._array - _a(o)
+        return self._gf._arr - _a(o)
 
     def __mul__(self, o):
-        return self._gf._array * o
+        return self._gf._arr * o
 
     def __rmul__(self, o):
-        return o * self._gf._array
+        return o * self._gf._arr
 
 
 class StandaloneVec:
@@ -258,23 +258,11 @@ class GridFunction(CF):
 
 
 class _CompVecShim(VecShim):
-    """vec shim for component grid functions."""
-
-    @property
-    def data(self):
-        return self._gf._arr
-
-    @data.setter
-    def data(self, v):
-        self._gf._set_array(jnp.asarray(v))
-
-    def __setitem__(self, idx, v):
-        arr = np.asarray(self._gf._arr).copy()
-        arr[idx] = v
-        self._gf._set_array(jnp.asarray(arr))
-
-    def __len__(self):
-        return self._gf._arr.shape[0]
+    """vec shim for component grid functions.  VecShim already reads the
+    RESOLVED dof view (``_arr`` = the parent's block slice) and writes route
+    through ``_set_array`` back into the parent, so the full accessor
+    surface (NumPy()/FV()/__array__/CreateVector()/arithmetic) works on
+    components too; kept as a named class for isinstance checks."""
 
 
 class GradGF(CF):
@@ -379,7 +367,9 @@ def gf_ref_value_and_grad(gf: GridFunction, elem_ids, ref_pts, dyn=None,
 def grad(obj):
     """grad() for GridFunctions and proxies (NGSolve-style free function)."""
     if isinstance(obj, GridFunction):
-        if hasattr(obj.space, "gf_eval_hook"):  # space-time GF
+        from ..spacetime.space import SpaceTimeFESpace
+
+        if isinstance(obj.space, SpaceTimeFESpace):
             from ..spacetime.space import STGFValueCF
 
             return STGFValueCF(obj, grad=True)

@@ -51,16 +51,20 @@ class SFESpace:
         edges = [(0, 1), (0, 2), (1, 2)]  # reference order (sFESpace.cpp:111)
         E = mesh.ne
         cuts = np.zeros((E, 2, 2))
-        ncut = np.zeros(E, dtype=np.int64)
+        sels, pts = [], []
         for (a, b) in edges:
             la, lb = vals[:, a], vals[:, b]
             sel = ((la > 0) & (lb <= 0)) | ((la <= 0) & (lb > 0))
             t = np.where(sel, -la / np.where(lb - la == 0, 1.0, lb - la), 0.0)
-            pt = (1 - t)[:, None] * refv[a][None] + t[:, None] * refv[b][None]
-            for e in np.nonzero(sel)[0]:
-                if ncut[e] < 2:
-                    cuts[e, ncut[e]] = pt[e]
-                ncut[e] += 1
+            pts.append((1 - t)[:, None] * refv[a][None]
+                       + t[:, None] * refv[b][None])
+            sels.append(sel)
+        selm = np.stack(sels, axis=1)             # (E, 3)
+        slot = np.cumsum(selm, axis=1) - selm     # cut edges BEFORE edge k
+        ncut = selm.sum(axis=1)
+        for k in range(3):  # first two cut edges in reference order
+            m = sels[k] & (slot[:, k] < 2)
+            cuts[np.nonzero(m)[0], slot[m, k]] = pts[k][m]
         self.active = ncut >= 2
         nact = int(self.active.sum())
         ndl = self.order + 1

@@ -373,6 +373,8 @@ class CompressedFESpace(FESpace):
         # inactive dofs map to 0; assembly masks guarantee zero contributions
         mapped = self.base2comp[base.el2dof_np]
         self.el2dof_np = np.where(mapped >= 0, mapped, 0).astype(np.int32)
+        # placeholder-0 slots are NOT dof 0; set algebra must skip them
+        self.el2dof_valid_np = mapped >= 0
         self.el2dof = jnp.asarray(self.el2dof_np)
         self.dirichlet_dofs = base.dirichlet_dofs[self.comp2base]
         self.bc_of_dof = base.bc_of_dof[self.comp2base]
@@ -401,7 +403,11 @@ def GetDofsOfElements(space, elem_mask) -> BitArray:
         out = np.tile(sc, space.vdim)
         return BitArray(out)
     dofs = space.el2dof_np[mask]
-    out[dofs.ravel()] = True
+    valid = getattr(space, "el2dof_valid_np", None)
+    if valid is not None:  # placeholder-0 slots (Compressed/XFESpace)
+        out[dofs[valid[mask]]] = True
+    else:
+        out[dofs.ravel()] = True
     return BitArray(out)
 
 
@@ -438,17 +444,41 @@ class PeriodicFESpace(FESpace):
         lo, hi = verts.min(0), verts.max(0)
         ext = hi - lo
         key = pos.copy()
+        moved = np.zeros(len(pos), dtype=bool)
         for ax, ch in enumerate("xyz"[: verts.shape[1]]):
             if ch in axes:
                 w = (pos[:, ax] - lo[ax]) / ext[ax]
-                w = np.where(np.abs(w - 1.0) < 1e-12, 0.0, w)
-                key[:, ax] = lo[ax] + w * ext[ax]
+                on_max = np.abs(w - 1.0) < 1e-12
+                moved |= on_max
+                key[:, ax] = lo[ax] + np.where(on_max, 0.0, w) * ext[ax]
         ikey = np.round(key * 2.0**38).astype(np.int64)
-        _, first, inv = np.unique(
-            ikey, axis=0, return_index=True, return_inverse=True)
+        # Merge ONLY max-side periodic-boundary dofs into their min-side
+        # translate — never arbitrary co-located dofs (a discontinuous space
+        # has many dofs per node position and must stay discontinuous).  A
+        # moved dof with zero or several min-side candidates (DG spaces)
+        # keeps its identity.
+        vkey = np.ascontiguousarray(ikey).view(
+            [("", ikey.dtype)] * ikey.shape[1]).ravel()
+        rep = np.arange(len(pos))
+        unm = np.nonzero(~moved)[0]
+        # discontinuous space (every dof lives in exactly one element):
+        # periodicity is a facet identification, not a dof identification
+        discont = np.bincount(base.el2dof_np.ravel(),
+                              minlength=base.ndof).max() <= 1
+        if discont:
+            moved[:] = False
+        if moved.any() and len(unm):
+            uk, idx0, counts = np.unique(vkey[unm], return_index=True,
+                                         return_counts=True)
+            mi = np.nonzero(moved)[0]
+            where = np.searchsorted(uk, vkey[mi])
+            where = np.clip(where, 0, len(uk) - 1)
+            hit = (uk[where] == vkey[mi]) & (counts[where] == 1)
+            rep[mi[hit]] = unm[idx0[where[hit]]]
+        comp2base, inv = np.unique(rep, return_inverse=True)
         self.base2comp = inv.astype(np.int32)
-        self.comp2base = first.astype(np.int32)
-        self.ndof = len(first)
+        self.comp2base = comp2base.astype(np.int32)
+        self.ndof = len(comp2base)
         self.el2dof_np = self.base2comp[base.el2dof_np]
         self.el2dof = jnp.asarray(self.el2dof_np)
         # a unified dof is Dirichlet/boundary if ANY of its base dofs is

@@ -70,6 +70,8 @@ class XFESpace:
         self.ndof = int(active.sum())
         mapped = self.basedof2xdof[basefes.el2dof_np]
         self.el2dof_np = np.where(mapped >= 0, mapped, 0).astype(np.int32)
+        # placeholder-0 slots are NOT dof 0; set algebra must skip them
+        self.el2dof_valid_np = mapped >= 0
         self.el2dof = jnp.asarray(self.el2dof_np)
         # per-element-local dof signs (static geometry data for the factor mask)
         self.eldof_dom = jnp.asarray(
@@ -306,10 +308,9 @@ def XToNegPos(gfx, gfnegpos):
     neg_part = np.zeros(sp.base.ndof)
     pos_part = np.zeros(sp.base.ndof)
     vec = np.asarray(gfx._arr)
-    for xd, bd in enumerate(sp.xdof2basedof):
-        if sp.dom_of_xdof[xd] == int(NEG):
-            neg_part[bd] = vec[xd]
-        else:
-            pos_part[bd] = vec[xd]
+    bd = np.asarray(sp.xdof2basedof)
+    is_neg = np.asarray(sp.dom_of_xdof) == int(NEG)
+    neg_part[bd[is_neg]] = vec[is_neg]
+    pos_part[bd[~is_neg]] = vec[~is_neg]
     gfnegpos.components[0].vec = jnp.asarray(neg_part, dtype=config.dtype)
     gfnegpos.components[1].vec = jnp.asarray(pos_part, dtype=config.dtype)

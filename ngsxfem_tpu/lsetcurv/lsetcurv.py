@@ -179,7 +179,13 @@ class LevelSetMeshAdaptation:
         """ProjectShift step for given nodal lset_ho/lset_p1 GridFunctions;
         `band` optionally overrides the active element set (the space-time
         adaptation passes the union of IF elements over the slab)."""
-        key = (id(self.mesh), id(self.deform_space), self.order, self.threshold)
+        from ..jitcache import obj_uid
+
+        # stable uids, not id(): a GC'd mesh's reused id() would fetch a
+        # stale kernel with the old ndof baked in (and id keys pin nothing,
+        # so the key can collide across rebuilt meshes in refinement loops)
+        key = (obj_uid(self.mesh), obj_uid(self.deform_space), self.order,
+               self.threshold)
         k = _PS_CACHE.get(key)
         if k is None:
             k = _project_shift_kernel(
@@ -222,12 +228,10 @@ class LevelSetMeshAdaptation:
         """max |phi| over the deformed P1 zero set — the geometric distance
         estimate (cf. lsetcurving/calcgeomerrors.cpp; agrees with the true
         distance to first order when ||grad phi|| ~ 1 near the interface)."""
-        from ..cf.coefficient import wrap, Norm
-        from ..fem.gridfunction import grad
+        from ..cf.coefficient import wrap
 
         levelset = levelset if levelset is not None else self.levelset
         lv = wrap(levelset)
-        cf = lv * lv  # |phi|^2; use max via element_wise trick below
         o = order if order is not None else 2 * self.order
         self.mesh.SetDeformation(self.deform if deform is None else deform)
         try:
