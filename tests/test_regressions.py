@@ -417,3 +417,106 @@ def test_standalone_vec_setitem():
     v = gfu.vec.CreateVector()
     v[:] = np.arange(gfu.space.ndof, dtype=np.float64)
     assert np.allclose(np.asarray(v), np.arange(gfu.space.ndof))
+
+
+def test_grad_dispatch_non_spacetime_hook_spaces():
+    """grad() on XFESpace/HDiv GridFunctions must not take the space-time
+    branch (those spaces also define gf_eval_hook; code-review regression)."""
+    import numpy as np
+
+    from ngsxfem_tpu import (
+        MakeStructured2DMesh, H1, GridFunction, CutInfo, XFESpace, HDiv,
+        InterpolateToP1, Integrate, sqrt, x, y, NEG,
+    )
+    from ngsxfem_tpu.fem.gridfunction import grad
+
+    mesh = MakeStructured2DMesh(quads=False, nx=6, ny=6,
+                                mapping=lambda a, b: (2 * a - 1, 2 * b - 1))
+    lset = GridFunction(H1(mesh, order=1))
+    InterpolateToP1(sqrt(x * x + y * y) - 0.6, lset)
+    ci = CutInfo(mesh, lset)
+    gfx = GridFunction(XFESpace(H1(mesh, order=1), ci))
+    g = grad(gfx)  # crashed with AttributeError: no 'spacefes'
+    v = Integrate(levelset_domain={"levelset": lset, "domain_type": NEG},
+                  cf=g[0] * g[0], mesh=mesh, order=2)
+    assert np.isfinite(v)
+    grad(GridFunction(HDiv(mesh, order=0)))  # must not raise
+
+
+def test_component_vec_full_accessor_surface():
+    """Component GridFunction .vec supports the NGSolve accessor surface
+    (FV().NumPy(), __array__, indexing, CreateVector; code-review
+    regression: everything but data/__setitem__ raised AttributeError)."""
+    import numpy as np
+
+    from ngsxfem_tpu import MakeStructured2DMesh, H1, GridFunction
+    from ngsxfem_tpu.fem.space import CompoundFESpace
+
+    mesh = MakeStructured2DMesh(quads=False, nx=2, ny=2)
+    W = CompoundFESpace([H1(mesh, 1), H1(mesh, 1)])
+    gfu = GridFunction(W)
+    c0, c1 = gfu.components
+    c1.vec[:] = 2.0
+    assert np.allclose(c1.vec.FV().NumPy(), 2.0)
+    assert np.allclose(np.asarray(c1.vec), 2.0)
+    assert float(c1.vec[0]) == 2.0 and len(c1.vec) == W.components[1].ndof
+    assert np.allclose(np.asarray(c0.vec), 0.0)  # sibling untouched
+    v = c1.vec.CreateVector()
+    assert len(np.asarray(v)) == len(c1.vec)
+    # parent sees the write in its second block
+    assert np.allclose(np.asarray(gfu.vec)[W.components[0].ndof:], 2.0)
+
+
+def test_getdofs_skips_placeholder_zero():
+    """GetDofsOfElements on Compressed/XFESpace must not mark dof 0 through
+    the placeholder-0 el2dof slots of inactive dofs (code-review
+    regression)."""
+    import numpy as np
+
+    from ngsxfem_tpu import (
+        MakeStructured2DMesh, H1, GridFunction, InterpolateToP1, Compress, x,
+    )
+    from ngsxfem_tpu.fem.space import GetDofsOfElements, BitArray
+
+    mesh = MakeStructured2DMesh(quads=False, nx=4, ny=4)
+    V = H1(mesh, order=1)
+    # active: dofs of elements in the right half only
+    lset = GridFunction(V)
+    InterpolateToP1(x - 0.45, lset)
+    el_right = np.asarray(lset.vec)[V.el2dof_np].min(axis=1) > 0
+    act = np.zeros(V.ndof, bool)
+    act[V.el2dof_np[el_right].ravel()] = True
+    Vc = Compress(V, BitArray(act))
+    # mark one left-half element: ALL its dofs are inactive placeholders
+    mask = np.zeros(mesh.ne, bool)
+    mask[np.nonzero(~el_right)[0][0]] = True
+    got = GetDofsOfElements(Vc, BitArray(mask)).np
+    assert not got.any(), "placeholder-0 slots marked compressed dof 0"
+
+
+def test_periodic_preserves_dg():
+    """Periodic() merges only periodic-boundary partners, never co-located
+    DG dofs (code-review regression: Periodic(L2) fused 24 dofs to 6)."""
+    from ngsxfem_tpu import MakeStructured2DMesh, H1, Periodic
+    from ngsxfem_tpu.fem.space import L2
+
+    mesh = MakeStructured2DMesh(quads=False, nx=2, ny=2, periodic="x")
+    assert Periodic(H1(mesh, order=1)).ndof == 6  # 3x3 lattice wraps to 2x3
+    L = L2(mesh, order=1)
+    assert Periodic(L).ndof == L.ndof  # DG structure intact
+    V2 = H1(mesh, order=2)
+    assert Periodic(V2).ndof == V2.ndof - 5  # 3 verts + 2 edge nodes on seam
+
+
+def test_as_cdt_rejects_ambiguous_ints():
+    import pytest
+
+    from ngsxfem_tpu.domaintype import as_cdt, NEG, HASNEG, CDOM_NEG
+
+    assert as_cdt(NEG) == CDOM_NEG
+    assert as_cdt(HASNEG) == HASNEG
+    assert as_cdt(5) == HASNEG  # >= 3: unambiguous CDT mask
+    with pytest.raises(TypeError):
+        as_cdt(0)
+    with pytest.raises(TypeError):
+        as_cdt(2)
