@@ -9,6 +9,7 @@ tensors ``(E, Q, *comps)`` inside jit.  Proxy (trial/test) functions live in
 from __future__ import annotations
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 
 
@@ -225,7 +226,7 @@ class UnaryOp(CF):
         "sin": jnp.sin, "cos": jnp.cos, "tan": jnp.tan, "exp": jnp.exp,
         "log": jnp.log, "sqrt": jnp.sqrt, "fabs": jnp.abs, "atan": jnp.arctan,
         "sinh": jnp.sinh, "cosh": jnp.cosh, "floor": jnp.floor,
-        "ceil": jnp.ceil, "erf": None,
+        "ceil": jnp.ceil, "erf": jax.scipy.special.erf,
     }
 
     def __init__(self, fname: str, a: CF):

@@ -168,7 +168,7 @@ def _volume_ctx(integral: Integral, mesh, order, dyn=None):
     if integral.levelset_domain is not None:
         ld = integral.levelset_domain
         o = order if ld["force_intorder"] < 0 else ld["force_intorder"]
-        if integral.force_intorder > 0:
+        if integral.force_intorder >= 0:
             o = integral.force_intorder
         ctx, w_phys, mask = _cut_ctx_and_weights(
             mesh, ld["levelset"], ld["domain_type"], o, dyn=dyn,
@@ -279,7 +279,7 @@ def _volume_tiers(integral: Integral, mesh, order, dyn=None):
 
     ld = integral.levelset_domain
     o = order if ld["force_intorder"] < 0 else ld["force_intorder"]
-    if integral.force_intorder > 0:
+    if integral.force_intorder >= 0:
         o = integral.force_intorder
     deform = (integral.deformation if integral.deformation is not None
               else "inherit")
@@ -580,6 +580,10 @@ def _element_boundary_ctx(integral: Integral, mesh, order, dyn=None):
     phys_fverts = verts[jnp.asarray(fverts)]  # (R, nvf, d)
     dNf = geom_dshapes(fet, rp_dyn)  # (R, nq, nvf, d-1)
     tang = jnp.einsum("rqks,rkd->rqsd", dNf, phys_fverts)
+    deform = (integral.deformation if integral.deformation is not None
+              else mesh.deformation)
+    tang = _deformed_tangents(tang, deform, jnp.asarray(row_e), pts, dNf,
+                              loc_ref, dyn)
     if nref_if is not None:
         # codim-2 measure: points in 2D (counting); in 3D the zero-set
         # tangent within the facet, mapped to physical length
@@ -621,7 +625,7 @@ def _element_boundary_ctx(integral: Integral, mesh, order, dyn=None):
         times = jnp.broadcast_to(tg[None, None, :], (R, Q, nt)).reshape(R, Q * nt)
 
     ctx = EvalCtx(mesh, pts, elem_ids=jnp.asarray(row_e), normal=n, dyn=dyn,
-                  time=times)
+                  time=times, deformation=deform)
     ctx.facet_ids = jnp.asarray(mesh.el2facet_np.reshape(-1))
     mask = w > 0
     if integral.definedonelements is not None:
@@ -734,14 +738,8 @@ def _boundary_ctx(integral: Integral, mesh, order, dyn=None):
     # outer boundary).
     deform = (integral.deformation if integral.deformation is not None
               else mesh.deformation)
-    if deform is not None:
-        from ..fem.gridfunction import gf_ref_value_and_grad
-
-        _, dgrad = gf_ref_value_and_grad(
-            deform, jnp.asarray(row_e), pts, dyn=dyn)  # (B,nq,d,d_ref)
-        # d(elem-ref)/d(facet-param): facet map is linear in Nf
-        dref_ds = jnp.einsum("bqks,bkd->bqsd", dNf, loc_ref)
-        tang = tang + jnp.einsum("bqgd,bqsd->bqsg", dgrad, dref_ds)
+    tang = _deformed_tangents(tang, deform, jnp.asarray(row_e), pts, dNf,
+                              loc_ref, dyn)
     if nref_if is not None:
         if d == 2:
             w = rw_dyn
@@ -903,6 +901,26 @@ def _msk(arr, mask):
     return jnp.where(m, arr, 0.0)
 
 
+def _deformed_tangents(tang, deform, row_e, pts, dNf, loc_ref, dyn,
+                       time=None):
+    """Correct physical facet tangents for an isoparametric deformation.
+
+    The facet measure and normal are computed from the tangents of the
+    facet-parametric geometry map; under ``SetDeformation`` (or a
+    per-integral ``deformation=`` override) the PHYSICAL map is
+    ``x + D(x)``, so the tangents gain the displacement's tangential
+    derivative ``dD/dref * dref/ds``.  Shared by the BND, element-boundary
+    and skeleton context builders (one fix, three call sites)."""
+    if deform is None:
+        return tang
+    from ..fem.gridfunction import gf_ref_value_and_grad
+
+    _, dgrad = gf_ref_value_and_grad(deform, row_e, pts, dyn=dyn,
+                                     time=time)  # (R,nq,d,d_ref)
+    dref_ds = jnp.einsum("rqks,rkd->rqsd", dNf, loc_ref)
+    return tang + jnp.einsum("rqgd,rqsd->rqsg", dgrad, dref_ds)
+
+
 def _facet_locref_tables(mesh):
     """(2, nfacets, nvf, d) element-local reference coordinates of every
     facet's vertices, per side (boundary facets duplicate side 0).  Host
@@ -1026,14 +1044,18 @@ def _skeleton_ctx(integral: Integral, mesh, order, dyn=None):
     e1 = jnp.asarray(f2e[:, 0])[jnp.asarray(fids)]
     e2 = jnp.maximum(jnp.asarray(f2e[:, 1])[jnp.asarray(fids)], 0)
 
-    ctx = EvalCtx(mesh, pts1, elem_ids=e1, dyn=dyn)
-    ctx.other_ctx = EvalCtx(mesh, pts2, elem_ids=e2, dyn=dyn)
+    deform = (integral.deformation if integral.deformation is not None
+              else mesh.deformation)
+    ctx = EvalCtx(mesh, pts1, elem_ids=e1, dyn=dyn, deformation=deform)
+    ctx.other_ctx = EvalCtx(mesh, pts2, elem_ids=e2, dyn=dyn,
+                            deformation=deform)
     ctx.facet_ids = jnp.asarray(fids)
 
     # physical facet measure + normal (from the e1 side geometry)
     phys_fverts = verts[jnp.asarray(fverts)]  # (F, nvf, d)
     dNf = geom_dshapes(fet, rp_dyn)  # (F, nqf, nvf, d-1)
     tang = jnp.einsum("fqks,fkd->fqsd", dNf, phys_fverts)  # (F,nqf,d-1,d)
+    tang = _deformed_tangents(tang, deform, e1, pts1, dNf, loc_ref[0], dyn)
     if nref_if is not None:
         # codim-2 measure (see _element_boundary_ctx)
         if d == 2:
@@ -1093,9 +1115,23 @@ def _skeleton_ctx(integral: Integral, mesh, order, dyn=None):
     return ctx, e1, e2, w, mask
 
 
+def _term_cfree_scalar(term, W):
+    """Fold a FREE coefficient factor into the scalar weight; a free factor
+    with vector/matrix components left over means the integrand is not
+    scalar — raise instead of silently dropping it."""
+    if term.cfree is None:
+        return jnp.broadcast_to(term.scalar, W.shape)
+    if term.cfree.shape[2:] != ():
+        raise TypeError(
+            "non-scalar integrand: a coefficient factor with free components "
+            f"{term.cfree.shape[2:]} is not contracted with the trial/test "
+            "functions")
+    return jnp.broadcast_to(term.scalar, W.shape) * term.cfree
+
+
 def _term_elmat(term, W, mask):
     """Element matrices (E, ndv, ndu) of one u&v term; W = (E,Q) weights."""
-    s = jnp.broadcast_to(term.scalar, W.shape)
+    s = _term_cfree_scalar(term, W)
     Wts = W * jnp.where(mask, s, 0.0)  # NaN-safe on padded points
     u, v = _msk(term.ufac.arr, mask), _msk(term.vfac.arr, mask)
     if term.contracted:
@@ -1106,7 +1142,7 @@ def _term_elmat(term, W, mask):
 
 
 def _term_elvec(term, W, mask):
-    s = jnp.broadcast_to(term.scalar, W.shape)
+    s = _term_cfree_scalar(term, W)
     Wts = W * jnp.where(mask, s, 0.0)
     v = _msk(term.vfac.arr, mask)
     if v.ndim != 3:
@@ -1194,7 +1230,10 @@ class BilinearForm:
                         W = _safe_weights(w_phys, mask, None)
                         for t in eval_form(integral.form, tctx):
                             if t.ufac is None and t.vfac is None:
-                                continue
+                                raise TypeError(
+                                    "bilinear form has a term with neither "
+                                    "trial nor test function (a constant "
+                                    "added to the integrand?)")
                             if t.ufac is None or t.vfac is None:
                                 raise TypeError(
                                     "bilinear form term missing trial or "
@@ -1372,7 +1411,10 @@ class LinearForm:
                         W = _safe_weights(w_phys, mask, None)
                         for t in eval_form(integral.form, tctx):
                             if t.ufac is None and t.vfac is None:
-                                continue
+                                raise TypeError(
+                                    "linear form has a term with no test "
+                                    "function (a constant added to the "
+                                    "integrand?)")
                             if t.vfac is None or t.ufac is not None:
                                 raise TypeError(
                                     "linear form must be linear in the test "

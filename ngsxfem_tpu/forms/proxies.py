@@ -100,6 +100,14 @@ def dn(proxy, order=1, comp=-1, hdiv=False):
 def div(proxy):
     if isinstance(proxy, ProxyFunction):
         return proxy._clone(op="div", dims=())
-    from ..fem.gridfunction import GridFunction
+    from ..fem.gridfunction import GridFunction, grad
 
-    raise TypeError("div expects a proxy function")
+    if isinstance(proxy, GridFunction) and proxy.dims:
+        # div(gf) = trace of the (vdim, d) gradient
+        g = grad(proxy)
+        d = proxy.dims[0]
+        out = g[0, 0]
+        for i in range(1, d):
+            out = out + g[i, i]
+        return out
+    raise TypeError("div expects a proxy function or vector GridFunction")

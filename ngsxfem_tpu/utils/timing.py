@@ -54,6 +54,15 @@ class Timer:
         return self.Start()
 
     def __exit__(self, *exc):
+        if self.block:
+            # drain the device queue: a trivial computation enqueued after
+            # the timed region completes only once prior dispatches have
+            # (per-device in-order execution), honoring the module contract
+            # that the context manager blocks on device results
+            import jax
+            import jax.numpy as jnp
+
+            jax.block_until_ready(jnp.zeros(()) + 0)
         self.Stop()
         return False
 

@@ -101,11 +101,13 @@ def kappa(mesh, lset_approx, subdivlvl=0):
 def SpaceTimeWeakSet(gf, cf, space):
     """Reference helper (python/__init__.py SpaceTimeWeakSet): set the
     bottom-time-node spatial component of a space-time GF."""
-    import jax.numpy as jnp
-
-    tmp_space = gf.space
     from ..fem.gridfunction import GridFunction
 
+    ndof_s = getattr(gf.space, "ndof_s", None)
+    if ndof_s is not None and ndof_s != space.ndof:
+        raise ValueError(
+            f"SpaceTimeWeakSet: spatial space ndof {space.ndof} does not "
+            f"match the space-time spatial block size {ndof_s}")
     tmp = GridFunction(space)
     tmp.Set(cf)
     arr = gf._arr

@@ -26,6 +26,10 @@ class VTKOutput:
         self.mesh = ma if ma is not None else mesh
         self.coefs = list(coefs)
         self.names = list(names)
+        if len(self.coefs) != len(self.names):
+            raise ValueError(
+                f"VTKOutput: {len(self.coefs)} coefs but {len(self.names)} "
+                "names (zip would silently drop fields)")
         self.filename = filename
 
     def Do(self, time=None):

@@ -520,3 +520,52 @@ def test_as_cdt_rejects_ambiguous_ints():
         as_cdt(0)
     with pytest.raises(TypeError):
         as_cdt(2)
+
+
+def test_skeleton_and_eb_integrals_see_deformation():
+    """Skeleton and element-boundary integrals honor SetDeformation AND the
+    per-integral deformation override in their facet measure (code-review
+    regression: both builders ignored the deformation entirely)."""
+    from ngsxfem_tpu import SymbolicFacetPatchBFI  # noqa: F401 (API presence)
+
+    mesh = MakeStructured2DMesh(quads=False, nx=2, ny=2)
+    Vd = VectorH1(mesh, order=1)
+    deform = GridFunction(Vd)
+    deform.Set(CoefficientFunction((0.25 * x, 0.0 * y)))  # x -> 1.25 x
+
+    V = H1(mesh, order=1, dgjumps=True)
+    u, v = V.TnT()
+
+    def total(skeleton, use_override):
+        a = BilinearForm(V)
+        kw = {"deformation": deform} if use_override else {}
+        if skeleton:
+            a += SymbolicBFI(form=u * v, skeleton=True, **kw)
+        else:
+            a += SymbolicBFI(form=u * v, element_boundary=True, **kw)
+        if not use_override:
+            mesh.SetDeformation(deform)
+        try:
+            a.Assemble()
+        finally:
+            if not use_override:
+                mesh.UnsetDeformation()
+        one = np.ones(V.ndof)
+        return float(one @ np.asarray(a.mat.todense()) @ one)
+
+    # exact deformed facet lengths from the mesh arrays
+    verts = mesh.vertices_np.copy()
+    verts[:, 0] *= 1.25
+    fl = np.linalg.norm(verts[mesh.facets_np[:, 1]]
+                        - verts[mesh.facets_np[:, 0]], axis=1)
+    interior = mesh.facet2el_np[:, 1] >= 0
+    exact_skel = fl[interior].sum()
+    exact_eb = fl[interior].sum() * 2 + fl[~interior].sum()
+
+    for use_override in (False, True):
+        got_skel = total(True, use_override)
+        got_eb = total(False, use_override)
+        assert abs(got_skel - exact_skel) < 1e-12, (use_override, got_skel,
+                                                    exact_skel)
+        assert abs(got_eb - exact_eb) < 1e-12, (use_override, got_eb,
+                                                exact_eb)
