@@ -526,50 +526,8 @@ def _element_boundary_ctx(integral: Integral, mesh, order, dyn=None):
     fverts = mesh.elements_np[:, fv_loc].reshape(R, nvf)
 
     # facet-parametric rule: plain, or a cut rule from lset corner values
-    if integral.levelset_domain is not None:
-        from ..ops.straightcut import cut_rule_simplices, eps_guard
-        from ..ops.cuttables import ET_SPLIT
-        from ..integrate import _p1_vertex_dofs
-
-        ld = integral.levelset_domain
-        dtq = int(ld["domain_type"])
-        lgf = ld["levelset"]
-        vdofs = _p1_vertex_dofs(lgf.space)
-        vec = dyn_get(dyn, lgf, "vec", lgf._arr)
-        fvals = vec[jnp.asarray(vdofs[fverts])]  # (R, nvf)
-        split = ET_SPLIT[fet]
-        nsplit = split.shape[0]
-        refvf = jnp.asarray(REF_VERTS[fet], dtype=config.dtype)
-        fc = jnp.broadcast_to(
-            refvf[jnp.asarray(split)][None], (R, nsplit, split.shape[1], d - 1)
-        ).reshape(R * nsplit, split.shape[1], d - 1)
-        fvv = eps_guard(fvals[:, jnp.asarray(split)].reshape(R * nsplit, -1))
-        r = cut_rule_simplices(fc, fvv, d - 1, o)
-        if dtq == int(IF):
-            # codim-2 rule: the zero set WITHIN each facet — points on 2D
-            # element boundaries (counting measure), segments on 3D faces
-            # (length measure).  The reference supports these as
-            # "experimental" unfitted codim-2 integrals
-            # (xfem/symboliccutbfi.cpp:732, 898-946).
-            qi = r.pts_if.shape[1]
-            rp_dyn = r.pts_if.reshape(R, nsplit * qi, d - 1)
-            rw_dyn = r.w_if.reshape(R, nsplit * qi)
-            nref_if = r.nref.reshape(R, nsplit * qi, d - 1)
-        else:
-            qn = r.pts.shape[1]
-            rp_dyn = r.pts.reshape(R, nsplit * qn, d - 1)
-            rw_dyn = (r.w * (r.side == dtq)).reshape(R, nsplit * qn)
-            nref_if = None
-    else:
-        rp_s, rw_s = reference_rule(fet, o)
-        nqf = rw_s.shape[0]
-        rp_dyn = jnp.broadcast_to(
-            jnp.asarray(rp_s, dtype=config.dtype)[None], (R, nqf, d - 1)
-        )
-        rw_dyn = jnp.broadcast_to(
-            jnp.asarray(rw_s, dtype=config.dtype)[None], (R, nqf)
-        )
-        nref_if = None
+    rp_dyn, rw_dyn, nref_if = _facet_param_rule(
+        integral, fet, d, order, fverts, dyn, R)
 
     # map facet-parametric points into the element reference cell
     Nf = geom_shapes(fet, rp_dyn)  # (R, nq, nvf)
@@ -584,25 +542,7 @@ def _element_boundary_ctx(integral: Integral, mesh, order, dyn=None):
               else mesh.deformation)
     tang = _deformed_tangents(tang, deform, jnp.asarray(row_e), pts, dNf,
                               loc_ref, dyn)
-    if nref_if is not None:
-        # codim-2 measure: points in 2D (counting); in 3D the zero-set
-        # tangent within the facet, mapped to physical length
-        if d == 2:
-            scale = jnp.ones_like(rw_dyn)
-        else:
-            that = jnp.stack([nref_if[..., 1], -nref_if[..., 0]], axis=-1)
-            tvec = jnp.einsum("rqs,rqsd->rqd", that, tang)
-            scale = jnp.linalg.norm(tvec, axis=-1)
-    else:
-        scale = _gram_measure(tang)
-    w = scale * rw_dyn
-    if d == 2:
-        t = tang[:, :, 0, :]
-        n = jnp.stack([t[..., 1], -t[..., 0]], axis=-1)
-    else:
-        n = jnp.cross(tang[:, :, 0, :], tang[:, :, 1, :])
-    nn = jnp.linalg.norm(n, axis=-1, keepdims=True)
-    n = n / jnp.where(nn < 1e-30, 1.0, nn)
+    w, n = _facet_measure_normal(tang, nref_if, rw_dyn, d)
     els = dyn_get(dyn, mesh, "elements", mesh.elements)[jnp.asarray(row_e)]
     cent = jnp.mean(verts[els], axis=1)  # (R, d)
     fcm = jnp.mean(phys_fverts, axis=1)
@@ -681,46 +621,8 @@ def _boundary_ctx(integral: Integral, mesh, order, dyn=None):
     loc_ref = jnp.asarray(loc_ref, dtype=config.dtype)
 
     # facet-parametric rule: plain, or codim-1 cut rule from corner values
-    if integral.levelset_domain is not None:
-        from ..ops.straightcut import cut_rule_simplices, eps_guard
-        from ..ops.cuttables import ET_SPLIT
-        from ..integrate import _p1_vertex_dofs
-
-        ld = integral.levelset_domain
-        dtq = int(ld["domain_type"])
-        lgf = ld["levelset"]
-        vdofs = _p1_vertex_dofs(lgf.space)
-        vec = dyn_get(dyn, lgf, "vec", lgf._arr)
-        fvals = vec[jnp.asarray(vdofs[fverts])]  # (B, nvf)
-        split = ET_SPLIT[fet]
-        nsplit = split.shape[0]
-        refvf = jnp.asarray(REF_VERTS[fet], dtype=config.dtype)
-        fc = jnp.broadcast_to(
-            refvf[jnp.asarray(split)][None], (B, nsplit, split.shape[1], d - 1)
-        ).reshape(B * nsplit, split.shape[1], d - 1)
-        fvv = eps_guard(fvals[:, jnp.asarray(split)].reshape(B * nsplit, -1))
-        r = cut_rule_simplices(fc, fvv, d - 1, o)
-        if dtq == int(IF):
-            # codim-2 on the domain boundary (see _element_boundary_ctx)
-            qi = r.pts_if.shape[1]
-            rp_dyn = r.pts_if.reshape(B, nsplit * qi, d - 1)
-            rw_dyn = r.w_if.reshape(B, nsplit * qi)
-            nref_if = r.nref.reshape(B, nsplit * qi, d - 1)
-        else:
-            qn = r.pts.shape[1]
-            rp_dyn = r.pts.reshape(B, nsplit * qn, d - 1)
-            rw_dyn = (r.w * (r.side == dtq)).reshape(B, nsplit * qn)
-            nref_if = None
-    else:
-        rp_s, rw_s = reference_rule(fet, o)
-        nqf = rw_s.shape[0]
-        rp_dyn = jnp.broadcast_to(
-            jnp.asarray(rp_s, dtype=config.dtype)[None], (B, nqf, d - 1)
-        )
-        rw_dyn = jnp.broadcast_to(
-            jnp.asarray(rw_s, dtype=config.dtype)[None], (B, nqf)
-        )
-        nref_if = None
+    rp_dyn, rw_dyn, nref_if = _facet_param_rule(
+        integral, fet, d, order, fverts, dyn, B)
 
     # map facet-parametric points into the element reference cell
     Nf = geom_shapes(fet, rp_dyn)  # (B, nq, nvf)
@@ -740,22 +642,7 @@ def _boundary_ctx(integral: Integral, mesh, order, dyn=None):
               else mesh.deformation)
     tang = _deformed_tangents(tang, deform, jnp.asarray(row_e), pts, dNf,
                               loc_ref, dyn)
-    if nref_if is not None:
-        if d == 2:
-            w = rw_dyn
-        else:
-            that = jnp.stack([nref_if[..., 1], -nref_if[..., 0]], axis=-1)
-            tvec = jnp.einsum("bqs,bqsd->bqd", that, tang)
-            w = jnp.linalg.norm(tvec, axis=-1) * rw_dyn
-    else:
-        w = _gram_measure(tang) * rw_dyn
-    if d == 2:
-        t = tang[:, :, 0, :]
-        n = jnp.stack([t[..., 1], -t[..., 0]], axis=-1)
-    else:
-        n = jnp.cross(tang[:, :, 0, :], tang[:, :, 1, :])
-    nn = jnp.linalg.norm(n, axis=-1, keepdims=True)
-    n = n / jnp.where(nn < 1e-30, 1.0, nn)
+    w, n = _facet_measure_normal(tang, nref_if, rw_dyn, d)
     elarr = dyn_get(dyn, mesh, "elements", mesh.elements)[jnp.asarray(row_e)]
     cent = jnp.mean(verts[elarr], axis=1)
     fcm = jnp.mean(phys_fverts, axis=1)
@@ -901,6 +788,83 @@ def _msk(arr, mask):
     return jnp.where(m, arr, 0.0)
 
 
+def _facet_param_rule(integral, fet, d, order, fverts, dyn, R):
+    """Facet-parametric quadrature shared by the BND / element-boundary /
+    skeleton context builders: the plain reference rule, or — with a
+    ``levelset_domain`` — a codim-1 straight-cut rule from the level-set
+    values at the facet corners (codim-2 IF branch returns its reference
+    zero-set normals).  Returns (rp_dyn (R,nq,d-1), rw_dyn (R,nq),
+    nref_if or None)."""
+    from ..ops.cuttables import REF_VERTS
+
+    o = order if integral.force_intorder < 0 else integral.force_intorder
+    if integral.levelset_domain is not None:
+        from ..ops.straightcut import cut_rule_simplices, eps_guard
+        from ..ops.cuttables import ET_SPLIT
+        from ..integrate import _p1_vertex_dofs
+        from ..jitcache import dyn_get
+
+        ld = integral.levelset_domain
+        dtq = int(ld["domain_type"])
+        lgf = ld["levelset"]
+        vdofs = _p1_vertex_dofs(lgf.space)
+        vec = dyn_get(dyn or {}, lgf, "vec", lgf._arr)
+        fvals = vec[jnp.asarray(vdofs)[jnp.asarray(fverts)]]  # (R, nvf)
+        split = ET_SPLIT[fet]
+        nsplit = split.shape[0]
+        refvf = jnp.asarray(REF_VERTS[fet], dtype=config.dtype)
+        fc = jnp.broadcast_to(
+            refvf[jnp.asarray(split)][None],
+            (R, nsplit, split.shape[1], d - 1)
+        ).reshape(R * nsplit, split.shape[1], d - 1)
+        fvv = eps_guard(fvals[:, jnp.asarray(split)].reshape(R * nsplit, -1))
+        r = cut_rule_simplices(fc, fvv, d - 1, o)
+        if dtq == int(IF):
+            # codim-2: the zero set WITHIN the facet (points on 2D element
+            # boundaries, segments on 3D faces) — the reference's
+            # experimental unfitted codim-2 branch
+            # (xfem/symboliccutbfi.cpp:732, 898-946)
+            qi = r.pts_if.shape[1]
+            return (r.pts_if.reshape(R, nsplit * qi, d - 1),
+                    r.w_if.reshape(R, nsplit * qi),
+                    r.nref.reshape(R, nsplit * qi, d - 1))
+        qn = r.pts.shape[1]
+        return (r.pts.reshape(R, nsplit * qn, d - 1),
+                (r.w * (r.side == dtq)).reshape(R, nsplit * qn), None)
+    rp_s, rw_s = reference_rule(fet, o)
+    nqf = rw_s.shape[0]
+    rp_dyn = jnp.broadcast_to(
+        jnp.asarray(rp_s, dtype=config.dtype)[None], (R, nqf, d - 1))
+    rw_dyn = jnp.broadcast_to(
+        jnp.asarray(rw_s, dtype=config.dtype)[None], (R, nqf))
+    return rp_dyn, rw_dyn, None
+
+
+def _facet_measure_normal(tang, nref_if, rw_dyn, d):
+    """Physical facet weights and (unoriented) unit normal from the facet
+    tangents; codim-2 IF rules use the zero-set tangent length (3D) or the
+    counting measure (2D).  Shared by the three facet context builders."""
+    from ..ops.straightcut import _gram_measure
+
+    if nref_if is not None:
+        if d == 2:
+            scale = jnp.ones_like(rw_dyn)
+        else:
+            that = jnp.stack([nref_if[..., 1], -nref_if[..., 0]], axis=-1)
+            tvec = jnp.einsum("rqs,rqsd->rqd", that, tang)
+            scale = jnp.linalg.norm(tvec, axis=-1)
+    else:
+        scale = _gram_measure(tang)
+    w = scale * rw_dyn
+    if d == 2:
+        t = tang[:, :, 0, :]
+        n = jnp.stack([t[..., 1], -t[..., 0]], axis=-1)
+    else:
+        n = jnp.cross(tang[:, :, 0, :], tang[:, :, 1, :])
+    nn = jnp.linalg.norm(n, axis=-1, keepdims=True)
+    return w, n / jnp.where(nn < 1e-30, 1.0, nn)
+
+
 def _deformed_tangents(tang, deform, row_e, pts, dNf, loc_ref, dyn,
                        time=None):
     """Correct physical facet tangents for an isoparametric deformation.
@@ -988,51 +952,8 @@ def _skeleton_ctx(integral: Integral, mesh, order, dyn=None):
 
     # facet-parametric quadrature: plain rule, or a cut rule on the facet
     # itself for SymbolicCutFacetBFI (xfem/symboliccutbfi.cpp:682-946)
-    if integral.levelset_domain is not None:
-        from ..ops.straightcut import cut_rule_simplices, eps_guard
-        from ..ops.cuttables import ET_SPLIT
-        from ..integrate import _p1_vertex_dofs
-
-        ld = integral.levelset_domain
-        dtq = int(ld["domain_type"])
-        lgf = ld["levelset"]
-        vdofs = _p1_vertex_dofs(lgf.space)  # (nv,) vertex -> P1 dof
-        vec = dyn_get(dyn, lgf, "vec", lgf._arr)
-        fvals = vec[jnp.asarray(vdofs)[jnp.asarray(fverts)]]  # (F, nvf)
-        split = ET_SPLIT[fet]
-        nsplit = split.shape[0]
-        refvf = jnp.asarray(REF_VERTS[fet], dtype=config.dtype)
-        fc = jnp.broadcast_to(
-            refvf[jnp.asarray(split)][None], (F, nsplit, split.shape[1], d - 1)
-        ).reshape(F * nsplit, split.shape[1], d - 1)
-        fv = eps_guard(fvals[:, jnp.asarray(split)].reshape(F * nsplit, -1))
-        r = cut_rule_simplices(fc, fv, d - 1, o)
-        if dtq == int(IF):
-            # codim-2: the zero set within the facet (points in 2D, line
-            # segments in 3D) — reference SymbolicCutFacetBFI's
-            # experimental unfitted codim-2 branch
-            # (xfem/symboliccutbfi.cpp:732, 898-946)
-            qi = r.pts_if.shape[1]
-            rp_dyn = r.pts_if.reshape(F, nsplit * qi, d - 1)
-            rw_dyn = r.w_if.reshape(F, nsplit * qi)
-            nref_if = r.nref.reshape(F, nsplit * qi, d - 1)
-            nqf = nsplit * qi
-        else:
-            qn = r.pts.shape[1]
-            rp_dyn = r.pts.reshape(F, nsplit * qn, d - 1)
-            rw_dyn = (r.w * (r.side == dtq)).reshape(F, nsplit * qn)
-            nref_if = None
-            nqf = nsplit * qn
-    else:
-        rp_s, rw_s = reference_rule(fet, o)  # (nqf, d-1)
-        nqf = rw_s.shape[0]
-        rp_dyn = jnp.broadcast_to(
-            jnp.asarray(rp_s, dtype=config.dtype)[None], (F, nqf, d - 1)
-        )
-        rw_dyn = jnp.broadcast_to(
-            jnp.asarray(rw_s, dtype=config.dtype)[None], (F, nqf)
-        )
-        nref_if = None
+    rp_dyn, rw_dyn, nref_if = _facet_param_rule(
+        integral, fet, d, order, fverts, dyn, F)
 
     # facet geometry map (multilinear in the facet ref coords)
     Nf = geom_shapes(fet, rp_dyn)  # (F, nqf, nvf)
@@ -1056,26 +977,8 @@ def _skeleton_ctx(integral: Integral, mesh, order, dyn=None):
     dNf = geom_dshapes(fet, rp_dyn)  # (F, nqf, nvf, d-1)
     tang = jnp.einsum("fqks,fkd->fqsd", dNf, phys_fverts)  # (F,nqf,d-1,d)
     tang = _deformed_tangents(tang, deform, e1, pts1, dNf, loc_ref[0], dyn)
-    if nref_if is not None:
-        # codim-2 measure (see _element_boundary_ctx)
-        if d == 2:
-            scale = jnp.ones_like(rw_dyn)
-        else:
-            that = jnp.stack([nref_if[..., 1], -nref_if[..., 0]], axis=-1)
-            tvec = jnp.einsum("fqs,fqsd->fqd", that, tang)
-            scale = jnp.linalg.norm(tvec, axis=-1)
-    else:
-        scale = _gram_measure(tang)  # (F, nqf)
-    w = scale * rw_dyn
-    # normal: orthogonal to tangents, oriented from e1 to e2
-    if d == 2:
-        t = tang[:, :, 0, :]
-        n = jnp.stack([t[..., 1], -t[..., 0]], axis=-1)
-    else:
-        n = jnp.cross(tang[:, :, 0, :], tang[:, :, 1, :])
-    nn = jnp.linalg.norm(n, axis=-1, keepdims=True)
-    n = n / jnp.where(nn < 1e-30, 1.0, nn)
-    # orient: away from e1 centroid
+    w, n = _facet_measure_normal(tang, nref_if, rw_dyn, d)
+    # orient the normal from e1 to e2: away from the e1 centroid
     els1 = dyn_get(dyn, mesh, "elements", mesh.elements)[e1]
     cent1 = jnp.mean(verts[els1], axis=1)  # (F, d)
     fcm = jnp.mean(phys_fverts, axis=1)
