@@ -95,14 +95,21 @@ class EvalCtx:
         """NGSolve-like mesh size |det J|^(1/dim)."""
         return self.absdetJ ** (1.0 / self.mesh.dim)
 
+    def _jinvt_nref(self):
+        """J^-T n_ref and its norm, shared by `normal` and `if_scale`."""
+        if "jinvt_nref" not in self._cache:
+            n = jnp.einsum("eqdg,eqd->eqg", self.Jinv, self._nref)
+            self._cache["jinvt_nref"] = (n, jnp.linalg.norm(n, axis=-1))
+        return self._cache["jinvt_nref"]
+
     @property
     def normal(self):
         if self._normal is not None:
             return self._normal
         if self._nref is not None:
             if "normal" not in self._cache:
-                n = jnp.einsum("eqdg,eqd->eqg", self.Jinv, self._nref)
-                nn = jnp.linalg.norm(n, axis=-1, keepdims=True)
+                n, nn = self._jinvt_nref()
+                nn = nn[..., None]
                 self._cache["normal"] = n / jnp.where(nn < 1e-30, 1.0, nn)
             return self._cache["normal"]
         raise ValueError("no normal available in this context")
@@ -112,8 +119,7 @@ class EvalCtx:
         """co-area weight factor ||J^-T n_ref|| (interface rules)."""
         if self._nref is None:
             raise ValueError("if_scale needs a reference normal")
-        n = jnp.einsum("eqdg,eqd->eqg", self.Jinv, self._nref)
-        return jnp.linalg.norm(n, axis=-1)
+        return self._jinvt_nref()[1]
 
 
 def eval_pure(cf, ctx: EvalCtx):
@@ -142,7 +148,12 @@ def eval_pure(cf, ctx: EvalCtx):
         return a * b
     if isinstance(cf, C.InnerProduct):
         a, b = eval_pure(cf.a, ctx), eval_pure(cf.b, ctx)
-        return jnp.sum(_full(a, ctx, cf.a.dims) * _full(b, ctx, cf.b.dims), axis=-1)
+        if cf.a.dims == ():  # scalar InnerProduct == product
+            return a * b
+        # contract over ALL component axes (Frobenius for matrices)
+        axes = tuple(range(-len(cf.a.dims), 0))
+        return jnp.sum(_full(a, ctx, cf.a.dims) * _full(b, ctx, cf.b.dims),
+                       axis=axes)
     if isinstance(cf, C.MatVec):
         a, b = _full(eval_pure(cf.a, ctx), ctx, cf.a.dims), _full(
             eval_pure(cf.b, ctx), ctx, cf.b.dims
@@ -173,7 +184,9 @@ def eval_pure(cf, ctx: EvalCtx):
         a = _full(eval_pure(cf.a, ctx), ctx, cf.a.dims)
         if cf.a.dims == ():
             return jnp.abs(a)
-        return jnp.linalg.norm(a, axis=-1)
+        # Frobenius norm over ALL component axes (vector or matrix)
+        axes = tuple(range(-len(cf.a.dims), 0))
+        return jnp.sqrt(jnp.sum(a * a, axis=axes))
     if isinstance(cf, C.IfPosCF):
         c = _bc(eval_pure(cf.c, ctx), ctx)
         a = _full(eval_pure(cf.a, ctx), ctx, cf.a.dims)

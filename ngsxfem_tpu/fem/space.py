@@ -173,7 +173,8 @@ class FESpace:
             bc = m.bc_of_facet_np[f]
             self.bc_of_dof[self.el2dof_np[e, lfn[lf]]] = bc
 
-    def _apply_dirichlet(self, dirichlet):
+    def _dirichlet_mask(self, dirichlet):
+        """Boolean dof mask for a dirichlet spec (regex or id list); pure."""
         diri = np.zeros(self.ndof, dtype=bool)
         if dirichlet:
             ids = set()
@@ -186,7 +187,10 @@ class FESpace:
                 ids = set(int(b) for b in dirichlet)
             for b in ids:
                 diri |= self.bc_of_dof == b
-        self.dirichlet_dofs = diri
+        return diri
+
+    def _apply_dirichlet(self, dirichlet):
+        self.dirichlet_dofs = self._dirichlet_mask(dirichlet)
 
     def FreeDofs(self, coupling=False):
         return BitArray(~self.dirichlet_dofs)

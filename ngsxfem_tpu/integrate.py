@@ -289,7 +289,8 @@ def _cut_ctx_and_weights(mesh, lset_gf, domain_type, order, dyn=None,
 
         vals_st = lset_st_vertex_values(lset_gf, dyn)
         kt = lset_gf.space.k_t
-        rule = spacetime_cut_rule(mesh.et, vals_st, kt, order, time_order)
+        rule = spacetime_cut_rule(mesh.et, vals_st, kt, order, time_order,
+                                  policy=quad_dir_policy)
         if dt == IF:
             ctx = EvalCtx(mesh, rule.pts_if, nref=rule.nref, dyn=dyn,
                           time=rule.times_if, deformation=deformation)

@@ -11,17 +11,13 @@ time point — all as fixed-shape batched tensors.
 """
 from __future__ import annotations
 
-from functools import partial
 from typing import NamedTuple
 
-import numpy as np
 import jax
 import jax.numpy as jnp
 
-from ..config import config
-from .cuttables import ET_SPLIT, REF_VERTS
 from .gauss import gauss_legendre_01, ET_DIM
-from .straightcut import cut_rule_simplices, eps_guard, CutRule
+from .straightcut import cut_rule_element, eps_guard
 
 
 class SpaceTimeCutRule(NamedTuple):
@@ -110,15 +106,18 @@ def _poly_roots_in_01(coefs, kt: int, nbisect: int = 40):
 
 
 def spacetime_cut_rule(et: str, vals_st, kt: int, order_space: int,
-                       order_time: int):
+                       order_time: int, policy: str = "OPTIMAL"):
     """Space-time cut rule for a batch of elements.
 
     vals_st (E, nd_t, nvel): level-set values at (time-node, space-vertex);
     kt = time order of the level set.  Returns a SpaceTimeCutRule.
+    The spatial rule at each time point is `cut_rule_element` — the SAME
+    dispatch as the stationary integrator (simplex tables; genuine
+    multilinear iterated-integral rules for QUAD/HEX under `policy`), so
+    stationary and space-time integrals agree on identical vertex values.
     """
     from ..spacetime.timefe import _time_coeff
 
-    d = ET_DIM[et]
     E, ndt, nvel = vals_st.shape
     dtype = vals_st.dtype
     vals_st = eps_guard(vals_st)
@@ -154,28 +153,17 @@ def spacetime_cut_rule(et: str, vals_st, kt: int, order_space: int,
     tm = jnp.stack([tpts**j for j in range(kt + 1)], axis=-1)  # (E,T,nm)
     vv = jnp.einsum("etm,evm->etv", tm, coefs)
 
-    # spatial cut rules at all (element, time) pairs (with QUAD/HEX split)
-    split = ET_SPLIT[et]
-    nsplit = split.shape[0]
-    refv = jnp.asarray(REF_VERTS[et], dtype=dtype)
-    scoords = refv[jnp.asarray(split)]  # (nsplit, d+1, d)
-    M = E * T * nsplit
-    coords = jnp.broadcast_to(scoords[None, None], (E, T, nsplit, d + 1, d)).reshape(
-        M, d + 1, d
-    )
-    svals = vv[:, :, jnp.asarray(split)].reshape(M, d + 1)
-    r = cut_rule_simplices(coords, eps_guard(svals), d, order_space)
+    # spatial cut rule at every (element, time) pair — one batched call into
+    # the stationary dispatch (simplex split / multilinear QUAD-HEX rule)
+    r = cut_rule_element(et, vv.reshape(E * T, nvel), order_space, policy)
 
     def merge(a):
-        # (M, q, ...) -> (E, T*nsplit*q, ...)
-        q = a.shape[1]
-        a = a.reshape(E, T, nsplit * q, *a.shape[2:])
-        return a.reshape(E, T * nsplit * q, *a.shape[3:])
+        # (E*T, q, ...) -> (E, T*q, ...)
+        return a.reshape(E, T * a.shape[1], *a.shape[2:])
 
     def fold_time(w):
         q = w.shape[1]
-        w = w.reshape(E, T, nsplit * q) * twts[:, :, None]
-        return w.reshape(E, -1)
+        return (w.reshape(E, T, q) * twts[:, :, None]).reshape(E, -1)
 
     def time_of(qn):
         return jnp.broadcast_to(tpts[:, :, None], (E, T, qn)).reshape(E, -1)
@@ -183,9 +171,9 @@ def spacetime_cut_rule(et: str, vals_st, kt: int, order_space: int,
     pts = merge(r.pts)
     w = fold_time(r.w)
     side = merge(r.side)
-    times = time_of(nsplit * r.pts.shape[1])
+    times = time_of(r.pts.shape[1])
     pts_if = merge(r.pts_if)
     w_if = fold_time(r.w_if)
-    times_if = time_of(nsplit * r.pts_if.shape[1])
+    times_if = time_of(r.pts_if.shape[1])
     nref = merge(r.nref)
     return SpaceTimeCutRule(pts, times, w, side, pts_if, times_if, w_if, nref)

@@ -38,9 +38,16 @@ class SpaceTimeFESpace:
         maps = [spacefes.el2dof_np + t * self.ndof_s for t in range(self.ndof_t)]
         self.el2dof_np = np.concatenate(maps, axis=1).astype(np.int32)
         self.el2dof = jnp.asarray(self.el2dof_np)
-        self.dirichlet_dofs = np.tile(spacefes.dirichlet_dofs, self.ndof_t)
+        # own dirichlet spec (reference binding accepts one,
+        # spacetime/python_spacetime.cpp:46-68) unions with the spatial one
+        sdiri = spacefes.dirichlet_dofs
+        if dirichlet is not None:
+            sdiri = sdiri | spacefes._dirichlet_mask(dirichlet)
+        self.dirichlet_dofs = np.tile(sdiri, self.ndof_t)
         self.bc_of_dof = np.tile(spacefes.bc_of_dof, self.ndof_t)
         self.dgjumps = dgjumps
+        self._fixed_time = None
+        self._override_time = False
 
     @property
     def k_t(self):
@@ -53,11 +60,15 @@ class SpaceTimeFESpace:
         return self.tfe.IsNodeActive(i)
 
     def SetTime(self, t):
-        """Fix the time for subsequent spatial evaluations (reference
-        SpaceTimeFESpace::SetTime debug hook); prefer fix_t/time contexts."""
-        self._fixed_time = float(t)
+        """Fix the time for subsequent GridFunction evaluations (reference
+        SpaceTimeFESpace::SetTime); applies when no time context is present,
+        or always if SetOverrideTime(True). Prefer fix_t/time contexts —
+        changing the time here retraces affected jits."""
+        self._fixed_time = None if t is None else float(t)
 
     def SetOverrideTime(self, override: bool):
+        """Make SetTime's value override even integrator-supplied time
+        (reference SpaceTimeFESpace::SetOverrideTime)."""
         self._override_time = bool(override)
 
     def FreeDofs(self, coupling=False):
@@ -104,7 +115,7 @@ class SpaceTimeFESpace:
             Bt = self._time_basis(proxy, pctx)
             arr = jnp.einsum("eqt,eqig->eqtig", Bt, Gp).reshape(E, Q, -1,
                                                                self.mesh.dim)
-        elif op == "dt":
+        elif op in ("dt", "fixtdt"):
             Bs = shapes(et, ks, pctx.ref_pts)
             dBt = self._time_basis(proxy, pctx, deriv=True)
             arr = jnp.einsum("eqt,eqi->eqti", dBt, Bs).reshape(E, Q, -1)
@@ -117,11 +128,15 @@ class SpaceTimeFESpace:
         vec = ctx.lookup(gf, "vec", gf._arr)
         ssp = self.spacefes
         vdim = getattr(ssp, "vdim", 1)
+        if fixed_time is None and self._fixed_time is not None and (
+                self._override_time or ctx.time is None):
+            fixed_time = self._fixed_time  # SetTime / SetOverrideTime state
         if fixed_time is not None:
             t = jnp.full((ctx.E, ctx.Q), float(fixed_time), dtype=ctx.ref_pts.dtype)
         else:
             if ctx.time is None:
-                raise ValueError("space-time GridFunction needs a time context")
+                raise ValueError("space-time GridFunction needs a time context"
+                                 " (or SpaceTimeFESpace.SetTime)")
             t = jnp.broadcast_to(ctx.time, (ctx.E, ctx.Q))
         Bt = self.tfe.deval(t) if deriv_t else self.tfe.eval(t)  # (E,Q,ndt)
         if vdim == 1:
@@ -211,6 +226,7 @@ class TimeFixedCF(CF):
         sub = EvalCtx(ctx.mesh, ctx.ref_pts, elem_ids=ctx.elem_ids,
                       nref=ctx._nref, normal=ctx._normal,
                       facet_ids=ctx.facet_ids, dyn=ctx.dyn,
+                      deformation=ctx.deformation,  # keep per-integral override
                       time=jnp.full((ctx.E, ctx.Q), self.t,
                                     dtype=ctx.ref_pts.dtype))
         return eval_pure(self.child, sub)
@@ -236,8 +252,9 @@ class STGFValueCF(CF):
 
         s = slots.slot(self.gf, "vec", lambda g=self.gf: g._arr)
         register_space(self.gf.space, slots)
-        return ("stgf", obj_uid(self.gf.space), self.grad, self.deriv_t,
-                self.fixed_time, s)
+        sp = self.gf.space
+        return ("stgf", obj_uid(sp), self.grad, self.deriv_t,
+                self.fixed_time, sp._fixed_time, sp._override_time, s)
 
     def _eval_pure(self, ctx):
         return self.gf.space.gf_eval_hook(
@@ -254,6 +271,13 @@ def dt(u):
     if isinstance(u, ProxyFunction):
         if not isinstance(u.space, SpaceTimeFESpace):
             raise TypeError("dt needs a space-time function")
+        if u.op != "val":
+            # dt(grad(u)) / dt(dt(u)) etc. have no diff-op here (nor in the
+            # reference, diffopDt.hpp applies to the value) — raising beats
+            # silently discarding the inner operator
+            raise NotImplementedError(
+                f"dt of a '{u.op}' proxy is not supported; apply dt to the "
+                "plain function")
         return u._clone(op="dt", dims=())
     if isinstance(u, GridFunction) and isinstance(u.space, SpaceTimeFESpace):
         return STGFValueCF(u, deriv_t=True)
@@ -274,7 +298,10 @@ def fix_t(u, time):
     if isinstance(u, ProxyFunction):
         if not isinstance(u.space, SpaceTimeFESpace):
             raise TypeError("fix_t needs a space-time function")
-        op = "fixtgrad" if u.op == "grad" else "fixt"
+        op = {"grad": "fixtgrad", "val": "fixt", "dt": "fixtdt"}.get(u.op)
+        if op is None:
+            raise NotImplementedError(
+                f"fix_t of a '{u.op}' proxy is not supported")
         return u._clone(op=op, op_args=(float(time),))
     if isinstance(u, GridFunction) and isinstance(u.space, SpaceTimeFESpace):
         return STGFValueCF(u, fixed_time=float(time))
