@@ -158,10 +158,13 @@ class CompositeCutInfo:
         self.cis = [CutInfo(m, gf)
                     for m, gf in zip(cmesh.submeshes, lset.gfs)]
 
-    def GetElementsOfType(self, dt, vb=None):
+    def GetElementsOfType(self, dt, VOL_or_BND=None):
         from ..fem.space import BitArray
+        from ..geom.cutinfo import VOL
 
-        parts = [np.asarray(ci.GetElementsOfType(dt).np) for ci in self.cis]
+        vb = VOL if VOL_or_BND is None else VOL_or_BND
+        parts = [np.asarray(ci.GetElementsOfType(dt, vb).np)
+                 for ci in self.cis]
         return BitArray(np.concatenate(parts))
 
     def per_group(self, dt):

@@ -126,19 +126,24 @@ def ReadGmsh(path):
 
     if not nodes or not elems:
         raise ValueError("no nodes/elements found (is this a v2.2 .msh?)")
-    # renumber nodes contiguously
-    ids = sorted(nodes)
-    id2new = {g: k for k, g in enumerate(ids)}
-    pts3 = np.array([nodes[g] for g in ids], dtype=np.float64)
-
     by_et = {}
     for et, tag, verts in elems:
         by_et.setdefault(et, []).append((tag, verts))
     cell_et = max(by_et, key=lambda e: ET_DIM.get(e, 0))
     dim = ET_DIM[cell_et]
-    vertices = pts3[:, :dim]
-
     cell_ets = sorted(e for e in by_et if ET_DIM.get(e, 0) == dim)
+
+    # renumber contiguously, keeping ONLY nodes referenced by a top-dimension
+    # cell: orphan nodes (physical points, lower-dim-only nodes) would leave
+    # all-zero matrix rows / singular H1 systems behind
+    used = set()
+    for e in cell_ets:
+        for _, verts in by_et[e]:
+            used.update(verts)
+    ids = sorted(g for g in nodes if g in used)
+    id2new = {g: k for k, g in enumerate(ids)}
+    pts3 = np.array([nodes[g] for g in ids], dtype=np.float64)
+    vertices = pts3[:, :dim]
     if len(cell_ets) > 1:
         # mixed same-dimension cell types: a single-type Mesh would have to
         # DROP cells — return the composite representation instead
@@ -164,6 +169,8 @@ def ReadGmsh(path):
         if et == cell_et or ET_DIM.get(et, -1) != dim - 1:
             continue
         for tag, verts in items:
+            if not all(v in id2new for v in verts):
+                continue  # facet of dropped (orphan-node) geometry
             key = tuple(sorted(id2new[v] for v in verts))
             bc_map[key] = tag if tag > 0 else 1
     return MeshFromArrays(cell_et, vertices, elements,

@@ -171,13 +171,16 @@ def bisect_refine_tet(vertices: np.ndarray, elements: np.ndarray,
     if not split:
         return (np.asarray(V), np.asarray(els, dtype=np.int32), None)
 
+    def split_edges(t):
+        return [_edge_key(t[i], t[j])
+                for i in range(4) for j in range(i + 1, 4)]
+
     work = els
     out = []
-    for _pass in range(64):  # Rivara terminates; cap defensively
+    for _pass in range(256):  # Rivara terminates; cap defensively
         new_work = []
         for t in work:
-            edges6 = [_edge_key(t[i], t[j])
-                      for i in range(4) for j in range(i + 1, 4)]
+            edges6 = split_edges(t)
             if not any(e in split for e in edges6):
                 out.append(t)
                 continue
@@ -190,11 +193,21 @@ def bisect_refine_tet(vertices: np.ndarray, elements: np.ndarray,
             c1 = tuple(m if v == b else v for v in t)
             c2 = tuple(m if v == a else v for v in t)
             new_work += [c1, c2]
+        # `split` grew while this pass ran: elements finalized earlier (this
+        # pass or before) may now contain split edges — pull them back in,
+        # else their neighbors' midpoints become hanging nodes
+        still_out = []
+        for t in out:
+            if any(e in split for e in split_edges(t)):
+                new_work.append(t)
+            else:
+                still_out.append(t)
+        out = still_out
         work = new_work
         if not work:
             break
     else:
-        raise RuntimeError("tet bisection did not terminate (64 passes)")
+        raise RuntimeError("tet bisection did not terminate (256 passes)")
 
     Vnew = np.asarray(V)
     Enew = np.asarray(out, dtype=np.int32)

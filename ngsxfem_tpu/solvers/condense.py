@@ -63,7 +63,17 @@ def condensed_solve(A, b, local_dofs, freedofs=None, solver=None):
         if info != 0:
             raise RuntimeError(f"condensed CG did not converge (info={info})")
     else:
-        xC = solver(A_CC, rhs)
+        # custom solver receives the EXPLICIT Schur complement
+        # A_CC - A_CL A_LL^{-1} A_LC (not just A_CC — the correction term
+        # is what condensation is about); built densely through the LU,
+        # fine for the moderate coupled blocks condensation targets
+        S_cc = A_CC
+        if len(iL):
+            from scipy.sparse import csr_matrix
+
+            X = lu_LL.solve(A_LC.toarray())  # (nL, nC)
+            S_cc = A_CC - csr_matrix(A_CL @ X)
+        xC = solver(S_cc, rhs)
 
     out = np.zeros(n, dtype=np.float64)
     out[iC] = xC

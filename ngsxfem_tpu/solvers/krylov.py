@@ -7,6 +7,8 @@ is a psum-reduced SPMD function (parallel/sharding.py).
 """
 from __future__ import annotations
 
+from functools import partial
+
 import jax
 import jax.numpy as jnp
 from jax import lax
@@ -134,8 +136,6 @@ def masked_matvec(matvec, free_mask):
     return mv
 
 
-from functools import partial
-
 
 @partial(jax.jit, static_argnames=("maxiter", "tol"))
 def _cg_ell(vals, cols, b, free, maxiter, tol):
@@ -166,8 +166,6 @@ class CGSolver:
         self.freedofs = freedofs
 
     def __mul__(self, rhs):
-        import numpy as np
-
         from ..fem.space import _arr
         from .sparse import ELLMatrix
 

@@ -15,6 +15,7 @@ import jax.numpy as jnp
 
 from ..config import config
 from .sparse import SparseMatrix
+from ..fem.space import _arr as _bits
 
 
 def mesh_hierarchy(make_mesh, nx0: int, levels: int):
@@ -37,7 +38,13 @@ def prolongation_matrix(coarse_space, fine_space) -> SparseMatrix:
     N = geom_shapes(fm.et, b["nodes"], xp=np)  # (ndl, nv)
     fnodes = np.einsum("lv,evd->eld", N, fm.vertices_np[fm.elements_np])
     pts = np.zeros((fine_space.ndof, fm.dim))
-    pts[fine_space.el2dof_np.reshape(-1)] = fnodes.reshape(-1, fm.dim)
+    fflat = fine_space.el2dof_np.reshape(-1)
+    fnflat = fnodes.reshape(-1, fm.dim)
+    fvalid = getattr(fine_space, "el2dof_valid_np", None)
+    if fvalid is not None:  # masked spaces (XFE/Restricted) 0-substitute
+        fv = fvalid.reshape(-1)  # inactive slots — exclude them, else dof 0
+        fflat, fnflat = fflat[fv], fnflat[fv]  # gets a foreign node coord
+    pts[fflat] = fnflat
 
     # locate each fine node in a coarse element: kd-tree over coarse element
     # centroids + vectorized membership test over the k nearest candidates
@@ -71,6 +78,9 @@ def prolongation_matrix(coarse_space, fine_space) -> SparseMatrix:
     rows = np.repeat(np.arange(fine_space.ndof), cdofs.shape[1])
     cols = cdofs.reshape(-1)
     vals = B.reshape(-1)
+    cvalid = getattr(coarse_space, "el2dof_valid_np", None)
+    if cvalid is not None:  # don't scatter inactive-slot weights into dof 0
+        vals = np.where(cvalid[owner].reshape(-1), vals, 0.0)
     keep = np.abs(vals) > 1e-12
     return SparseMatrix(rows[keep], cols[keep], jnp.asarray(vals[keep],
                         dtype=config.dtype),
@@ -147,8 +157,7 @@ def VertPatches(fes, mesh=None):
     """Vertex-patch dof blocks (cutmg.py:221-232): for each mesh vertex, the
     free dofs of all elements containing it."""
     mesh = mesh if mesh is not None else fes.mesh
-    free = np.asarray(fes.FreeDofs().np if hasattr(fes.FreeDofs(), "np")
-                      else fes.FreeDofs())
+    free = _bits(fes.FreeDofs())
     els = mesh.elements_np  # (ne, nvel)
     ne, nvel = els.shape
     # group elements by vertex via a sorted (vertex, element) list
@@ -169,8 +178,7 @@ def VertPatches(fes, mesh=None):
 
 def ElemPatches(fes):
     """Element-patch dof blocks (cutmg.py:234-240)."""
-    free = np.asarray(fes.FreeDofs().np if hasattr(fes.FreeDofs(), "np")
-                      else fes.FreeDofs())
+    free = _bits(fes.FreeDofs())
     blocks = []
     for row in fes.el2dof_np:
         d = np.unique(row)
@@ -183,8 +191,7 @@ def EdgePatches(fes, mesh=None):
     """Edge-patch dof blocks (cutmg.py:242-261): for each mesh edge, the
     free dofs of the elements sharing it."""
     mesh = mesh if mesh is not None else fes.mesh
-    free = np.asarray(fes.FreeDofs().np if hasattr(fes.FreeDofs(), "np")
-                      else fes.FreeDofs())
+    free = _bits(fes.FreeDofs())
     from ..mesh.mesh import EDGE_VERTS
 
     ed = np.asarray(EDGE_VERTS[mesh.et])  # (nedg_local, 2) local vertex pairs
@@ -221,8 +228,8 @@ class CutFemSmoother:
         self.A = A
         self.damping = damping
         diag = np.asarray(A.diagonal())
-        free = np.ones(A.shape[0], bool) if freedofs is None else np.asarray(
-            freedofs.np if hasattr(freedofs, "np") else freedofs)
+        free = (np.ones(A.shape[0], bool) if freedofs is None
+                else _bits(freedofs))
         dinv = np.where((np.abs(diag) > 1e-30) & free, 1.0 / np.where(diag == 0, 1, diag), 0.0)
         self.dinv = jnp.asarray(dinv, dtype=config.dtype)
         self.free = jnp.asarray(free)
@@ -238,8 +245,7 @@ class CutFemSmoother:
         if blocks is not None:
             self.blockdata = _prepare_blocks(A, blocks, free)
         if if_correction and if_dofs is not None:
-            idx = np.nonzero(np.asarray(if_dofs.np if hasattr(if_dofs, "np")
-                                        else if_dofs) & free)[0]
+            idx = np.nonzero(_bits(if_dofs) & free)[0]
             if len(idx):
                 # extract the interface sub-block as a small SparseMatrix
                 S = A.to_scipy().tocsr()[idx][:, idx].tocoo()
@@ -290,9 +296,7 @@ class MultiGridCL:
         # jit-safe (host callbacks are unsupported on the TPU backend).
         n0 = mats[0].shape[0]
         free = (np.ones(n0, bool) if coarse_freedofs is None
-                else np.asarray(coarse_freedofs.np
-                                if hasattr(coarse_freedofs, "np")
-                                else coarse_freedofs))
+                else _bits(coarse_freedofs))
         idx = np.nonzero(free)[0]
         A0 = mats[0].to_scipy().tocsr()[idx][:, idx].toarray()
         # symmetrize (COO duplicates / roundoff) and factor ON HOST (A0 is
@@ -507,9 +511,7 @@ class P2TwoGridCL:
         self.maxit = kwargs.get("maxit", 20)
         self.tol = kwargs.get("tol", 1e-6)
         self.printinfo = kwargs.get("printinfo", False)
-        free = self.fes.FreeDofs()
-        self.free = jnp.asarray(np.asarray(
-            free.np if hasattr(free, "np") else free))
+        self.free = jnp.asarray(_bits(self.fes.FreeDofs()))
 
     def _coarse_correct(self, r):
         rc = self.P.T.matvec(r)
@@ -762,36 +764,16 @@ class FunctionalELLMG:
                                  bvals, 0.0), axis=1)
         dinv = jnp.where(jnp.abs(diag) > 1e-30, 1.0 / diag, 1.0)
         r = (b - self._mv(params, l, x))[idx]
-        import jax as _jax
-
-        _vd = lambda a, c: jnp.vdot(a, c, precision=_jax.lax.Precision.HIGHEST)
 
         def mv(z):
             return jnp.sum(bvals * z[bcols], axis=1)
 
-        # fixed-iteration Jacobi-preconditioned CG (jit-friendly trip count)
-        z = jnp.zeros_like(r)
-        rr = r - mv(z)
-        q = dinv * rr
-        p = q
-        rz = _vd(rr, q)
+        # fixed-iteration Jacobi-preconditioned CG: krylov.cg's tol=0 path
+        # (jit-friendly fori_loop trip count, HIGHEST-precision vdots)
+        from .krylov import cg
 
-        def body(_, st):
-            z, rr, p, rz = st
-            Ap = mv(p)
-            denom = _vd(p, Ap)
-            alpha = rz / jnp.where(denom == 0, 1.0, denom)
-            z = z + alpha * p
-            rr = rr - alpha * Ap
-            q = dinv * rr
-            rz2 = _vd(rr, q)
-            p = q + (rz2 / jnp.where(rz == 0, 1.0, rz)) * p
-            return z, rr, p, rz2
-
-        import jax
-
-        z, rr, p, rz = jax.lax.fori_loop(0, self.if_iters, body,
-                                         (z, rr, p, rz))
+        z, _, _ = cg(mv, r, M=lambda s: dinv * s,
+                     maxiter=self.if_iters, tol=0.0)
         return x.at[idx].add(z)
 
     def _smooth(self, params, l, x, b):
@@ -858,8 +840,7 @@ class LinearMGIterator:
         if self.freedofs is not None:
             import numpy as np
 
-            fm = jnp.asarray(np.asarray(
-                self.freedofs.np if hasattr(self.freedofs, "np") else self.freedofs))
+            fm = jnp.asarray(_bits(self.freedofs))
             mv = masked_matvec(mv, fm)
             b = jnp.where(fm, b, 0.0)
             M = lambda r: jnp.where(fm, self.mg(r), r)

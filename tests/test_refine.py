@@ -203,3 +203,44 @@ def test_quad_adaptive_refine_raises():
     marks[0] = True
     with pytest.raises(NotImplementedError):
         mesh.Refine(marks)
+
+
+def test_tet_bisection_conformity():
+    """Closure must re-validate already-finalized tets as `split` grows —
+    otherwise neighbors of late bisections keep hanging midpoints."""
+    from ngsxfem_tpu import MakeStructured3DMesh
+    from ngsxfem_tpu.mesh.refine import bisect_refine_tet
+
+    def violations(V, E):
+        bad = 0
+        P = V[np.unique(E)]
+        for t in E:
+            for i in range(4):
+                for j in range(i + 1, 4):
+                    a, b = V[t[i]], V[t[j]]
+                    d = b - a
+                    L2 = d @ d
+                    if L2 < 1e-24:
+                        bad += 1000  # degenerate edge
+                        continue
+                    s = ((P - a) @ d) / L2
+                    on = (s > 1e-9) & (s < 1 - 1e-9)
+                    if not on.any():
+                        continue
+                    proj = a + s[:, None] * d
+                    bad += int((on & (((P - proj) ** 2).sum(1) < 1e-18)).sum())
+        return bad
+
+    def vol(V, E):
+        a, b, c, d = V[E[:, 0]], V[E[:, 1]], V[E[:, 2]], V[E[:, 3]]
+        return np.abs(np.einsum("ij,ij->i", np.cross(b - a, c - a),
+                                d - a)).sum() / 6
+
+    rng = np.random.default_rng(0)
+    mesh = MakeStructured3DMesh(hexes=False, nx=3, ny=3, nz=3)
+    V, E = mesh.vertices_np.astype(np.float64), mesh.elements_np
+    for _ in range(4):
+        marks = rng.random(len(E)) < 0.1
+        Vn, En, _ = bisect_refine_tet(V, E, marks)
+        assert violations(Vn, En) == 0
+        assert abs(vol(Vn, En) - vol(V, E)) < 1e-12
