@@ -115,3 +115,32 @@ def dshapes(et: str, order: int, pts):
 
 def ndof_el(et: str, order: int) -> int:
     return lagrange_element(et, order)["nodes"].shape[0]
+
+
+def facet_local_nodes(et: str, order: int, interior_only: bool = False):
+    """Per local facet: local Lagrange node ids belonging to the facet.
+
+    interior_only=False: the facet CLOSURE — nodes with no support on any
+    off-facet vertex (all dofs whose support lies in the facet; used for
+    boundary-dof marking).  interior_only=True: nodes supported on EVERY
+    facet vertex as well — the NT_FACET "face bubble" dofs (NGSolve
+    GetDofNrs(NodeId(NT_FACET, f)) analog).  One shared implementation for
+    FESpace boundary marking, FacetFESpace dof layout and XFESpace trace
+    condensation (previously three divergent copies).
+    """
+    from ..mesh.mesh import FACET_VERTS, geom_shapes
+
+    b = lagrange_element(et, order)
+    N = geom_shapes(et, b["nodes"], xp=np)  # (ndl, nv) host numpy
+    sup = N > 1e-9
+    out = []
+    for fvs in FACET_VERTS[et]:
+        mask = np.ones(len(N), dtype=bool)
+        for v in range(N.shape[1]):
+            if v in fvs:
+                if interior_only:
+                    mask &= sup[:, v]
+            else:
+                mask &= ~sup[:, v]
+        out.append(np.nonzero(mask)[0])
+    return out

@@ -129,10 +129,13 @@ class FacetFESpace(FESpace):
         E = self._E if eids is None else self._E[eids]  # (E,nfel,d-1,d)
         rec = jnp.einsum("eqfk,efkd->eqfd", s, E)
         res = jnp.linalg.norm(rel - rec, axis=-1)  # (E,Q,nfel)
-        inside = jnp.all((s > -1e-9) & (s < 1 + 1e-9), axis=-1)
+        # tolerance scaled by the dtype eps (an absolute 1e-9 is below f32
+        # roundoff — the whole facet basis would silently mask to zero)
+        tol = max(1e3 * float(jnp.finfo(pts.dtype).eps), 1e-9)
+        inside = jnp.all((s > -tol) & (s < 1 + tol), axis=-1)
         if self.facet_et == "trig":
-            inside = inside & (jnp.sum(s, axis=-1) < 1 + 1e-9)
-        on = (res < 1e-9) & inside  # (E,Q,nfel)
+            inside = inside & (jnp.sum(s, axis=-1) < 1 + tol)
+        on = (res < tol) & inside  # (E,Q,nfel)
         Eb, Q = pts.shape[0], pts.shape[1]
         Sf = shapes(self.facet_et, self.order,
                     s.reshape(Eb, Q * nfel, -1)).reshape(
@@ -145,23 +148,11 @@ class FacetFESpace(FESpace):
 
 
 def _facet_interior_local_nodes(space):
-    """Per local facet: local node ids whose support is EXACTLY the facet
-    (all facet vertices carry nonzero weight) — the NT_FACET node dofs.
-    Vertex/edge-of-face dofs belong to lower-dimensional nodes and are
-    excluded, matching NGSolve's GetDofNrs(NodeId(NT_FACET, f))."""
-    from ..mesh.mesh import geom_shapes
+    """Per local facet: the NT_FACET node dofs (shared helper,
+    fem/basis.facet_local_nodes with interior_only=True)."""
+    from .basis import facet_local_nodes
 
-    et = space.mesh.et
-    b = lagrange_element(et, space.order)
-    N = geom_shapes(et, b["nodes"], xp=np)  # (ndl, nv)
-    sup = N > 1e-9
-    out = []
-    for fvs in FACET_VERTS[et]:
-        inside = np.ones(len(N), dtype=bool)
-        for v in range(N.shape[1]):
-            inside &= sup[:, v] if v in fvs else ~sup[:, v]
-        out.append(np.nonzero(inside)[0])
-    return out
+    return facet_local_nodes(space.mesh.et, space.order, interior_only=True)
 
 
 def GetDofsOfFacets(space, facet_mask) -> BitArray:

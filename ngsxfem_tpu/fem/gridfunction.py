@@ -12,7 +12,9 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-_SET_CACHE = {}
+from ..jitcache import LRUCache
+
+_SET_CACHE = LRUCache(maxsize=128)
 
 from ..config import config
 from ..cf.coefficient import CF, wrap
@@ -290,6 +292,20 @@ def _space_el2dof_and_vec(gf: GridFunction, dyn=None):
     return sp, el2dof, vec
 
 
+def _gather_dofs(sp, vec, e2d, elem_ids, offset=0):
+    """vec[offset + e2d] with placeholder-0 slots of masked spaces
+    (Compress/XFESpace el2dof_valid_np) zeroed — else every inactive slot
+    silently reads dof `offset`."""
+    dofs = vec[offset + e2d]
+    valid = getattr(sp, "el2dof_valid_np", None)
+    if valid is not None:
+        v = jnp.asarray(valid)
+        if elem_ids is not None:
+            v = v[elem_ids]
+        dofs = jnp.where(v, dofs, 0.0)
+    return dofs
+
+
 def gf_value(gf: GridFunction, elem_ids, ref_pts, ctx=None):
     """Value of gf at (elem, refpt) batches -> (E,Q) or (E,Q,vdim)."""
     sp, el2dof, vec = _space_el2dof_and_vec(gf, ctx.dyn if ctx is not None else None)
@@ -300,12 +316,12 @@ def gf_value(gf: GridFunction, elem_ids, ref_pts, ctx=None):
     e2d = el2dof if elem_ids is None else el2dof[elem_ids]
     B = shapes(sp.mesh.et, sp.order, ref_pts)  # (E,Q,ndl)
     if vdim == 1:
-        dofs = scal_vec[e2d]  # (E,ndl)
+        dofs = _gather_dofs(sp, scal_vec, e2d, elem_ids)  # (E,ndl)
         return jnp.einsum("eqi,ei->eq", B, dofs)
     nscal = sp.nscal
     comps = []
     for c in range(vdim):
-        dofs = scal_vec[c * nscal + e2d]
+        dofs = _gather_dofs(sp, scal_vec, e2d, elem_ids, offset=c * nscal)
         comps.append(jnp.einsum("eqi,ei->eq", B, dofs))
     return jnp.stack(comps, axis=-1)
 
@@ -358,7 +374,8 @@ def gf_ref_value_and_grad(gf: GridFunction, elem_ids, ref_pts, dyn=None,
     vals, grads = [], []
     nscal = sp.nscal if vdim > 1 else sp.ndof
     for c in range(vdim):
-        dofs = vec[c * nscal + e2d] if vdim > 1 else vec[e2d]
+        dofs = _gather_dofs(sp, vec, e2d, elem_ids,
+                            offset=c * nscal if vdim > 1 else 0)
         vals.append(jnp.einsum("eqi,ei->eq", B, dofs))
         grads.append(jnp.einsum("eqid,ei->eqd", G, dofs))
     return jnp.stack(vals, axis=-1), jnp.stack(grads, axis=-2)

@@ -151,18 +151,9 @@ class FESpace:
     # -- boundary / dirichlet ------------------------------------------------
     def _local_facet_nodes(self):
         """per local facet: local node ids whose support lies in the facet."""
-        et = self.mesh.et
-        b = lagrange_element(et, self.order)
-        N = geom_shapes(et, b["nodes"], xp=np)  # (ndl, nv) — host numpy
-        sup = N > 1e-9
-        out = []
-        for fvs in FACET_VERTS[et]:
-            inside = np.ones(len(N), dtype=bool)
-            for v in range(N.shape[1]):
-                if v not in fvs:
-                    inside &= ~sup[:, v]
-            out.append(np.nonzero(inside)[0])
-        return out
+        from .basis import facet_local_nodes
+
+        return facet_local_nodes(self.mesh.et, self.order)
 
     def _mark_boundary_dofs(self):
         self.bc_of_dof = np.zeros(self.ndof, dtype=np.int32)
@@ -284,6 +275,9 @@ class VectorFESpace(FESpace):
         self.ndof = scalar_space.ndof * self.vdim
         self.el2dof_np = scalar_space.el2dof_np  # scalar map; comp offset applied in kernels
         self.el2dof = jnp.asarray(self.el2dof_np)
+        v = getattr(scalar_space, "el2dof_valid_np", None)
+        if v is not None:  # masked scalar base (Compress/XFE): forward it
+            self.el2dof_valid_np = v
         self.dirichlet_dofs = np.tile(scalar_space.dirichlet_dofs, self.vdim)
         self.bc_of_dof = np.tile(scalar_space.bc_of_dof, self.vdim)
         self.dgjumps = scalar_space.dgjumps
@@ -381,10 +375,18 @@ class CompressedFESpace(FESpace):
         self.el2dof_valid_np = mapped >= 0
         self.el2dof = jnp.asarray(self.el2dof_np)
         self.dirichlet_dofs = base.dirichlet_dofs[self.comp2base]
-        self.bc_of_dof = base.bc_of_dof[self.comp2base]
-        self.dof_rep_elem = base.dof_rep_elem[self.comp2base]
-        self.dof_rep_local = base.dof_rep_local[self.comp2base]
-        self.dof_rep_ref = base.dof_rep_ref[self.comp2base]
+        # optional base attributes: facet spaces (FacetFESpace/HDiv/SFESpace)
+        # don't carry all of these — compress what exists
+        for attr in ("bc_of_dof", "dof_rep_elem", "dof_rep_local",
+                     "dof_rep_ref"):
+            v = getattr(base, attr, None)
+            if v is not None:
+                setattr(self, attr, v[self.comp2base])
+        # non-Lagrange bases (e.g. FacetFESpace) evaluate through the base's
+        # hook: the Factor's local slot layout matches el2dof_np above
+        hook = getattr(base, "proxy_factor_hook", None)
+        if hook is not None:
+            self.proxy_factor_hook = hook
 
     def _build(self):
         pass
@@ -403,7 +405,11 @@ def GetDofsOfElements(space, elem_mask) -> BitArray:
     if isinstance(space, VectorFESpace):
         sc = np.zeros(space.nscal, dtype=bool)
         dofs = space.el2dof_np[mask]
-        sc[dofs.ravel()] = True
+        valid = getattr(space, "el2dof_valid_np", None)
+        if valid is not None:  # placeholder-0 slots of a masked scalar base
+            sc[dofs[valid[mask]]] = True
+        else:
+            sc[dofs.ravel()] = True
         out = np.tile(sc, space.vdim)
         return BitArray(out)
     dofs = space.el2dof_np[mask]

@@ -197,32 +197,13 @@ class XFESpace:
 
 
 def _facet_interior_nodes(et: str, order: int):
-    """Per local facet: local Lagrange node ids lying in the facet's
-    INTERIOR (on exactly that one facet plane) — the analog of NGSolve's
-    GetFaceDofNrs face-bubble sets used by the reference trace flag."""
-    from ..mesh.mesh import FACET_VERTS
-    from ..ops.cuttables import REF_VERTS
-    from .basis import lagrange_element
+    """Per local facet: the face-bubble (NT_FACET interior) node dofs used
+    by the reference trace flag (shared helper, fem/basis.facet_local_nodes
+    with interior_only=True — verified identical to the former
+    plane-distance construction for trig/tet/quad/hex, orders 1-3)."""
+    from .basis import facet_local_nodes
 
-    nodes = lagrange_element(et, order)["nodes"]  # (ndl, d)
-    refv = np.asarray(REF_VERTS[et], dtype=np.float64)
-    fverts = FACET_VERTS[et]
-    d = nodes.shape[1]
-    on = np.zeros((len(nodes), len(fverts)), dtype=bool)
-    for lf, fv in enumerate(fverts):
-        V = refv[list(fv)]
-        if d == 2:
-            t = V[1] - V[0]
-            n = np.array([t[1], -t[0]])
-        else:
-            n = np.cross(V[1] - V[0], V[2] - V[0])
-        n = n / np.linalg.norm(n)
-        on[:, lf] = np.abs((nodes - V[0]) @ n) < 1e-12
-    ncount = on.sum(axis=1)
-    return [
-        [int(i) for i in np.nonzero(on[:, lf] & (ncount == 1))[0]]
-        for lf in range(len(fverts))
-    ]
+    return facet_local_nodes(et, order, interior_only=True)
 
 
 class _XGFOp(CF):

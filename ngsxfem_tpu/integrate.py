@@ -62,20 +62,17 @@ def lset_vertex_values(lset_gf: GridFunction, dyn=None):
     return vec[el2dof[:, vperm]]
 
 
-@lru_cache(maxsize=None)
-def _p1_vertex_dofs_cached(space_uid, space_ref):
-    sp = space_ref
-    vperm = vertex_local_ids(sp.mesh.et, 1)
-    vd = np.zeros(sp.mesh.nv, dtype=np.int32)
-    vd[sp.mesh.elements_np] = sp.el2dof_np[:, vperm]
-    return vd
-
-
 def _p1_vertex_dofs(space):
-    """vertex id -> P1 dof id (host numpy)."""
-    from .jitcache import obj_uid
-
-    return _p1_vertex_dofs_cached(obj_uid(space), space)
+    """vertex id -> P1 dof id (host numpy); cached ON the space so a
+    refinement sweep's old meshes stay collectable (an unbounded lru_cache
+    keyed by the space object pinned every generation forever)."""
+    vd = getattr(space, "_p1_vertex_dofs_np", None)
+    if vd is None:
+        vperm = vertex_local_ids(space.mesh.et, 1)
+        vd = np.zeros(space.mesh.nv, dtype=np.int32)
+        vd[space.mesh.elements_np] = space.el2dof_np[:, vperm]
+        space._p1_vertex_dofs_np = vd
+    return vd
 
 
 def ensure_p1_levelset(levelset, mesh, cache_on=None):
@@ -99,7 +96,12 @@ def ensure_p1_levelset(levelset, mesh, cache_on=None):
             return levelset
         if isinstance(sp, H1) and sp.order == 1:
             return levelset
-    cached = getattr(cache_on, "_p1_lset_cache", None) if cache_on else None
+    from .jitcache import obj_uid
+
+    mkey = obj_uid(mesh)
+    cache = getattr(cache_on, "_p1_lset_cache", None) if (
+        cache_on is not None) else None
+    cached = cache.get(mkey) if cache else None
     if cached is not None and cached[0] is levelset:
         gf = cached[1]
     else:
@@ -110,7 +112,14 @@ def ensure_p1_levelset(levelset, mesh, cache_on=None):
             "not reproduced)", stacklevel=3)
         gf = GridFunction(H1(mesh, order=1))
         if cache_on is not None:
-            cache_on._p1_lset_cache = (levelset, gf)
+            if cache is None:
+                cache = {}
+                try:
+                    cache_on._p1_lset_cache = cache
+                except AttributeError:
+                    cache = None  # slotted holder: no caching possible
+            if cache is not None:
+                cache[mkey] = (levelset, gf)
     from .fem.gridfunction import InterpolateToP1
 
     InterpolateToP1(levelset, gf)
@@ -367,8 +376,13 @@ def Integrate(levelset_domain=None, cf=None, mesh=None, order=5,
                            ld["subdivlvl"], int(time_order),
                            cf_signature(wrap(ld["levelset"]), slots))
             else:
+                # cache the P1 interpolant ON the CF itself when no other
+                # holder exists: repeated Integrate calls with the same CF
+                # (e.g. Parameter-driven time loops) reuse one GF + one jit
+                # signature instead of recompiling every call
+                lso = ld["levelset"]
                 ld["levelset"] = ensure_p1_levelset(
-                    ld["levelset"], mesh, cache_on=ld.get("_cache_obj"))
+                    lso, mesh, cache_on=ld.get("_cache_obj", lso))
                 lgf = ld["levelset"]
                 slots.slot(lgf, "vec", lambda g=lgf: g._arr)
                 from .jitcache import obj_uid, register_space

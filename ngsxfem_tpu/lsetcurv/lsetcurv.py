@@ -26,10 +26,12 @@ from ..mesh.mesh import map_points, det_and_inv
 from ..integrate import vertex_local_ids, Integrate, lset_vertex_values
 from ..ops.straightcut import cut_rule_element, eps_guard
 
-_PS_CACHE = {}
+from ..jitcache import LRUCache
+
+_PS_CACHE = LRUCache(maxsize=32)
 
 
-def _project_shift_kernel(mesh, space, order, threshold, niter=8):
+def _project_shift_kernel(mesh, order, threshold, niter=8):
     """Build the jitted shift kernel for (mesh, deform-space) once.
 
     All index tables are jit arguments (constant embedding is pathologically
@@ -45,7 +47,10 @@ def _project_shift_kernel(mesh, space, order, threshold, niter=8):
     vperm = jnp.asarray(vertex_local_ids(et, 1))
 
     def kernel(vertices, ho_vec, p1space_el2dof, p1_vec, rep_e, rep_p,
-               el2dof, elements, cutel, alpha):
+               el2dof, d_el2dof, elements, cutel, alpha):
+        # el2dof: the ho space's map (lset gather); d_el2dof: the DEFORM
+        # scalar space's map (active-band scatter) — they differ when the
+        # deformation space is periodic
         nd = rep_e.shape[0]
         coords = vertices[elements[rep_e]]  # (nd, nv, d)
         pts = rep_p[:, None, :]  # (nd,1,d)
@@ -97,10 +102,11 @@ def _project_shift_kernel(mesh, space, order, threshold, niter=8):
             scale = jnp.where(dn > lim, lim / jnp.where(dn < 1e-30, 1.0, dn), 1.0)
             disp = disp * scale[:, None]
 
-        # restrict to the band of marked elements (nodal union)
-        active = jnp.zeros((space.ndof,), dtype=bool)
-        active = active.at[el2dof.reshape(-1)].max(
-            jnp.broadcast_to(cutel[:, None], el2dof.shape).reshape(-1)
+        # restrict to the band of marked elements (nodal union over the
+        # DEFORM scalar dofs)
+        active = jnp.zeros((nd,), dtype=bool)
+        active = active.at[d_el2dof.reshape(-1)].max(
+            jnp.broadcast_to(cutel[:, None], d_el2dof.shape).reshape(-1)
         )
         disp = jnp.where(active[:, None], disp, 0.0)
 
@@ -126,9 +132,18 @@ class LevelSetMeshAdaptation:
         self.mesh = mesh
         self.order = order
         self.threshold = threshold
+        self.periodic = bool(periodic)
         self.ho_space = H1(mesh, order=order)
         self.p1_space = H1(mesh, order=1)
-        self.deform_space = VectorH1(mesh, order=order)
+        if self.periodic:
+            # unify deformation dofs across the periodic seam so both copies
+            # get ONE Newton shift (reference wraps v_def in Periodic,
+            # spacetime/lset_spacetime.py:51-52)
+            from ..fem.space import Periodic, VectorFESpace
+
+            self.deform_space = VectorFESpace(Periodic(H1(mesh, order=order)))
+        else:
+            self.deform_space = VectorH1(mesh, order=order)
         self.lset_ho = GridFunction(self.ho_space, "lset_ho")
         self.lset_p1 = GridFunction(self.p1_space, "lset_p1")
         self.deform = GridFunction(self.deform_space, "deform")
@@ -149,7 +164,7 @@ class LevelSetMeshAdaptation:
 
         if blending is None or (isinstance(blending, str)
                                 and blending == "none"):
-            return jnp.zeros((len(self.ho_space.dof_rep_elem),),
+            return jnp.zeros((len(self.deform_space.scalar.dof_rep_elem),),
                              dtype=config.dtype)
         from ..cf.coefficient import wrap, sqrt as cf_sqrt, specialcf
         from ..cf.context import EvalCtx, eval_pure
@@ -167,8 +182,9 @@ class LevelSetMeshAdaptation:
         elif isinstance(blending, numbers.Number):
             blending = wrap(float(blending))
         cf = wrap(blending)
-        rep_e = jnp.asarray(self.ho_space.dof_rep_elem)
-        rep_p = jnp.asarray(self.ho_space.dof_rep_ref,
+        dscal = self.deform_space.scalar
+        rep_e = jnp.asarray(dscal.dof_rep_elem)
+        rep_p = jnp.asarray(dscal.dof_rep_ref,
                             dtype=config.dtype)[:, None, :]
         ctx = EvalCtx(self.mesh, rep_p, elem_ids=rep_e)
         a = jnp.broadcast_to(eval_pure(cf, ctx), (rep_p.shape[0], 1))[:, 0]
@@ -188,9 +204,7 @@ class LevelSetMeshAdaptation:
                self.threshold)
         k = _PS_CACHE.get(key)
         if k is None:
-            k = _project_shift_kernel(
-                self.mesh, self.ho_space, self.order, self.threshold
-            )
+            k = _project_shift_kernel(self.mesh, self.order, self.threshold)
             _PS_CACHE[key] = k
         if band is None:
             vperm = vertex_local_ids(self.mesh.et, 1)
@@ -200,14 +214,19 @@ class LevelSetMeshAdaptation:
                           vv)
             band = (vv < 0).any(axis=1) & (vv > 0).any(axis=1)
         alpha = self._blending_alpha(lset_p1, blending)
+        # dof nodes of the DEFORMATION scalar space (== ho_space for the
+        # plain case; the periodic wrapper's representatives otherwise);
+        # lset_ho is always gathered through ho_space's own el2dof
+        dscal = self.deform_space.scalar
         vec, res = k(
             jnp.asarray(self.mesh.vertices_np, dtype=config.dtype),
             lset_ho._arr,
             jnp.asarray(self.p1_space.el2dof_np),
             lset_p1._arr,
-            jnp.asarray(self.ho_space.dof_rep_elem),
-            jnp.asarray(self.ho_space.dof_rep_ref, dtype=config.dtype),
+            jnp.asarray(dscal.dof_rep_elem),
+            jnp.asarray(dscal.dof_rep_ref, dtype=config.dtype),
             jnp.asarray(self.ho_space.el2dof_np),
+            jnp.asarray(dscal.el2dof_np),
             jnp.asarray(self.mesh.elements_np),
             jnp.asarray(np.asarray(band, dtype=bool)),
             alpha,
