@@ -19,7 +19,7 @@ import jax.numpy as jnp
 
 from ..cf import coefficient as C
 from ..cf.context import EvalCtx, eval_pure, _full, _bc
-from ..fem.basis import shapes, dshapes, lagrange_element
+from ..fem.basis import shapes, dshapes
 from .proxies import ProxyFunction
 
 
@@ -58,17 +58,6 @@ class Term:
         if loc == "v":
             return self.vfac.arr.shape[3:]
         return ()
-
-
-def _flatten_trailing(arr, c):
-    """flatten last c dims into one axis."""
-    if c == 0:
-        return arr[..., None]
-    sh = arr.shape
-    n = 1
-    for s in sh[len(sh) - c:]:
-        n *= s
-    return arr.reshape(sh[: len(sh) - c] + (n,))
 
 
 def term_mul(t1: Term, t2: Term, c: int) -> Term:
@@ -246,10 +235,17 @@ def _dnk_factor(et, order, k, ctx: EvalCtx):
     V = np.vander(tn, increasing=True)  # V[i,j] = t_i^j
     Vinv = np.linalg.inv(V)
     wk = factorial(k) * Vinv[k]  # (p+1,)
-    pts = ctx.ref_pts[:, :, None, :] + tn[None, None, :, None] * dir_ref[:, :, None, :]
+    # |dir_ref| ~ 1/h: sample along the UNIT reference direction so the
+    # nodes stay O(1) inside the element (raw t*dir_ref puts them O(1/h)
+    # outside, where degree-p values grow like h^-p and the Vandermonde
+    # differentiation cancels catastrophically — h^(k-p)*eps relative
+    # error, fatal in f32); rescale the derivative by |dir_ref|^k after
+    dnrm = jnp.linalg.norm(dir_ref, axis=-1, keepdims=True)  # (E,Q,1)
+    step = dir_ref / jnp.maximum(dnrm, 1e-30)
+    pts = ctx.ref_pts[:, :, None, :] + tn[None, None, :, None] * step[:, :, None, :]
     S = shapes(et, order, pts)  # (E,Q,p+1,ndl)
     wk = jnp.asarray(wk, dtype=S.dtype)
-    return jnp.einsum("t,eqti->eqi", wk, S)
+    return jnp.einsum("t,eqti->eqi", wk, S) * dnrm**k
 
 
 # ---------------------------------------------------------------------------

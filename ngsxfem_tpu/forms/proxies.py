@@ -39,6 +39,12 @@ class ProxyFunction(CF):
         return (blk, self.other)
 
     def Other(self, bnd=None):
+        if bnd is not None:
+            # NGSolve's .Other(bnd=g) substitutes boundary data on exterior
+            # facets; silently dropping it would assemble a wrong system
+            raise NotImplementedError(
+                "Other(bnd=...) boundary substitution is not supported; "
+                "impose boundary data via a separate BND integral")
         return self._clone(other=True)
 
     def _clone(self, **kw):
@@ -62,7 +68,18 @@ class ProxyFunction(CF):
         return self.grad_op()
 
     def Operator(self, name):
-        return self._clone(op=name)
+        # dispatch known operators through their dims-setting constructors;
+        # a bare clone would carry stale scalar dims into proxy_factor
+        if name == "grad":
+            return self.grad_op()
+        if name == "div":
+            return div(self)
+        if name in ("val", "id"):
+            return self
+        hook = getattr(self.space, "proxy_operator_hook", None)
+        if hook is not None:
+            return hook(self, name)
+        raise NotImplementedError(f"Operator({name!r}) on this space")
 
     def __repr__(self):
         kind = "test" if self.test else "trial"
@@ -93,7 +110,12 @@ def dn(proxy, order=1, comp=-1, hdiv=False):
                 raise TypeError("dn(hdiv=True) expects an HDiv-space proxy")
             d = proxy.space.mesh.dim
             return proxy._clone(op="dnk", op_args=(int(order),), dims=(d,))
-        return proxy._clone(op="dnk", op_args=(int(order),), dims=())
+        vd = getattr(proxy.space, "vdim", 1)
+        # vector spaces: componentwise dn -> (vdim,)-valued (the factor is
+        # vector-expanded in proxy_factor; scalar dims would make
+        # InnerProduct(dn(u), dn(v)) inexpressible)
+        return proxy._clone(op="dnk", op_args=(int(order),),
+                            dims=() if vd == 1 else (vd,))
     raise TypeError("dn expects a proxy function")
 
 

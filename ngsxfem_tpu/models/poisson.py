@@ -22,7 +22,7 @@ from ..ops.straightcut import cut_rule_element
 from ..ops.gauss import ET_DIM
 from ..mesh.mesh import map_points, det_and_inv
 from ..fem.basis import shapes, dshapes, ndof_el
-from ..solvers.krylov import cg, jacobi_preconditioner
+from ..solvers.krylov import cg
 
 
 def cut_poisson_elmats(et: str, order: int, coords, vals, lam_nitsche=20.0,
@@ -528,6 +528,16 @@ class UnfittedPoisson:
 
     Host-side topology once; all compute in pure jittable functions over
     (vertices, level-set dofs, dof vectors).
+
+    Moving level sets: every kernel derives tier weights, identity rows and
+    dof masking from the RUNTIME ``lset_vertex`` (``active_dof_mask``).  The
+    lattice path (``assemble_vals_lattice`` with a DIA structure) also
+    re-marks the ghost-penalty band on device, so it is fully
+    level-set-dynamic.  The other assembly paths and ``apply*`` keep
+    the ghost-penalty band frozen at construction — if the runtime band
+    differs they poison the result with NaN (``_band_guard``) instead of
+    being silently wrong; rebuild the model (or use the lattice path) for a
+    band that actually moves.
     """
 
     def __init__(self, nx=16, dim=3, order=1, dtype=jnp.float32,
@@ -589,10 +599,12 @@ class UnfittedPoisson:
         self.gp_e1 = f2e[self.gp_facets, 0]
         self.gp_e2 = f2e[self.gp_facets, 1]
 
-        self.active = has_neg  # active element mask
+        self.active = has_neg  # active element mask (INIT level set)
         ad = np.zeros(self.ndof, dtype=bool)
         ad[self.space.el2dof_np[has_neg].ravel()] = True
-        self.active_dofs = ad  # host numpy (see note above)
+        self.active_dofs = ad  # host numpy (see note above); INIT level set —
+        # kernels taking a runtime lset_vertex use active_dof_mask() instead
+        self._gp_sel_np = gp  # frozen ghost-penalty band (all-facet mask)
 
     def _p1_vertex_permutation(self, p1):
         # P1 dof i sits at vertex dof_rep: match by element/local vertex
@@ -610,13 +622,44 @@ class UnfittedPoisson:
         """(ne, nvel) from per-vertex level-set values."""
         return lset_vertex[self.elements][..., :]
 
+    def active_dof_mask(self, lset_vertex):
+        """Runtime active-dof mask from the CURRENT level set (has_neg
+        dilated through el2dof).  Kernels use this instead of the
+        init-frozen ``self.active_dofs`` so a moved level set gets the
+        correct identity rows / dof masking (same raw sign convention as
+        ``__init__``)."""
+        vals = lset_vertex[self.elements]
+        has_neg = jnp.any(vals < 0, axis=1)
+        e2d = self.el2dof
+        act = jnp.zeros((self.ndof,), dtype=bool)
+        return act.at[e2d.reshape(-1)].max(
+            jnp.broadcast_to(has_neg[:, None], e2d.shape).reshape(-1))
+
+    def _band_guard(self, lset_vertex, dtype):
+        """1.0 while the runtime ghost-penalty band equals the band frozen
+        into the structure's gp slots; NaN once the level set moves out of
+        it — loud, never silently wrong (the lattice path instead re-marks
+        the band on device and needs no guard)."""
+        vals = lset_vertex[self.elements]
+        has_neg = jnp.any(vals < 0, axis=1)
+        has_pos = jnp.any(vals > 0, axis=1)
+        cut = has_neg & has_pos
+        f2e = self.mesh.facet2el_np
+        interior = f2e[:, 1] >= 0
+        e1 = np.maximum(f2e[:, 0], 0)
+        e2 = np.maximum(f2e[:, 1], 0)
+        gpr = interior & ((cut[e1] & has_neg[e2]) | (cut[e2] & has_neg[e1]))
+        ok = jnp.all(gpr == self._gp_sel_np)
+        return jnp.where(ok, jnp.asarray(1.0, dtype),
+                         jnp.asarray(jnp.nan, dtype))
+
     def elmats(self, vertices, lset_vertex):
         coords = vertices[self.elements]
         vals = lset_vertex[self.elements]
         A = cut_poisson_elmats(self.et, self.order, coords, vals, self.lam_nitsche)
         return A
 
-    def elmats_compact(self, vertices, lset_vertex, elements, el2dof,
+    def elmats_compact(self, vertices, lset_vertex, elements,
                        cut_capacity, block=None, mixed=False):
         """Two-tier assembly: cheap standard rule on uncut-NEG elements, full
         cut kernel only on a fixed-capacity compaction of cut elements.
@@ -686,7 +729,7 @@ class UnfittedPoisson:
     def apply_compact(self, vertices, lset_vertex, x, cut_capacity):
         elements, el2dof = self.elements, self.el2dof
         A_std, A_cut, cut_ids, ncut = self.elmats_compact(
-            vertices, lset_vertex, elements, el2dof, cut_capacity
+            vertices, lset_vertex, elements, cut_capacity
         )
         ye = jnp.einsum("eij,ej->ei", A_std, x[el2dof])
         y = jnp.zeros_like(x).at[el2dof.reshape(-1)].add(ye.reshape(-1))
@@ -697,7 +740,11 @@ class UnfittedPoisson:
         dmap = np.concatenate([el2dof[self.gp_e1], el2dof[self.gp_e2]], axis=1)
         yf = jnp.einsum("fij,fj->fi", G, x[dmap])
         y = y.at[dmap.reshape(-1)].add(yf.reshape(-1))
-        return jnp.where(self.active_dofs, y, x)
+        # overflow + stale-band detection: never silently wrong
+        poison = jnp.where(ncut <= cd.shape[0], 1.0, jnp.nan).astype(x.dtype)
+        poison = poison * self._band_guard(lset_vertex, x.dtype)
+        act = self.active_dof_mask(lset_vertex)
+        return jnp.where(act, y, x) * poison
 
     def ell_structure(self):
         """Host precompute of the static global-operator structure: ELL column
@@ -720,10 +767,12 @@ class UnfittedPoisson:
         cols_f = np.broadcast_to(fdof[:, None, :], (F, nd2, nd2)).reshape(-1)
         rows = np.concatenate([rows_e, rows_f]).astype(np.int64)
         cols = np.concatenate([cols_e, cols_f]).astype(np.int64)
-        # identity rows for inactive dofs
-        inact = np.nonzero(~self.active_dofs)[0].astype(np.int64)
-        rows = np.concatenate([rows, inact])
-        cols = np.concatenate([cols, inact])
+        # diagonal slot of EVERY dof: the identity contribution for inactive
+        # dofs is scattered with a RUNTIME weight (1 - active_dof_mask), so
+        # a moving level set re-marks identity rows without rebuilding
+        diag = np.arange(self.ndof, dtype=np.int64)
+        rows = np.concatenate([rows, diag])
+        cols = np.concatenate([cols, diag])
 
         n = self.ndof
         lin = rows * n + cols
@@ -762,7 +811,8 @@ class UnfittedPoisson:
             if n * K < 2**31 else slots_soa,
             "gp_slots": slots[ns:ns + len(rows_f)].astype(np.int32)
             if n * K < 2**31 else slots[ns:ns + len(rows_f)],
-            "id_slots": slots[ns + len(rows_f):].astype(np.int32)
+            # diag_slots[i] = flat slot of (i, i), aligned with dof index
+            "diag_slots": slots[ns + len(rows_f):].astype(np.int32)
             if n * K < 2**31 else slots[ns + len(rows_f):],
             "K": K,
         }
@@ -801,7 +851,6 @@ class UnfittedPoisson:
         cols_f = np.broadcast_to(fdof[:, None, :], (F, nd2, nd2)).reshape(-1)
         pinv = np.empty(n, dtype=np.int64)
         pinv[p] = np.arange(n)
-        inact = p[np.nonzero(~self.active_dofs)[0]]
 
         off_e = (cols_e - rows_e).reshape(-1)
         off_f = cols_f - rows_f
@@ -823,7 +872,7 @@ class UnfittedPoisson:
         slots_e = oidx_e * n + rows_e.reshape(-1)
         slots_f = oidx_f * n + rows_f
         idx0 = int(np.searchsorted(offsets, 0))
-        slots_i = idx0 * n + inact
+        slots_i = idx0 * n + p  # diagonal slot of every dof (dof-indexed)
         soa = (slots_e.reshape(ne, nd, nd).transpose(1, 2, 0).reshape(-1))
         gp_soa = (slots_f.reshape(F, nd2, nd2).transpose(1, 2, 0).reshape(-1))
         it = np.int32 if len(offsets) * n < 2**31 else np.int64
@@ -835,7 +884,7 @@ class UnfittedPoisson:
             "elm_slots_soa": soa.astype(it),
             "gp_slots": slots_f.astype(it),
             "gp_slots_soa": gp_soa.astype(it),
-            "id_slots": slots_i.astype(it),
+            "diag_slots": slots_i.astype(it),
             "n": n,
         }
 
@@ -943,7 +992,9 @@ class UnfittedPoisson:
 
         flat = V.reshape(-1)
         flat = flat.at[struct["gp_slots_soa"]].add(self.gp_flat_soa(vertices))
-        flat = flat.at[struct["id_slots"]].add(1.0)
+        idv = 1.0 - self.active_dof_mask(lset_vertex).astype(vertices.dtype)
+        flat = flat.at[struct["diag_slots"]].add(idv)
+        flat = flat * self._band_guard(lset_vertex, vertices.dtype)
         return flat.reshape(n_off, struct["n"]), ncut
 
     def gp_lattice_types(self, offsets):
@@ -1141,7 +1192,8 @@ class UnfittedPoisson:
                 V = V.at[tgt].add(s * mask)
 
         flat = V.reshape(-1)
-        flat = flat.at[struct["id_slots"]].add(1.0)
+        idv = 1.0 - self.active_dof_mask(lset_vertex).astype(vertices.dtype)
+        flat = flat.at[struct["diag_slots"]].add(idv)
         return flat.reshape(n_off, struct["n"]), ncut
 
     def gp_flat_soa(self, vertices):
@@ -1180,7 +1232,7 @@ class UnfittedPoisson:
         diagonal slots, so it stays a scatter-add of a much smaller stream.
         """
         elm = np.asarray(struct["elm_slots"], dtype=np.int64)
-        idr = np.asarray(struct["id_slots"], dtype=np.int64)
+        idr = np.asarray(struct["diag_slots"], dtype=np.int64)
         slots = np.concatenate([elm, idr])
         nstream = len(slots)
         nslots = struct["ell_cols"].shape[0] * struct["K"]
@@ -1200,27 +1252,28 @@ class UnfittedPoisson:
         """Scatter-free variant of `assemble_ell_vals` (see
         ell_gather_structure)."""
         A_std, A_cut, cut_ids, n = self.elmats_compact(
-            vertices, lset_vertex, self.elements, self.el2dof, cut_capacity,
+            vertices, lset_vertex, self.elements, cut_capacity,
             block=block,
         )
         A_all = A_std.at[cut_ids].add(A_cut)
-        nid = struct["id_slots"].shape[0]
+        idv = 1.0 - self.active_dof_mask(lset_vertex).astype(vertices.dtype)
         stream = jnp.concatenate([
             A_all.reshape(-1),
-            jnp.ones((nid,), dtype=vertices.dtype),
+            idv,  # dof-indexed identity weights (diag_slots order)
             jnp.zeros((1,), dtype=vertices.dtype),  # pad target
         ])
         vals = jnp.sum(stream[gtable], axis=1)
         # ghost penalty: small stream, high per-slot multiplicity -> scatter
         G = self.gp_mats(vertices, block=block)
         vals = vals.at[struct["gp_slots"]].add(G.reshape(-1))
+        vals = vals * self._band_guard(lset_vertex, vertices.dtype)
         return vals.reshape(struct["ell_cols"].shape), n
 
     def assemble_ell_vals(self, vertices, lset_vertex, cut_capacity, struct,
                           block=None, mixed=False):
         """Device pipeline stage 1+2: element matrices -> global ELL values."""
         A_std, A_cut, cut_ids, n = self.elmats_compact(
-            vertices, lset_vertex, self.elements, self.el2dof, cut_capacity,
+            vertices, lset_vertex, self.elements, cut_capacity,
             block=block, mixed=mixed,
         )
         A_all = A_std.at[cut_ids].add(A_cut)
@@ -1229,7 +1282,9 @@ class UnfittedPoisson:
         vals = jnp.zeros((nK,), dtype=vertices.dtype)
         vals = vals.at[struct["elm_slots"]].add(A_all.reshape(-1))
         vals = vals.at[struct["gp_slots"]].add(G.reshape(-1))
-        vals = vals.at[struct["id_slots"]].add(1.0)
+        idv = 1.0 - self.active_dof_mask(lset_vertex).astype(vertices.dtype)
+        vals = vals.at[struct["diag_slots"]].add(idv)
+        vals = vals * self._band_guard(lset_vertex, vertices.dtype)
         return vals.reshape(struct["ell_cols"].shape), n
 
     def assemble_ell_vals_soa(self, vertices, lset_vertex, cut_capacity,
@@ -1302,7 +1357,9 @@ class UnfittedPoisson:
 
         G = self.gp_mats(vertices, block=block)
         vals = vals.at[struct["gp_slots"]].add(G.reshape(-1))
-        vals = vals.at[struct["id_slots"]].add(1.0)
+        idv = 1.0 - self.active_dof_mask(lset_vertex).astype(vertices.dtype)
+        vals = vals.at[struct["diag_slots"]].add(idv)
+        vals = vals * self._band_guard(lset_vertex, vertices.dtype)
         return vals.reshape(out_shape), ncut
 
     def assemble_vals_soa1(self, vertices, lset_vertex, struct):
@@ -1346,7 +1403,9 @@ class UnfittedPoisson:
         vals = vals.at[struct["elm_slots_soa"]].add(flat)
         G = self.gp_mats(vertices)
         vals = vals.at[struct["gp_slots"]].add(G.reshape(-1))
-        vals = vals.at[struct["id_slots"]].add(1.0)
+        idv = 1.0 - self.active_dof_mask(lset_vertex).astype(vertices.dtype)
+        vals = vals.at[struct["diag_slots"]].add(idv)
+        vals = vals * self._band_guard(lset_vertex, vertices.dtype)
         return vals.reshape(out_shape), ncut
 
     def gp_mats(self, vertices, block=None, mixed=False):
@@ -1372,7 +1431,8 @@ class UnfittedPoisson:
         xf = x[dmap]
         yf = jnp.einsum("fij,fj->fi", G, xf)
         y = y.at[dmap.reshape(-1)].add(yf.reshape(-1))
-        return jnp.where(self.active_dofs, y, x)
+        act = self.active_dof_mask(lset_vertex)  # runtime, not init-frozen
+        return jnp.where(act, y, x) * self._band_guard(lset_vertex, x.dtype)
 
     def rhs(self, vertices, lset_vertex, f_fn):
         coords = vertices[self.elements]
@@ -1380,7 +1440,7 @@ class UnfittedPoisson:
         fe = cut_poisson_rhs_elvecs(self.et, self.order, coords, vals, f_fn)
         b = jnp.zeros((self.ndof,), dtype=vertices.dtype)
         b = b.at[self.el2dof.reshape(-1)].add(fe.reshape(-1))
-        return jnp.where(self.active_dofs, b, 0.0)
+        return jnp.where(self.active_dof_mask(lset_vertex), b, 0.0)
 
     def solve(self, f_fn=None, maxiter=200, tol=1e-8):
         """Single-chip end-to-end: assemble + CG, one jitted program."""
@@ -1475,10 +1535,11 @@ class UnfittedPoisson:
         coords_all = self.mesh.vertices_np[self.mesh.elements_np[epad]]
         vals_all = self.lset_np[self.mesh.elements_np[epad]].copy()
         vals_all[pflag > 0] = 1.0
+        nvel = self.mesh.elements_np.shape[1]  # geometry corners, NOT nd
         c1 = self.mesh.vertices_np[self.mesh.elements_np[self.gp_e1[gpflat]]] \
-            if F else np.zeros((n * Fc, self.nd, self.dim))
+            if F else np.zeros((n * Fc, nvel, self.dim))
         c2 = self.mesh.vertices_np[self.mesh.elements_np[self.gp_e2[gpflat]]] \
-            if F else np.zeros((n * Fc, self.nd, self.dim))
+            if F else np.zeros((n * Fc, nvel, self.dim))
 
         act = self.active_dofs
         act_int, act_sh = part.split_vector(act)

@@ -59,8 +59,6 @@ class SparseMatrix:
         gather+reduce with NO scatter — the TPU-friendly SpMV layout
         (segment_sum lowers to sort/scatter on TPU).
         """
-        import numpy as np
-
         rows = np.asarray(self.rows)
         cols = np.asarray(self.cols)
         vals = np.asarray(self.vals)
@@ -248,11 +246,23 @@ class DIAMatrix:
 
 
 class InverseMatrix:
-    """Solver object: `inv * rhs` solves on the free dofs (zero elsewhere)."""
+    """Solver object: `inv * rhs` solves on the free dofs (zero elsewhere).
+
+    method: NGSolve direct-solver names ("", "sparsecholesky", "umfpack",
+    "pardiso", "masterinverse") all dispatch to the host scipy LU;
+    "cg" runs the device Jacobi-CG path (solvers/krylov) for large SPD
+    systems.  Unknown names raise instead of being silently ignored.
+    """
+
+    _DIRECT = ("", "sparsecholesky", "umfpack", "pardiso", "masterinverse")
 
     def __init__(self, mat: SparseMatrix, freedofs=None, method=""):
         self.mat = mat
-        self.method = method
+        self.method = str(method or "").lower()
+        if self.method not in self._DIRECT + ("cg",):
+            raise ValueError(
+                f"unknown inverse method {method!r}; use one of "
+                f"{self._DIRECT + ('cg',)}")
         n = mat.shape[0]
         if freedofs is None:
             self.free = np.ones(n, dtype=bool)
@@ -273,6 +283,12 @@ class InverseMatrix:
         return self._factor
 
     def solve(self, rhs):
+        if self.method == "cg":  # device path, no host round trip
+            from .krylov import CGSolver
+
+            return CGSolver(self.mat, freedofs=None if self.free.all()
+                            else self.free, maxsteps=20 * self.mat.shape[0],
+                            tol=1e-12) * _as_array(rhs)
         rhs = np.asarray(_as_array(rhs), dtype=np.float64)
         lu, idx = self._factorize()
         out = np.zeros_like(rhs)
