@@ -143,12 +143,16 @@ def _build_fast(dtype, nx):
     dst = model.dia_structure()
     offs = dst["offsets"]
     k0 = int(np.searchsorted(offs, 0))
-    # slot tables enter as device ARGUMENTS via the struct dict (baked
-    # literals of this size exceed the remote compiler's request limit)
-    dd = {k: (jnp.asarray(v) if "slots" in k else v) for k, v in dst.items()}
+    # slot tables enter as device ARGUMENTS (threaded through the jitted
+    # signatures below): closure-captured device arrays force a D2H read at
+    # trace time on the tunnel, and baked literals of this size exceed the
+    # remote compiler's request limit
+    dd_static = {k: v for k, v in dst.items() if "slots" not in k}
+    dd = {k: jnp.asarray(v) for k, v in dst.items() if "slots" in k}
 
-    def assemble_fn(vertices, lset):
-        return model.assemble_vals_lattice(vertices, lset, dd)
+    def assemble_fn(vertices, lset, dd):
+        return model.assemble_vals_lattice(vertices, lset,
+                                           {**dd_static, **dd})
 
     def pcg_fn(V, b, iters=CG_ITERS):
         dinv = jnp.where(jnp.abs(V[k0]) > 1e-30, 1.0 / V[k0], 1.0)
@@ -156,14 +160,14 @@ def _build_fast(dtype, nx):
         x, _, res = cg(mv, b, M=lambda r: dinv * r, maxiter=iters, tol=0.0)
         return x, res
 
-    def pipeline_fn(vertices, lset, b):
-        V, n = assemble_fn(vertices, lset)
+    def pipeline_fn(vertices, lset, b, dd):
+        V, n = assemble_fn(vertices, lset, dd)
         x, res = pcg_fn(V, b)
         return x, res, n
 
-    def pipeline_k_fn(vertices, lset, b):
+    def pipeline_k_fn(vertices, lset, b, dd):
         def body(lset_c, _):
-            x, res, n = pipeline_fn(vertices, lset_c, b)
+            x, res, n = pipeline_fn(vertices, lset_c, b, dd)
             # 1e-30-scaled feedback: numerically nil, not foldable by XLA
             lset_next = lset_c + jnp.asarray(1e-30, lset_c.dtype) * \
                 x[:lset_c.shape[0]].astype(lset_c.dtype)
@@ -193,26 +197,26 @@ def _build_fast(dtype, nx):
     b = jnp.asarray(b_np, dtype=dtype)
     funcs = dict(assemble=assemble_fn, pcg=pcg_fn, pipeline=pipeline_fn,
                  pipeline_k=pipeline_k_fn, ir=ir_solve_fn, f64cg=f64cg_fn)
-    return model, funcs, b
+    return model, funcs, b, dd
 
 
 def bench_pipeline(dtype, nx, reps, scan=True, ir=True, ir_assert=True):
     _hb(f"pipeline stage: build nx={nx} {jnp.dtype(dtype).name}")
-    model, F, b = _build_fast(dtype, nx)
+    model, F, b, dd = _build_fast(dtype, nx)
     assemble = jax.jit(F["assemble"])
     pipeline = jax.jit(F["pipeline"])
     v, l = model.vertices, model.lset
 
     _hb("pipeline stage: compile+first assemble")
-    V, n_dev = assemble(v, l)
+    V, n_dev = assemble(v, l, dd)
     jax.block_until_ready(V)
 
     _hb("pipeline stage: timing assemble")
-    t_asm, _ = _time(assemble, v, l, reps=reps)
+    t_asm, _ = _time(assemble, v, l, dd, reps=reps)
     _hb("pipeline stage: timing pcg")
     t_slv, (xs, res) = _time(jax.jit(F["pcg"]), V, b, reps=reps)
     _hb("pipeline stage: timing fused pipeline")
-    t_pipe, (_, res_p, _) = _time(pipeline, v, l, b, reps=reps)
+    t_pipe, (_, res_p, _) = _time(pipeline, v, l, b, dd, reps=reps)
 
     r0 = float(jnp.linalg.norm(b))
     out = {
@@ -250,7 +254,8 @@ def bench_pipeline(dtype, nx, reps, scan=True, ir=True, ir_assert=True):
     if scan:
         _hb(f"pipeline stage: timing amortized scan K={SCAN_K}")
         pipeline_k = jax.jit(F["pipeline_k"])
-        t_k, (_, ress) = _time(pipeline_k, v, l, b, reps=max(2, reps - 1))
+        t_k, (_, ress) = _time(pipeline_k, v, l, b, dd,
+                               reps=max(2, reps - 1))
         out["t_pipe_k"] = t_k
         out["scan_k"] = SCAN_K
         out["amortized_pipe_elts_per_sec"] = model.mesh.ne * SCAN_K / t_k
@@ -269,17 +274,26 @@ def bench_mg_solve(dtype, nx, reps):
     jax.config.update("jax_default_matmul_precision", "highest")
 
     def level(nxl):
+        from ngsxfem_tpu.config import config as _cfg
+
         m = UnfittedPoisson(nx=nxl, dim=3, order=1, dtype=dtype)
         vals_el = m.lset_np[m.mesh.elements_np]
-        cut = (vals_el < 0).any(1) & (vals_el > 0).any(1)
+        # device-consistent classification: eps_guard maps |v|<eps to
+        # sign-preserving +-eps (exact zeros -> +eps), so count with the
+        # SAME convention or the capacity can silently truncate cut elements
+        ge = np.where(np.abs(vals_el) < _cfg.lset_eps,
+                      np.where(vals_el >= 0, _cfg.lset_eps, -_cfg.lset_eps),
+                      vals_el)
+        cut = (ge < 0).any(1) & (ge > 0).any(1)
         ncut = int(cut.sum())
         st = m.ell_structure()
         sd = {k: jnp.asarray(v) for k, v in st.items() if k != "K"}
-        vals, _ = jax.jit(
+        vals, n_dev = jax.jit(
             lambda v, l, s: m.assemble_ell_vals(v, l, ncut + 8,
                                                 dict(s, K=st["K"]),
                                                 block=16384)
         )(m.vertices, m.lset, sd)
+        assert int(n_dev) <= ncut + 8, (int(n_dev), ncut)
         ifm = np.zeros(m.ndof, bool)
         ifm[m.space.el2dof_np[cut].ravel()] = True
         return m, st, vals, ifm & m.active_dofs
@@ -304,13 +318,14 @@ def bench_mg_solve(dtype, nx, reps):
     t_prep = time.perf_counter() - t0p
 
     @jax.jit
-    def mg_solve(pp, vf, b):
+    def mg_solve(pp, vf, b, cols_f):
         mv = lambda x: jnp.sum(vf * x[cols_f], axis=1)
         return cg(mv, b, M=lambda r: mg.apply(pp, r), maxiter=100, tol=TOL)
 
     bn = float(jnp.linalg.norm(b))
     try:
-        t_mg, (x_mg, k_mg, res_mg) = _time(mg_solve, pp, vf, b, reps=reps)
+        t_mg, (x_mg, k_mg, res_mg) = _time(mg_solve, pp, vf, b, cols_f,
+                                           reps=reps)
     finally:
         jax.config.update("jax_default_matmul_precision", None)
     assert float(res_mg) <= TOL * bn * 1.5, (float(res_mg), bn)
@@ -340,11 +355,12 @@ def main():
 
     if os.environ.get("BENCH_INNER_COST") == "1":
         # XLA cost model of the EXACT pipeline program
-        model, F, b = _build_fast(jnp.float32, nx)
+        model, F, b, dd = _build_fast(jnp.float32, nx)
         out = {}
         for name, fn, args in (
-            ("assemble", F["assemble"], (model.vertices, model.lset)),
-            ("pipeline", F["pipeline"], (model.vertices, model.lset, b)),
+            ("assemble", F["assemble"], (model.vertices, model.lset, dd)),
+            ("pipeline", F["pipeline"],
+             (model.vertices, model.lset, b, dd)),
         ):
             c = jax.jit(fn).lower(*args).compile().cost_analysis()
             if isinstance(c, list):
@@ -459,7 +475,8 @@ def main():
                 "flops_per_iter": fl,
                 "hbm_bytes_per_iter": by,
                 "arithmetic_intensity": fl / by if by > 0 else None,
-                "hbm_speed_of_light_seconds": by / V5E_HBM_BYTES_PER_SEC,
+                "hbm_speed_of_light_seconds": (by / V5E_HBM_BYTES_PER_SEC
+                                               if by > 0 else None),
                 "hbm_roofline_fraction": (by / V5E_HBM_BYTES_PER_SEC) / t_iter
                 if by > 0 else None,
                 "amortized_iter_seconds": t_iter,

@@ -24,7 +24,11 @@ def _lib():
     src = os.path.join(root, "native", "topology.cpp")
     so = os.path.join(root, "native", "libngsxtopo.so")
     try:
-        if (not os.path.exists(so)) or os.path.getmtime(so) < os.path.getmtime(src):
+        # a shipped prebuilt .so without the source must still load
+        need_build = not os.path.exists(so) or (
+            os.path.exists(src)
+            and os.path.getmtime(so) < os.path.getmtime(src))
+        if need_build:
             subprocess.run(
                 ["g++", "-O3", "-shared", "-fPIC", src, "-o", so],
                 check=True, capture_output=True,

@@ -59,10 +59,13 @@ class Timer:
             # the timed region completes only once prior dispatches have
             # (per-device in-order execution), honoring the module contract
             # that the context manager blocks on device results
-            import jax
             import jax.numpy as jnp
 
-            jax.block_until_ready(jnp.zeros(()) + 0)
+            # a device->host READ, not block_until_ready: on the tunneled
+            # axon runtime's async regime block_until_ready returns before
+            # computation (memory: enqueue timings are fiction); fetching a
+            # scalar forces completion on every runtime
+            float(jnp.zeros(()) + 0)
         self.Stop()
         return False
 

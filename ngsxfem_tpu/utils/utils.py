@@ -83,7 +83,7 @@ def PrintConvergenceTable(errors, label="error"):
         if i > 0 and errors[i - 1] > 0 and e > 0:
             eoc = f"{_mlog(errors[i - 1] / e) / _mlog(2):7.2f}"
         print(f"{i:>4} {e:14.6e} {eoc:>7}")
-    if len(errors) > 1 and errors[-1] > 0:
+    if len(errors) > 1 and errors[-1] > 0 and errors[-2] > 0:
         return _mlog(errors[-2] / errors[-1]) / _mlog(2)
     return None
 

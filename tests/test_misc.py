@@ -351,3 +351,29 @@ def test_differentiable_through_levelset():
     eps = 1e-5
     fd = (float(comp(r0 + eps)) - float(comp(r0 - eps))) / (2 * eps)
     assert abs(dc - fd) < 1e-7 * max(abs(fd), 1e-30), (dc, fd)
+
+
+def test_vtk_subdivision_steps_and_matrix(tmp_path):
+    """VTKOutput honors subdivision, writes per-step files + a .pvd index,
+    and handles matrix-valued CFs (review regressions)."""
+    import numpy as np
+    from ngsxfem_tpu import (
+        MakeStructured2DMesh, VectorH1, GridFunction, VTKOutput,
+        CoefficientFunction, grad, x, y,
+    )
+
+    mesh = MakeStructured2DMesh(quads=False, nx=2, ny=2)
+    gf = GridFunction(VectorH1(mesh, order=1))
+    gf.Set(CoefficientFunction((x * y, x - y)))
+    base = str(tmp_path / "out")
+    vtk = VTKOutput(mesh, coefs=[x, gf, grad(gf)],
+                    names=["s", "v", "J"], filename=base, subdivision=2)
+    f0 = vtk.Do(time=0.0)
+    f1 = vtk.Do(time=0.5)
+    assert f0.endswith("out.vtk") and "step0001" in f1
+    txt0 = open(f0).read()
+    # subdivision=2 on trigs: 16 sub-cells per element
+    assert f"CELL_TYPES {mesh.ne * 16}" in txt0
+    assert "FIELD J_field" in txt0  # matrix CF written as FIELD data
+    pvd = open(base + ".pvd").read()
+    assert 'timestep="0.5"' in pvd and "step0001" in pvd

@@ -136,12 +136,12 @@ def main():
         dst = model.dia_structure()
         offs = dst["offsets"]
         k0 = int(np.searchsorted(offs, 0))
-        dd = {k: (jnp.asarray(w) if "slots" in k else w)
-              for k, w in dst.items()}
+        dd_static = {k: w for k, w in dst.items() if "slots" not in k}
+        dd = {k: jnp.asarray(w) for k, w in dst.items() if "slots" in k}
 
         @jax.jit
-        def assemble_lat(v, l):
-            return model.assemble_vals_lattice(v, l, dd)
+        def assemble_lat(v, l, dd):
+            return model.assemble_vals_lattice(v, l, {**dd_static, **dd})
 
         @jax.jit
         def mv_dia(V, x):
@@ -156,8 +156,9 @@ def main():
         v, l = model.vertices, model.lset
         b = jnp.where(jnp.asarray(model.active_dofs), 1.0, 0.0).astype(jnp.float32)
         colsj = jnp.asarray(cols_np)
-        ell_vals, _n = assemble(v, l, struct_dev)
+        ell_vals, n_dev = assemble(v, l, struct_dev)
         jax.block_until_ready(ell_vals)
+        assert int(n_dev) <= cap, (int(n_dev), cap)  # overflow check
 
         t_asm = timeit(assemble, v, l, struct_dev, reps=5)
         t_asg = timeit(assemble_g, v, l, struct_dev, gtable_dev, reps=5)
@@ -168,12 +169,12 @@ def main():
             t_mvp = None
         t_cg = timeit(solve50, ell_vals, colsj, b, reps=2)
 
-        V_lat, _ = assemble_lat(v, l)
+        V_lat, _ = assemble_lat(v, l, dd)
         jax.block_until_ready(V_lat)
         b_lat = jnp.asarray(
             np.where(model.active_dofs[dst["perm_inv"]], 1.0, 0.0),
             dtype=jnp.float32)
-        t_lat = timeit(assemble_lat, v, l, reps=5)
+        t_lat = timeit(assemble_lat, v, l, dd, reps=5)
         t_mvd = timeit(mv_dia, V_lat, b_lat, reps=5)
         t_cgd = timeit(solve50_dia, V_lat, b_lat, reps=2)
 
