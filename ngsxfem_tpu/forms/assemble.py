@@ -46,6 +46,14 @@ class Integral:
         self.facet_patch = facet_patch
         self.force_intorder = force_intorder
         self.deformation = deformation
+        # dict-carried options (Integrate convention) apply here too, so an
+        # ld ported verbatim keeps its space-time / forced-order semantics
+        if self.levelset_domain is not None:
+            if time_order < 0:
+                time_order = int(self.levelset_domain.get("time_order", -1))
+            if force_intorder < 0:
+                self.force_intorder = int(
+                    self.levelset_domain.get("force_intorder", -1))
         self.time_order = time_order
         if vb not in (VOL, BND):
             raise NotImplementedError(
@@ -77,8 +85,10 @@ def SymbolicBFI(levelset_domain=None, form=None, VOL_or_BND=VOL, element_boundar
 
 def SymbolicLFI(levelset_domain=None, form=None, VOL_or_BND=VOL, definedonelements=None,
                 deformation=None, force_intorder=-1, time_order=-1, **kw):
-    if form is None:
+    if form is None:  # allow SymbolicLFI(form) positional
         form, levelset_domain = levelset_domain, None
+        if isinstance(form, dict):
+            raise TypeError("SymbolicLFI needs form=...")
     return Integral(form, levelset_domain=levelset_domain,
                     definedonelements=definedonelements,
                     force_intorder=force_intorder, deformation=deformation,
@@ -501,7 +511,6 @@ def _element_boundary_ctx(integral: Integral, mesh, order, dyn=None):
     Returns (ctx, row_elem_ids, w_phys, mask).
     """
     from ..mesh.mesh import FACET_VERTS, FACET_ET, geom_shapes, geom_dshapes
-    from ..ops.straightcut import _gram_measure
     from ..ops.cuttables import REF_VERTS
     from ..jitcache import dyn_get
 
@@ -513,7 +522,6 @@ def _element_boundary_ctx(integral: Integral, mesh, order, dyn=None):
     nfel, nvf = fv_loc.shape
     ne = mesh.ne
     R = ne * nfel  # rows
-    o = order if integral.force_intorder < 0 else integral.force_intorder
 
     refv = REF_VERTS[et]
     # element-local reference coordinates of each local facet's vertices
@@ -525,9 +533,13 @@ def _element_boundary_ctx(integral: Integral, mesh, order, dyn=None):
     # global facet vertex ids per row (host: static topology)
     fverts = mesh.elements_np[:, fv_loc].reshape(R, nvf)
 
-    # facet-parametric rule: plain, or a cut rule from lset corner values
+    # facet-parametric rule: plain, or a cut rule from lset corner values;
+    # time-tensorized at the PARAMETRIC level so deformed tangents are
+    # computed per (point, time) pair
     rp_dyn, rw_dyn, nref_if = _facet_param_rule(
         integral, fet, d, order, fverts, dyn, R)
+    rp_dyn, rw_dyn, nref_if, times = _time_tensorize_param(
+        integral.time_order, rp_dyn, rw_dyn, nref_if)
 
     # map facet-parametric points into the element reference cell
     Nf = geom_shapes(fet, rp_dyn)  # (R, nq, nvf)
@@ -541,7 +553,7 @@ def _element_boundary_ctx(integral: Integral, mesh, order, dyn=None):
     deform = (integral.deformation if integral.deformation is not None
               else mesh.deformation)
     tang = _deformed_tangents(tang, deform, jnp.asarray(row_e), pts, dNf,
-                              loc_ref, dyn)
+                              loc_ref, dyn, time=times)
     w, n = _facet_measure_normal(tang, nref_if, rw_dyn, d)
     els = dyn_get(dyn, mesh, "elements", mesh.elements)[jnp.asarray(row_e)]
     cent = jnp.mean(verts[els], axis=1)  # (R, d)
@@ -549,20 +561,6 @@ def _element_boundary_ctx(integral: Integral, mesh, order, dyn=None):
     sign = jnp.sign(jnp.einsum("rqd,rd->rq", n, fcm - cent))
     sign = jnp.where(sign == 0, 1.0, sign)
     n = n * sign[..., None]
-
-    times = None
-    if integral.time_order >= 0:
-        from ..ops.gauss import gauss_legendre_01
-
-        tg, tw = gauss_legendre_01(max(1, (integral.time_order + 2) // 2))
-        tg = jnp.asarray(tg, dtype=config.dtype)
-        tw = jnp.asarray(tw, dtype=config.dtype)
-        nt = tg.shape[0]
-        Q = pts.shape[1]
-        pts = jnp.repeat(pts, nt, axis=1)
-        n = jnp.repeat(n, nt, axis=1)
-        w = (w[:, :, None] * tw[None, None, :]).reshape(R, Q * nt)
-        times = jnp.broadcast_to(tg[None, None, :], (R, Q, nt)).reshape(R, Q * nt)
 
     ctx = EvalCtx(mesh, pts, elem_ids=jnp.asarray(row_e), normal=n, dyn=dyn,
                   time=times, deformation=deform)
@@ -594,8 +592,6 @@ def _boundary_ctx(integral: Integral, mesh, order, dyn=None):
     Returns (ctx, row_elem_ids, w_phys, mask).
     """
     from ..mesh.mesh import FACET_ET, geom_shapes, geom_dshapes
-    from ..ops.straightcut import _gram_measure
-    from ..ops.cuttables import REF_VERTS
     from ..jitcache import dyn_get
 
     dyn = dyn or {}
@@ -604,25 +600,22 @@ def _boundary_ctx(integral: Integral, mesh, order, dyn=None):
     fet = FACET_ET[et]
     bf = mesh.boundary_facets_np  # (B,) facet ids
     B = len(bf)
-    o = order if integral.force_intorder < 0 else integral.force_intorder
 
     f2e = mesh.facet2el_np
     row_e = f2e[bf, 0]  # adjacent volume element per boundary facet
     fverts = mesh.facets_np[bf]  # (B, nvf) global vertex ids
-    nvf = fverts.shape[1]
 
     # element-local reference coordinates of the facet's vertices
-    refv = REF_VERTS[et]
-    els = mesh.elements_np[row_e]  # (B, nvel)
-    loc_ref = np.zeros((B, nvf, d))
-    for k in range(nvf):
-        idx = np.argmax(els == fverts[:, k][:, None], axis=1)
-        loc_ref[:, k, :] = refv[idx]
-    loc_ref = jnp.asarray(loc_ref, dtype=config.dtype)
+    # (shared per-mesh cache; boundary facets live on side 0)
+    loc_ref = jnp.asarray(_facet_locref_tables(mesh)[0][bf],
+                          dtype=config.dtype)
 
-    # facet-parametric rule: plain, or codim-1 cut rule from corner values
+    # facet-parametric rule: plain, or codim-1 cut rule from corner values;
+    # time-tensorized at the PARAMETRIC level (space-time deformations)
     rp_dyn, rw_dyn, nref_if = _facet_param_rule(
         integral, fet, d, order, fverts, dyn, B)
+    rp_dyn, rw_dyn, nref_if, times = _time_tensorize_param(
+        integral.time_order, rp_dyn, rw_dyn, nref_if)
 
     # map facet-parametric points into the element reference cell
     Nf = geom_shapes(fet, rp_dyn)  # (B, nq, nvf)
@@ -641,7 +634,7 @@ def _boundary_ctx(integral: Integral, mesh, order, dyn=None):
     deform = (integral.deformation if integral.deformation is not None
               else mesh.deformation)
     tang = _deformed_tangents(tang, deform, jnp.asarray(row_e), pts, dNf,
-                              loc_ref, dyn)
+                              loc_ref, dyn, time=times)
     w, n = _facet_measure_normal(tang, nref_if, rw_dyn, d)
     elarr = dyn_get(dyn, mesh, "elements", mesh.elements)[jnp.asarray(row_e)]
     cent = jnp.mean(verts[elarr], axis=1)
@@ -649,20 +642,6 @@ def _boundary_ctx(integral: Integral, mesh, order, dyn=None):
     sign = jnp.sign(jnp.einsum("bqd,bd->bq", n, fcm - cent))
     sign = jnp.where(sign == 0, 1.0, sign)
     n = n * sign[..., None]
-
-    times = None
-    if integral.time_order >= 0:
-        from ..ops.gauss import gauss_legendre_01
-
-        tg, tw = gauss_legendre_01(max(1, (integral.time_order + 2) // 2))
-        tg = jnp.asarray(tg, dtype=config.dtype)
-        tw = jnp.asarray(tw, dtype=config.dtype)
-        nt = tg.shape[0]
-        Q = pts.shape[1]
-        pts = jnp.repeat(pts, nt, axis=1)
-        n = jnp.repeat(n, nt, axis=1)
-        w = (w[:, :, None] * tw[None, None, :]).reshape(B, Q * nt)
-        times = jnp.broadcast_to(tg[None, None, :], (B, Q, nt)).reshape(B, Q * nt)
 
     ctx = EvalCtx(mesh, pts, elem_ids=jnp.asarray(row_e), normal=n, dyn=dyn,
                   time=times, deformation=deform)
@@ -679,17 +658,26 @@ def _boundary_ctx(integral: Integral, mesh, order, dyn=None):
 
 def _bnd_mask_np(integral: Integral, mesh):
     """Per-boundary-facet selection mask of a BND integral (host numpy);
-    accepts masks over boundary facets or over volume elements (adjacency)."""
+    accepts masks over boundary facets (the canonical BND-element semantics)
+    or over volume elements (adjacency)."""
     sel_np = np.asarray(integral.definedonelements)
     bf = mesh.boundary_facets_np
+    if len(sel_np) == len(bf):  # boundary-element mask (preferred reading)
+        if len(bf) == mesh.ne:
+            import warnings
+
+            warnings.warn(
+                "BND definedonelements length matches BOTH the boundary-"
+                "facet and volume-element counts; interpreting it as a "
+                "boundary-element mask (pass a volume mask of a finer mesh "
+                "to disambiguate)")
+        return sel_np
     if len(sel_np) == mesh.ne:  # volume-element mask via adjacency
-        sel_np = sel_np[mesh.facet2el_np[bf, 0]]
-    elif len(sel_np) != len(bf):
-        raise ValueError(
-            "definedonelements for a BND integral must mask boundary "
-            f"elements ({len(bf)}) or volume elements ({mesh.ne})"
-        )
-    return sel_np
+        return sel_np[mesh.facet2el_np[bf, 0]]
+    raise ValueError(
+        "definedonelements for a BND integral must mask boundary "
+        f"elements ({len(bf)}) or volume elements ({mesh.ne})"
+    )
 
 
 from ..jitcache import LRUCache as _LRU
@@ -805,7 +793,14 @@ def _facet_param_rule(integral, fet, d, order, fverts, dyn, R):
         from ..jitcache import dyn_get
 
         ld = integral.levelset_domain
+        if integral.force_intorder < 0 and ld.get("force_intorder", -1) >= 0:
+            o = int(ld["force_intorder"])  # dict option, like the volume path
         dtq = int(ld["domain_type"])
+        if dtq not in (int(NEG), int(POS), int(IF)):
+            # combined types (HASNEG, ...) would silently zero every weight
+            raise ValueError(
+                f"facet cut integrals support NEG/POS/IF domain types, got "
+                f"{ld['domain_type']!r}")
         lgf = ld["levelset"]
         vdofs = _p1_vertex_dofs(lgf.space)
         vec = dyn_get(dyn or {}, lgf, "vec", lgf._arr)
@@ -838,6 +833,31 @@ def _facet_param_rule(integral, fet, d, order, fverts, dyn, R):
     rw_dyn = jnp.broadcast_to(
         jnp.asarray(rw_s, dtype=config.dtype)[None], (R, nqf))
     return rp_dyn, rw_dyn, None
+
+
+def _time_tensorize_param(time_order, rp, rw, nref=None):
+    """Tensorize a facet-PARAMETRIC rule with time Gauss points, BEFORE any
+    geometry is derived from it — so tangents/measures/normals (and their
+    isoparametric deformation corrections) are computed per (point, time)
+    pair, which a space-time deformation requires.  One implementation for
+    the BND / element-boundary / skeleton builders.
+
+    Returns (rp, rw, nref, times); times is None when time_order < 0."""
+    if time_order < 0:
+        return rp, rw, nref, None
+    from ..ops.gauss import gauss_legendre_01
+
+    tg, tw = gauss_legendre_01(max(1, (time_order + 2) // 2))
+    tg = jnp.asarray(tg, dtype=config.dtype)
+    tw = jnp.asarray(tw, dtype=config.dtype)
+    nt = tg.shape[0]
+    R, Q = rw.shape
+    rp = jnp.repeat(rp, nt, axis=1)
+    rw = (rw[:, :, None] * tw[None, None, :]).reshape(R, Q * nt)
+    if nref is not None:
+        nref = jnp.repeat(nref, nt, axis=1)
+    times = jnp.broadcast_to(tg[None, None, :], (R, Q, nt)).reshape(R, Q * nt)
+    return rp, rw, nref, times
 
 
 def _facet_measure_normal(tang, nref_if, rw_dyn, d):
@@ -927,14 +947,11 @@ def _skeleton_ctx(integral: Integral, mesh, order, dyn=None):
     from ..mesh.mesh import (
         FACET_VERTS, FACET_ET, map_points, det_and_inv, geom_shapes, geom_dshapes,
     )
-    from ..ops.straightcut import _gram_measure
-    from ..ops.cuttables import REF_VERTS
     from ..jitcache import dyn_get
 
     f2e = mesh.facet2el_np
     d = mesh.dim
     fet = FACET_ET[mesh.et]
-    o = order if integral.force_intorder < 0 else integral.force_intorder
 
     dynamic = integral.definedonelements is not None
     loc_all = _facet_locref_tables(mesh)  # (2, nf, nvf, d) host
@@ -951,9 +968,14 @@ def _skeleton_ctx(integral: Integral, mesh, order, dyn=None):
     nvf = mesh.facets_np.shape[1]
 
     # facet-parametric quadrature: plain rule, or a cut rule on the facet
-    # itself for SymbolicCutFacetBFI (xfem/symboliccutbfi.cpp:682-946)
+    # itself for SymbolicCutFacetBFI (xfem/symboliccutbfi.cpp:682-946);
+    # time-tensorized at the PARAMETRIC level (reference space-time skeleton
+    # rule, SymbolicFacetBilinearFormIntegrator2,
+    # xfem/symboliccutbfi.cpp:948-1102) so deformed tangents see the time
     rp_dyn, rw_dyn, nref_if = _facet_param_rule(
         integral, fet, d, order, fverts, dyn, F)
+    rp_dyn, rw_dyn, nref_if, times = _time_tensorize_param(
+        integral.time_order, rp_dyn, rw_dyn, nref_if)
 
     # facet geometry map (multilinear in the facet ref coords)
     Nf = geom_shapes(fet, rp_dyn)  # (F, nqf, nvf)
@@ -967,16 +989,18 @@ def _skeleton_ctx(integral: Integral, mesh, order, dyn=None):
 
     deform = (integral.deformation if integral.deformation is not None
               else mesh.deformation)
-    ctx = EvalCtx(mesh, pts1, elem_ids=e1, dyn=dyn, deformation=deform)
+    ctx = EvalCtx(mesh, pts1, elem_ids=e1, dyn=dyn, deformation=deform,
+                  time=times)
     ctx.other_ctx = EvalCtx(mesh, pts2, elem_ids=e2, dyn=dyn,
-                            deformation=deform)
+                            deformation=deform, time=times)
     ctx.facet_ids = jnp.asarray(fids)
 
     # physical facet measure + normal (from the e1 side geometry)
     phys_fverts = verts[jnp.asarray(fverts)]  # (F, nvf, d)
     dNf = geom_dshapes(fet, rp_dyn)  # (F, nqf, nvf, d-1)
     tang = jnp.einsum("fqks,fkd->fqsd", dNf, phys_fverts)  # (F,nqf,d-1,d)
-    tang = _deformed_tangents(tang, deform, e1, pts1, dNf, loc_ref[0], dyn)
+    tang = _deformed_tangents(tang, deform, e1, pts1, dNf, loc_ref[0], dyn,
+                              time=times)
     w, n = _facet_measure_normal(tang, nref_if, rw_dyn, d)
     # orient the normal from e1 to e2: away from the e1 centroid
     els1 = dyn_get(dyn, mesh, "elements", mesh.elements)[e1]
@@ -986,35 +1010,20 @@ def _skeleton_ctx(integral: Integral, mesh, order, dyn=None):
     sign = jnp.where(sign == 0, 1.0, sign)
     n = n * sign[..., None]
 
-    times = None
-    if integral.time_order >= 0:
-        # space-time skeleton rule: tensorize with time Gauss points
-        # (reference SymbolicFacetBilinearFormIntegrator2,
-        # xfem/symboliccutbfi.cpp:948-1102)
-        from ..ops.gauss import gauss_legendre_01
-
-        tg, tw = gauss_legendre_01(max(1, (integral.time_order + 2) // 2))
-        tg = jnp.asarray(tg, dtype=config.dtype)
-        tw = jnp.asarray(tw, dtype=config.dtype)
-        nt = tg.shape[0]
-        Q = pts1.shape[1]
-        rep = lambda a: jnp.repeat(a, nt, axis=1)
-        ctx.ref_pts = rep(pts1)
-        ctx.other_ctx.ref_pts = rep(pts2)
-        ctx.Q = ctx.other_ctx.Q = Q * nt
-        n = rep(n)
-        w = (w[:, :, None] * tw[None, None, :]).reshape(F, Q * nt)
-        times = jnp.broadcast_to(tg[None, None, :], (F, Q, nt)).reshape(F, Q * nt)
-        ctx.time = ctx.other_ctx.time = times
-
     ctx._normal = n
     # each side sees its own outward normal (reference dn convention, so
     # dnjump(u,k) = dn(u,k) -/+ dn(u.Other(),k) ports verbatim)
     ctx.other_ctx._normal = -n
     if dynamic:
-        w = jnp.where(fvalid[:, None], w, 0.0) + fpoison
+        w = jnp.where(fvalid[:, None], w, 0.0)
+        # mask from the FINITE weights; the overflow poison is added after
+        # so it propagates as NaN through the weight product (loud) instead
+        # of mask=False zeroing everything (silent)
+        mask = (w > 0) & fvalid[:, None]
+        w = w + fpoison
         ctx.dynamic_sel = (e1, e2, fvalid)
-    mask = w > 0
+    else:
+        mask = w > 0
     return ctx, e1, e2, w, mask
 
 
@@ -1053,7 +1062,7 @@ def _term_elvec(term, W, mask):
     return jnp.einsum("eq,eqj->ej", Wts, v)
 
 
-def _safe_weights(w_phys, mask, scalar_shape_ref):
+def _safe_weights(w_phys, mask):
     """zero weights exactly where masked (NaN-safe: scalars are multiplied
     after masking)."""
     return jnp.where(mask, w_phys, 0.0)
@@ -1130,7 +1139,7 @@ class BilinearForm:
                     for (tctx, w_phys, mask, sids) in tiers:
                         if getattr(tctx, "dynamic_sel", None) is not None:
                             dsel = tctx.dynamic_sel
-                        W = _safe_weights(w_phys, mask, None)
+                        W = _safe_weights(w_phys, mask)
                         for t in eval_form(integral.form, tctx):
                             if t.ufac is None and t.vfac is None:
                                 raise TypeError(
@@ -1311,7 +1320,7 @@ class LinearForm:
                         )
                     acc = {}
                     for (tctx, w_phys, mask, sids) in tiers:
-                        W = _safe_weights(w_phys, mask, None)
+                        W = _safe_weights(w_phys, mask)
                         for t in eval_form(integral.form, tctx):
                             if t.ufac is None and t.vfac is None:
                                 raise TypeError(

@@ -368,7 +368,6 @@ def Integrate(levelset_domain=None, cf=None, mesh=None, order=5,
             if "time_order" in ld:
                 time_order = ld["time_order"]
             o = order if ld["force_intorder"] < 0 else ld["force_intorder"]
-            cut_cap = None
             if ld["subdivlvl"] > 0:
                 # subdivision path: the level set stays a genuine CF
                 # (reference legacy-engine semantics, xintegration.cpp:698+)
