@@ -12,14 +12,10 @@ from math import pi
 from ngsxfem_tpu import *
 
 
-def run(nx=30, order=1, verbose=True, deform=False, mesh=None):
-    if mesh is None:
-        mesh = MakeStructured2DMesh(
-            quads=False, nx=nx, ny=nx,
-            mapping=lambda xx, yy: (3 * xx - 1.5, 3 * yy - 1.5)
-        )
-
-    # manufactured solution (||x||_4 interface at r=1)
+def manufactured_interface_problem():
+    """Reference interface-Poisson data (||x||_4 interface at r=1,
+    py_tutorials/cutfem.py:28-42): returns (solution, coef_f, alpha, levelset).
+    Shared with nxfem.py so both formulations solve the identical problem."""
     r44 = x**4 + y**4
     r41 = sqrt(sqrt(r44))
     r4m3 = 1.0 / (r41 * r41 * r41)
@@ -31,7 +27,18 @@ def run(nx=30, order=1, verbose=True, deform=False, mesh=None):
         -2.0 * pi * 3 / 2 * r4m3 * (-(r66) / (r44) + r22),
     ]
     alpha = [1.0, 2.0]
-    levelset = sqrt(sqrt(x**4 + y**4)) - 1.0
+    levelset = r41 - 1.0
+    return solution, coef_f, alpha, levelset
+
+
+def run(nx=30, order=1, verbose=True, deform=False, mesh=None):
+    if mesh is None:
+        mesh = MakeStructured2DMesh(
+            quads=False, nx=nx, ny=nx,
+            mapping=lambda xx, yy: (3 * xx - 1.5, 3 * yy - 1.5)
+        )
+
+    solution, coef_f, alpha, levelset = manufactured_interface_problem()
 
     deformation = None
     if deform:

@@ -42,7 +42,7 @@ def build_level(mesh, order=1):
     f.Assemble()
     active = GetDofsOfElements(Vh, hasneg)
     if_dofs = GetDofsOfElements(Vh, hasif)
-    return Vh, a.mat, f._vec, active, if_dofs
+    return Vh, a.mat, f.vec.data, active, if_dofs
 
 
 def run(nx0=8, levels=3, order=1, verbose=True, dim=2):

@@ -10,10 +10,6 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from ngsxfem_tpu import *
 
 
-def dnjump(w, k):
-    return dn(w, k) - dn(w.Other(), k) if k % 2 == 0 else dn(w, k) + dn(w.Other(), k)
-
-
 def run(nx=20, order=1, verbose=True):
     mesh = MakeStructured2DMesh(
         quads=False, nx=nx, ny=nx, mapping=lambda a, b: (2 * a - 1, 2 * b - 1)
@@ -45,9 +41,9 @@ def run(nx=20, order=1, verbose=True):
     a += SymbolicBFI(lset_if, form=-(grad(u) * n_lset) * v - (grad(v) * n_lset) * u
                      + lam * u * v)
     gp = 0
-    gammas = [0.1, 0.01, 0.001, 0.0001]
     for i in range(order):
-        gp = gp + gammas[i] * h ** (2 * i + 1) * dnjump(u, i + 1) * dnjump(v, i + 1)
+        gamma = 0.1 * 0.1 ** i  # reference's decaying per-order weights
+        gp = gp + gamma * h ** (2 * i + 1) * dnjump(u, i + 1) * dnjump(v, i + 1)
     a += SymbolicBFI(form=gp, skeleton=True, definedonelements=ba_facets)
 
     f = LinearForm(Vh)

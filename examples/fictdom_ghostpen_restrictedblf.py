@@ -14,10 +14,6 @@ from ngsxfem_tpu import *
 from ngsxfem_tpu.lsetcurv import LevelSetMeshAdaptation
 
 
-def dnjump(w, k):
-    return dn(w, k) - dn(w.Other(), k) if k % 2 == 0 else dn(w, k) + dn(w.Other(), k)
-
-
 def run(nx=20, order=3, verbose=True):
     mesh = MakeStructured2DMesh(
         quads=False, nx=nx, ny=nx, mapping=lambda a, b: (2 * a - 1, 2 * b - 1)
@@ -73,7 +69,8 @@ def run(nx=20, order=3, verbose=True):
 
     gp = 0
     for i in range(order):
-        gp = gp + gamma_stab[i] * h ** (2 * i + 1) * dnjump(u, i + 1) * dnjump(v, i + 1)
+        gamma = gamma_stab[min(i, len(gamma_stab) - 1)]
+        gp = gp + gamma * h ** (2 * i + 1) * dnjump(u, i + 1) * dnjump(v, i + 1)
     a += SymbolicBFI(form=gp, skeleton=True, definedonelements=ba_facets)
 
     f = LinearForm(Vh)

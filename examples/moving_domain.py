@@ -134,7 +134,7 @@ def run(nx=16, nslab=8, order=1, kt=1, T=0.5, verbose=True, deform=False):
                 mesh.UnsetDeformation()
             else:
                 # transfer across the deformation change at the slab boundary
-                utmp._set_array(uold._arr)
+                utmp.vec.data = uold.vec.data
                 uold.Set(shifted_eval(utmp, back=deform_top, forth=deform_bot))
             RestrictGFInTime(spacetime_gf=deform_st, reference_time=1.0,
                              space_gf=deform_top)
@@ -163,20 +163,12 @@ def run(nx=16, nslab=8, order=1, kt=1, T=0.5, verbose=True, deform=False):
         if verbose:
             print(f"slab {s}: t=[{t0:.3f},{t0+dtt:.3f}]", flush=True)
 
-    # error at final time on the final domain
-    t_start.Set(T)  # so that lset at tref=0 is the final-time level set
-    if deform:
-        lsetadap.interpol_ho(levelset)
-        lsetadap.interpol_p1()
-        RestrictGFInTime(spacetime_gf=lset_st, reference_time=0.0,
-                         space_gf=lset_bot)
-        # deform_top of the last slab equals the deformation at t = T
-        err_dfm = deform_top
-    else:
-        SpaceTimeInterpolateToP1(levelset, tref, lset_st)
-        RestrictGFInTime(spacetime_gf=lset_st, reference_time=0.0,
-                         space_gf=lset_bot)
-        err_dfm = None
+    # error at final time on the final domain: the last slab's level set at
+    # tref=1 IS the t=T geometry (no re-interpolation needed), and deform_top
+    # of that slab is the matching deformation
+    RestrictGFInTime(spacetime_gf=lset_st, reference_time=1.0,
+                     space_gf=lset_bot)
+    err_dfm = deform_top if deform else None
     err_cf = (uold - exact_at(T)) * (uold - exact_at(T))
     l2err = Integrate(
         {"levelset": lset_bot, "domain_type": NEG}, err_cf, mesh,

@@ -13,22 +13,13 @@ from ngsxfem_tpu import *
 
 
 def run(nx=15, order=1, verbose=True, deform=False):
+    from examples.cutfem import manufactured_interface_problem
+
     mesh = MakeStructured2DMesh(
         quads=False, nx=nx, ny=nx, mapping=lambda a, b: (3 * a - 1.5, 3 * b - 1.5)
     )
 
-    r44 = x**4 + y**4
-    r41 = sqrt(sqrt(r44))
-    r4m3 = 1.0 / (r41 * r41 * r41)
-    r66 = x**6 + y**6
-    r22 = x * x + y * y
-    solution = [1.0 + pi / 2.0 - sqrt(2.0) * cos(pi / 4.0 * r44), pi / 2.0 * r41]
-    coef_f = [
-        -1.0 * sqrt(2.0) * pi * (pi * cos(pi / 4 * r44) * r66 + 3 * sin(pi / 4 * r44) * r22),
-        -2.0 * pi * 3 / 2 * r4m3 * (-(r66) / (r44) + r22),
-    ]
-    alpha = [1.0, 2.0]
-    levelset = sqrt(sqrt(x**4 + y**4)) - 1.0
+    solution, coef_f, alpha, levelset = manufactured_interface_problem()
 
     deformation = None
     if deform:

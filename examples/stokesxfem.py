@@ -155,7 +155,7 @@ def run(nx=16, order=2, verbose=True, deform=False):
     gf.components[2].Set(apos * ee * x)
     import jax.numpy as jnp
 
-    rhs = f._vec - a.mat * gf.vec.data
+    rhs = f.vec.data - a.mat * gf.vec.data
     free = WhG.FreeDofs()
     gf.vec.data = gf.vec.data + (a.mat.Inverse(free) * jnp.where(free.jnp, rhs, 0.0))
 

@@ -116,7 +116,7 @@ from .forms.assemble import (  # noqa: F401
     SymbolicLFI,
     SymbolicFacetPatchBFI,
 )
-from .forms.proxies import dn, div  # noqa: F401
+from .forms.proxies import dn, dnjump, div  # noqa: F401
 from .solvers.sparse import SparseMatrix  # noqa: F401
 from .solvers.krylov import CGSolver  # noqa: F401
 from .lsetcurv import (  # noqa: F401

@@ -119,6 +119,21 @@ def dn(proxy, order=1, comp=-1, hdiv=False):
     raise TypeError("dn expects a proxy function")
 
 
+def dnjump(proxy, order=1, comp=-1, hdiv=False):
+    """Jump of the order-th normal derivative across a facet.
+
+    The sign convention follows the reference's ``dnjump`` helper
+    (python/__init__.py): ``dn`` is evaluated along each element's *outward*
+    facet normal, which flips orientation between the two neighbors, so even
+    derivative orders subtract and odd orders add to form the true jump
+    ``[[d^k u / dn^k]]`` (cf. the identity noted at forms/assemble.py:1015).
+    """
+    k = int(order)
+    a = dn(proxy, k, comp=comp, hdiv=hdiv)
+    b = dn(proxy.Other(), k, comp=comp, hdiv=hdiv)
+    return a - b if k % 2 == 0 else a + b
+
+
 def div(proxy):
     if isinstance(proxy, ProxyFunction):
         return proxy._clone(op="div", dims=())
