@@ -59,3 +59,33 @@ def test_dn_exactness():
         num = jnp.einsum("fqi,fi->fq", arr, dofs)
         err = float(jnp.max(jnp.abs(num - exact)))
         assert err < 5e-11 * (10 ** k), (k, err)
+
+
+def test_library_dnjump_matches_manual():
+    """The packaged dnjump helper (forms/proxies.py) equals the hand-built
+    sign-parity expression dn(u,k) -/+ dn(u.Other(),k) used by the reference's
+    ghost-penalty tutorials — assembled matrices must be identical."""
+    from ngsxfem_tpu import (H1, BilinearForm, MakeStructured2DMesh,
+                             SymbolicBFI, dn, dnjump, specialcf)
+
+    mesh = MakeStructured2DMesh(quads=False, nx=5, ny=5)
+    V = H1(mesh, order=2, dgjumps=True)
+    u, v = V.TnT()
+    h = specialcf.mesh_size
+
+    for k in (1, 2):
+        manual_u = (dn(u, k) - dn(u.Other(), k) if k % 2 == 0
+                    else dn(u, k) + dn(u.Other(), k))
+        manual_v = (dn(v, k) - dn(v.Other(), k) if k % 2 == 0
+                    else dn(v, k) + dn(v.Other(), k))
+        a1 = BilinearForm(V)
+        a1 += SymbolicBFI(form=h ** (2 * k + 1) * manual_u * manual_v,
+                          skeleton=True)
+        a1.Assemble()
+        a2 = BilinearForm(V)
+        a2 += SymbolicBFI(form=h ** (2 * k + 1) * dnjump(u, k) * dnjump(v, k),
+                          skeleton=True)
+        a2.Assemble()
+        v1 = np.asarray(a1.mat.ell().vals)
+        v2 = np.asarray(a2.mat.ell().vals)
+        assert np.array_equal(v1, v2), (k, np.abs(v1 - v2).max())
