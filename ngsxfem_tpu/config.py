@@ -109,7 +109,9 @@ class _Config:
 
     @property
     def np_dtype(self):
-        return np.dtype(self.dtype.dtype.name if hasattr(self.dtype, "dtype") else self.dtype)
+        # np.dtype() canonicalizes both numpy scalar types and jnp type
+        # aliases (jnp.float32 etc. are numpy scalar types under the hood)
+        return np.dtype(self.dtype)
 
 
 config = _Config()

@@ -670,7 +670,7 @@ class UnfittedPoisson:
         many elements (`_map_blocks`) to bound HBM temporaries — required
         beyond ~1M elements.
         """
-        from ..ops.straightcut import eps_guard
+        from ..ops.straightcut import eps_guard, eps_guard_list
         from ..ops.gauss import reference_rule
 
         et, order = self.et, self.order
@@ -952,7 +952,7 @@ class UnfittedPoisson:
         Ghost-penalty and identity streams remain scatter-adds (small).
         `struct` must be a `dia_structure` dict.  Returns (V (n_off, n),
         ncut)."""
-        from ..ops.straightcut import eps_guard
+        from ..ops.straightcut import eps_guard, eps_guard_list
 
         et = self.et
         d = ET_DIM[et]
@@ -968,7 +968,7 @@ class UnfittedPoisson:
             self._stencil_cache = (groups, S, nc)
 
         x, lv = _soa_corner_arrays(vertices, self.elements, lset_vertex)
-        lv = [eps_guard(v) for v in lv]
+        lv = eps_guard_list(lv)
         has_neg = lv[0] < 0
         has_pos = lv[0] > 0
         for v in lv[1:]:
@@ -1082,7 +1082,7 @@ class UnfittedPoisson:
         slices.  Ghost-penalty/identity streams as in
         `assemble_vals_stencil`.
         """
-        from ..ops.straightcut import eps_guard
+        from ..ops.straightcut import eps_guard, eps_guard_list
         from ..integrate import vertex_local_ids
 
         et = self.et
@@ -1127,7 +1127,7 @@ class UnfittedPoisson:
                                  for t in range(S)]) for a in range(d)])
             lv.append(jnp.stack([llat[sl(dsps[t])].reshape(-1)
                                  for t in range(S)]))
-        lv = [eps_guard(v) for v in lv]
+        lv = eps_guard_list(lv)
         has_neg = lv[0] < 0
         has_pos = lv[0] > 0
         for v in lv[1:]:
@@ -1306,7 +1306,7 @@ class UnfittedPoisson:
         structures (`dia_structure`, value table (n_off, ndof) in the
         vertex-lexicographic numbering — `offsets`/`n` keys present).
         """
-        from ..ops.straightcut import eps_guard
+        from ..ops.straightcut import eps_guard, eps_guard_list
 
         et = self.et
         d = ET_DIM[et]
@@ -1316,7 +1316,7 @@ class UnfittedPoisson:
         S_np = _affine_stiffness_S(et, self.order)
 
         x, lv = _soa_corner_arrays(vertices, elements, lset_vertex)
-        lv = [eps_guard(v) for v in lv]
+        lv = eps_guard_list(lv)
         has_neg = lv[0] < 0
         has_pos = lv[0] > 0
         for v in lv[1:]:
@@ -1371,7 +1371,7 @@ class UnfittedPoisson:
         `elm_slots_soa`.  Accepts ELL and DIA structures like
         `assemble_ell_vals_soa`.  Returns (value table, ncut).
         """
-        from ..ops.straightcut import eps_guard
+        from ..ops.straightcut import eps_guard, eps_guard_list
 
         et = self.et
         if self.order != 1 or et not in ("trig", "tet"):
@@ -1381,7 +1381,7 @@ class UnfittedPoisson:
         elements = self.elements
 
         x, lv = _soa_corner_arrays(vertices, elements, lset_vertex)
-        lv = [eps_guard(v) for v in lv]
+        lv = eps_guard_list(lv)
         has_neg = lv[0] < 0
         has_pos = lv[0] > 0
         for v in lv[1:]:

@@ -53,12 +53,38 @@ class CutRule(NamedTuple):
     nref: jax.Array
 
 
-def eps_guard(vals, eps=None):
-    """Push level-set values away from zero (exact zeros become +eps)."""
+def eps_guard(vals, eps=None, scale=None):
+    """Push level-set values away from zero (exact zeros become +eps·scale).
+
+    The threshold is RELATIVE to the element's level-set magnitude, matching
+    the reference guard (straightcutrule.cpp:548-556): cut geometry is
+    scale-invariant, so an absolute threshold would clamp genuine roots of a
+    small-magnitude level set and miss degenerate slivers of a large one.
+    ``scale`` defaults to the per-row max |v| over all trailing axes (corner
+    / time-node axes); pass it explicitly for SoA corner arrays
+    (``eps_guard_list``).  Classification (has_neg/has_pos) is unaffected by
+    the threshold — the guard preserves signs and only exact zeros become
+    positive — the threshold conditions the root positions."""
     if eps is None:
         eps = config.lset_eps
+    a = jnp.abs(vals)
+    if scale is None:
+        if vals.ndim >= 2:
+            scale = jnp.max(a, axis=tuple(range(1, vals.ndim)), keepdims=True)
+        else:
+            scale = jnp.max(a)
+    thr = jnp.maximum(eps * scale, jnp.finfo(vals.dtype).tiny)
     s = jnp.where(vals >= 0, 1.0, -1.0)
-    return jnp.where(jnp.abs(vals) < eps, s * eps, vals)
+    return jnp.where(a < thr, s * thr, vals)
+
+
+def eps_guard_list(vals_list, eps=None):
+    """``eps_guard`` for SoA corner arrays (one (E,) array per element
+    corner): the relative scale is the elementwise max over the list."""
+    import functools
+
+    scale = functools.reduce(jnp.maximum, [jnp.abs(v) for v in vals_list])
+    return [eps_guard(v, eps=eps, scale=scale) for v in vals_list]
 
 
 def _gram_measure(edges):

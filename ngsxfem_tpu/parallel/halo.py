@@ -25,51 +25,64 @@ class DofPartition:
 
     def __init__(self, ndof: int, row_dofmaps, row_chunks, n: int):
         """row_dofmaps: list of (R_i, nd_i) global-dof row maps (elements,
-        facet patches, ...); row_chunks: matching (R_i,) chunk assignment."""
+        facet patches, ...); row_chunks: matching (R_i,) chunk assignment.
+        Dof maps must be dense (no -1 padding entries)."""
         self.n = n
         self.ndof = ndof
-        touch = np.zeros((n, ndof), dtype=bool)
+        # O(ndof) classification: first chunk touching each dof + a
+        # multi-touched flag (instead of a dense (n, ndof) touch table)
+        first = np.full(ndof, -1, dtype=np.int32)
+        multi = np.zeros(ndof, dtype=bool)
         for dm, ch in zip(row_dofmaps, row_chunks):
+            dm = np.asarray(dm)
+            if dm.size and dm.min() < 0:
+                raise ValueError(
+                    "DofPartition dofmap contains negative dof ids "
+                    "(padding rows must be dropped before partitioning)")
             for c in range(n):
-                sel = dm[ch == c]
-                if len(sel):
-                    touch[c, sel.ravel()] = True
-        cnt = touch.sum(axis=0)
-        untouched = cnt == 0
-        self.shared = (cnt > 1)
-        interior = (cnt == 1)
+                sel = np.unique(dm[ch == c])
+                if not len(sel):
+                    continue
+                seen = first[sel]
+                new = seen < 0
+                first[sel[new]] = c
+                multi[sel[(~new) & (seen != c)]] = True
+        self.shared = multi
+        untouched = first < 0
         # untouched dofs (e.g. inactive far-field dofs) are distributed
         # round-robin as interior so every dof has exactly one owner
-        owner = np.full(ndof, -1, dtype=np.int32)
-        owner[interior] = np.argmax(touch[:, interior], axis=0)
+        owner = np.where(~multi, first, -1).astype(np.int32)
         nun = int(untouched.sum())
         if nun:
             owner[untouched] = np.arange(nun, dtype=np.int32) % n
-        self.sh_ids = np.nonzero(self.shared)[0].astype(np.int32)
+        self.sh_ids = np.nonzero(multi)[0].astype(np.int32)
         self.S = len(self.sh_ids)
-        int_mask = ~self.shared
-        self.Ni = np.array([(int_mask & (owner == c)).sum() for c in range(n)])
+        int_mask = ~multi
+        self.Ni = np.bincount(owner[int_mask], minlength=n)
         self.Ni_max = int(self.Ni.max()) if n else 0
         self.int_ids = np.full((n, self.Ni_max), -1, dtype=np.int32)
-        # local index of every dof: interior -> slot in its chunk,
-        # shared -> Ni_max + shared slot
-        self.loc_of_dof = np.full((n, ndof), -1, dtype=np.int32)
-        sh_slot = np.full(ndof, -1, dtype=np.int32)
-        sh_slot[self.sh_ids] = np.arange(self.S, dtype=np.int32)
+        # single (ndof,) local-slot table: interior -> slot in the owner
+        # chunk, shared -> Ni_max + shared slot (identical on every chunk)
+        loc = np.full(ndof, -1, dtype=np.int32)
         for c in range(n):
             ids = np.nonzero(int_mask & (owner == c))[0].astype(np.int32)
             self.int_ids[c, :len(ids)] = ids
-            self.loc_of_dof[c, ids] = np.arange(len(ids), dtype=np.int32)
-            self.loc_of_dof[c, self.sh_ids] = self.Ni_max + sh_slot[self.sh_ids]
+            loc[ids] = np.arange(len(ids), dtype=np.int32)
+        loc[self.sh_ids] = self.Ni_max + np.arange(self.S, dtype=np.int32)
+        self.loc = loc
         self.owner = owner
 
     def localize_rows(self, dofmap, chunks):
         """(R, nd) global dof map -> (R, nd) local-layout indices per row's
         chunk.  Every referenced dof must be interior-to-that-chunk or shared."""
-        out = self.loc_of_dof[chunks[:, None], dofmap]
-        if (out < 0).any():
+        dofmap = np.asarray(dofmap)
+        if dofmap.size and dofmap.min() < 0:
+            raise ValueError("localize_rows dofmap contains negative dof ids")
+        chunks = np.asarray(chunks)
+        visible = self.shared[dofmap] | (self.owner[dofmap] == chunks[:, None])
+        if not visible.all():
             raise ValueError("row references a dof not visible to its chunk")
-        return out.astype(np.int32)
+        return self.loc[dofmap].astype(np.int32)
 
     def split_vector(self, x):
         """global (ndof,) -> (x_int (n, Ni_max), x_sh (S,)) host numpy."""

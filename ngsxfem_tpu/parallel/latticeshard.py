@@ -80,9 +80,16 @@ class LatticeShard:
 
         def mv_local(Vl, xl):
             # Vl (n_off, Lp), xl (Lp,) — one slab each
-            if nd > 1:
-                # multi-hop ring exchange: zeros propagate off the ends,
-                # giving the DIA zero-boundary semantics for free
+            if nd > 1 and hp <= Lp:
+                # halo fits inside the neighbor slab: exchange ONLY the
+                # hp-sized boundary windows (the slab surface), not the full
+                # slab — ppermute zeros for absent ring ends give the DIA
+                # zero-boundary semantics for free
+                from_prev = lax.ppermute(xl[-hp:], "z", fwd)
+                from_next = lax.ppermute(xl[:hp], "z", bwd)
+            elif nd > 1:
+                # halo spans several slabs: relay whole slabs (Lp per hop is
+                # already the minimum per-hop payload when hp > Lp)
                 prev_parts, next_parts = [], []
                 cur_f, cur_b = xl, xl
                 for _ in range(hops):
