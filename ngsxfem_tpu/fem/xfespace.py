@@ -139,6 +139,29 @@ class XFESpace:
     def GetCutInfo(self):
         return self.cutinfo
 
+    def BaseDofOfXDof(self, i):
+        """Base-space dof of extended dof ``i`` (xFESpace.hpp
+        GetBaseDofOfXDof)."""
+        return int(self.xdof2basedof[i])
+
+    def GetDomainOfDof(self, i):
+        """Domain (NEG/POS) of extended dof ``i`` (xFESpace.cpp
+        GetDomainOfDof): the side the enrichment has support on."""
+        from ..domaintype import DOMAIN_TYPE
+
+        return DOMAIN_TYPE(int(self.dom_of_xdof[i]))
+
+    def GetDomainNrs(self, elnr):
+        """Domains of the extended dofs on (cut) element ``elnr`` in
+        element-local dof order; empty when the element is not cut
+        (xFESpace.cpp:30-42)."""
+        from ..domaintype import DOMAIN_TYPE, IF
+
+        if not bool(self.cutinfo.GetElementsOfType(IF).np[elnr]):
+            return []
+        xdofs = self.el2dof_np[elnr][self.el2dof_valid_np[elnr]]
+        return [DOMAIN_TYPE(int(d)) for d in self.dom_of_xdof[xdofs]]
+
     def gf_eval_hook(self, gf, ctx, **kw):
         """Default GF evaluation = `extend` (active-masked base basis)."""
         return _XGFOp(gf, None)._eval_pure(ctx)

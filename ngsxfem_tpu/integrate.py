@@ -336,7 +336,15 @@ def Integrate(levelset_domain=None, cf=None, mesh=None, order=5,
     Mirrors the reference Python API (``python/__init__.py:312-378``):
       Integrate(levelset_domain={"levelset": lsetp1, "domain_type": NEG|POS|IF},
                 cf=f, mesh=mesh, order=k)
+    A non-dict first positional is the integrand (NGSolve-style
+    ``Integrate(cf, mesh)`` — the reference shifts it the same way,
+    python/__init__.py:373-378).
     """
+    if levelset_domain is not None and not isinstance(levelset_domain, dict):
+        if cf is not None and mesh is None:
+            levelset_domain, cf, mesh = None, levelset_domain, cf
+        elif cf is None:
+            levelset_domain, cf = None, levelset_domain
     if cf is None or mesh is None:
         raise TypeError("Integrate needs cf and mesh")
     if region_wise:

@@ -184,16 +184,38 @@ class SpaceTimeFESpace:
 
 
 class TimeVariableCF(CF):
-    """tref in [0,1] (cf. spacetime/timecf.hpp TimeVariableCoefficientFunction)."""
+    """tref in [0,1] (cf. spacetime/timecf.hpp TimeVariableCoefficientFunction).
+
+    ``FixTime``/``UnfixTime``/``IsFixed`` mirror the reference's mutable
+    fixed-time state (spacetime/timecf.cpp:26-32): while fixed, the CF
+    evaluates to the fixed value even outside a time context (used e.g. by
+    per-time-node spatial interpolation, SpaceTimeFESpace.cpp:218-228)."""
 
     dims = ()
 
+    def __init__(self):
+        self._fixed_time = None
+
+    def FixTime(self, time):
+        self._fixed_time = float(time)
+
+    def UnfixTime(self):
+        self._fixed_time = None
+
+    def IsFixed(self):
+        return self._fixed_time is not None
+
     def _eval_pure(self, ctx):
+        if self._fixed_time is not None:
+            return jnp.full((ctx.E, ctx.Q), self._fixed_time,
+                            dtype=ctx.ref_pts.dtype)
         if ctx.time is None:
             raise ValueError("ReferenceTimeVariable evaluated without time context")
         return jnp.broadcast_to(ctx.time, (ctx.E, ctx.Q))
 
     def _signature(self, slots):
+        if self._fixed_time is not None:
+            return ("tref_fixed", self._fixed_time)
         return ("tref",)
 
 

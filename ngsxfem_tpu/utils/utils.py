@@ -74,6 +74,15 @@ class StatisticContainer:
     def __getitem__(self, name):
         return self.errors[name]
 
+    def Print(self, label="something", select="all"):
+        """Print convergence tables of the collected series (reference
+        python_lsetcurving.cpp:27-45): ``select`` picks "L1", "L2", "max",
+        "misc" or "all"."""
+        keys = ("L1", "L2", "max", "misc") if select == "all" else (select,)
+        for k in keys:
+            if k in self.errors:
+                PrintConvergenceTable(self.errors[k], label=f"{label}_{k}")
+
 
 def PrintConvergenceTable(errors, label="error"):
     """Print an error/EOC table (cf. PrintConvergenceTable binding)."""

@@ -311,3 +311,71 @@ def test_set_default_dtype_roundtrip():
     finally:
         set_default_dtype(orig)
     assert config.dtype == orig
+
+
+def test_xfespace_dof_introspection():
+    """BaseDofOfXDof / GetDomainOfDof / GetDomainNrs (reference
+    python_xfem.cpp:411-444): every x-dof maps to an active base dof whose
+    level-set side is OPPOSITE the enrichment domain, and GetDomainNrs
+    lists exactly the element's x-dof domains (empty on uncut elements)."""
+    from ngsxfem_tpu import XFESpace, CutInfo
+
+    mesh = _mesh11()
+    lset = _p1_circle(mesh)
+    ci = CutInfo(mesh, lset)
+    base = H1(mesh, order=1)
+    xfes = XFESpace(base, ci)
+    assert xfes.ndof > 0
+    phi = np.asarray(lset.vec)
+    for i in range(xfes.ndof):
+        b = xfes.BaseDofOfXDof(i)
+        assert 0 <= b < base.ndof
+        dom = xfes.GetDomainOfDof(i)
+        # node in NEG (phi<0) enriches POS and vice versa
+        assert dom == (POS if phi[b] < 0 else NEG)
+    cutmask = ci.GetElementsOfType(IF).np
+    cut_el = int(np.nonzero(cutmask)[0][0])
+    uncut_el = int(np.nonzero(~cutmask)[0][0])
+    doms = xfes.GetDomainNrs(cut_el)
+    assert len(doms) > 0 and all(d in (NEG, POS) for d in doms)
+    # cross-check against the per-dof query through the element dof map
+    xdofs = xfes.el2dof_np[cut_el][xfes.el2dof_valid_np[cut_el]]
+    assert doms == [xfes.GetDomainOfDof(int(j)) for j in xdofs]
+    assert xfes.GetDomainNrs(uncut_el) == []
+
+
+def test_tref_fix_unfix():
+    """FixTime/UnfixTime/IsFixed on the time variable CF (reference
+    spacetime/timecf.cpp:26-32): a fixed tref integrates to its value
+    without any time context; unfixing restores the error."""
+    from ngsxfem_tpu import ReferenceTimeVariable
+
+    tr = ReferenceTimeVariable()
+    mesh = MakeStructured2DMesh(quads=False, nx=2, ny=2)
+    assert not tr.IsFixed()
+    with pytest.raises(ValueError):
+        Integrate(tr, mesh, order=1)
+    tr.FixTime(0.25)
+    assert tr.IsFixed()
+    assert Integrate(tr, mesh, order=1) == pytest.approx(0.25, rel=1e-6)
+    tr.FixTime(0.75)  # re-fix must not reuse the 0.25-baked program
+    assert Integrate(tr, mesh, order=1) == pytest.approx(0.75, rel=1e-6)
+    tr.UnfixTime()
+    assert not tr.IsFixed()
+    with pytest.raises(ValueError):
+        Integrate(tr, mesh, order=1)
+
+
+def test_statistic_container_print(capsys):
+    from ngsxfem_tpu import StatisticContainer
+
+    sc = StatisticContainer()
+    for e in (1e-1, 2.5e-2):
+        sc.Add("L2", e)
+        sc.Add("max", 2 * e)
+    sc.Print(label="geom", select="L2")
+    out = capsys.readouterr().out
+    assert "geom_L2" in out and "2.0" in out
+    sc.Print(label="geom", select="all")  # missing L1/misc series are skipped
+    out = capsys.readouterr().out
+    assert "geom_L2" in out and "geom_max" in out and "geom_L1" not in out
