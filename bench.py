@@ -377,6 +377,30 @@ def main():
     def budget_left():
         return budget - (time.perf_counter() - t_start)
 
+    # fail FAST on a dead or wedged tunnel: even BACKEND INIT can hang
+    # (jax.devices() never returns — observed 2026-08-18), and a hung D2H
+    # read blocks in C, uninterruptible in-process.  So before the FIRST
+    # in-process jax call that can touch the device, probe an identical
+    # init+read in a SUBPROCESS with a hard timeout — otherwise the only
+    # record the driver gets is the budget+120s watchdog line ~47 minutes
+    # later.  Guard on the env (not jax.devices(): that IS the hang).
+    if os.environ.get("JAX_PLATFORMS", "") != "cpu":
+        _hb("tunnel probe (subprocess first D2H read)")
+        try:
+            p = subprocess.run(
+                [sys.executable, "-c",
+                 "import jax, jax.numpy as jnp;"
+                 "print(float(jnp.sum(jnp.ones((8, 8), jnp.float32))))"],
+                capture_output=True, text=True,
+                timeout=float(os.environ.get("BENCH_PROBE_SECONDS", "300")))
+            ok = p.returncode == 0 and p.stdout.strip().endswith("64.0")
+        except subprocess.TimeoutExpired:
+            ok = False
+        if not ok:
+            raise RuntimeError(
+                "TPU tunnel unavailable: subprocess D2H probe failed or hung"
+                " (axon pathology: lazy dispatch with a wedged read-back)")
+
     # enter the synchronous (observable-completion) regime BEFORE timing
     _hb("entering synchronous regime (first D2H read)")
     _ = float(jnp.sum(jnp.ones((8, 8), jnp.float32)))
