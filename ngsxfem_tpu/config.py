@@ -89,8 +89,10 @@ class _Config:
         self.dtype = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
         # integer dtype for index arrays (dof maps, element arrays)
         self.itype = jnp.int32
-        # relative epsilon used to push level-set vertex values away from 0
-        # (mirrors the guard in reference straightcutrule.cpp:548-556)
+        # ABSOLUTE epsilon used to snap near-zero level-set vertex values to
+        # +eps (sign-collapsing, exactly like the reference guard:
+        # straightcutrule.cpp:553-554, spacetimecutrule.cpp:132); adjust for
+        # level sets scaled far from O(1)
         self.lset_eps = 1e-14
         # threshold (ndof) below which ``Inverse`` materialises a dense matrix
         self.dense_solve_max_ndof = 20000

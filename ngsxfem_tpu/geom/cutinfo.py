@@ -123,11 +123,10 @@ class CutInfo:
         ts = np.concatenate([sp.tfe.nodes, gauss_legendre_01(max(2, sp.k_t + 1))[0]])
         Bt = sp.tfe.eval_np(ts)  # (nt, ndt)
         vals_t = np.einsum("tm,emv->etv", Bt, vals_st)  # (E, nt, nvel)
-        # sign-PRESERVING zero guard (same convention as ops eps_guard —
-        # only exact zeros become +eps; flipping small negatives would
-        # misclassify grazing elements against the quadrature weights)
-        s = np.where(vals_t >= 0, 1.0, -1.0)
-        guard = np.where(np.abs(vals_t) < 1e-14, s * 1e-14, vals_t)
+        # sign-COLLAPSING zero guard (same convention as ops eps_guard and
+        # the reference, spacetimecutrule.cpp:132: |v|<1e-14 -> +1e-14), so
+        # host classification agrees with the device rule kernels
+        guard = np.where(np.abs(vals_t) < 1e-14, 1e-14, vals_t)
         has_neg = (guard < 0).any(axis=(1, 2))
         has_pos = (guard > 0).any(axis=(1, 2))
         dt = np.where(has_neg & has_pos, int(IF),

@@ -209,12 +209,9 @@ class LevelSetMeshAdaptation:
         if band is None:
             vperm = vertex_local_ids(self.mesh.et, 1)
             vv = np.asarray(lset_p1._arr)[self.p1_space.el2dof_np[:, vperm]]
-            # relative zero guard (same convention as ops eps_guard)
-            thr = np.maximum(
-                config.lset_eps * np.abs(vv).max(axis=1, keepdims=True),
-                np.finfo(np.asarray(vv).dtype).tiny)
-            vv = np.where(np.abs(vv) < thr,
-                          np.where(vv >= 0, thr, -thr), vv)
+            # absolute sign-collapsing zero guard (same convention as ops
+            # eps_guard / reference straightcutrule.cpp:553-554)
+            vv = np.where(np.abs(vv) < config.lset_eps, config.lset_eps, vv)
             band = (vv < 0).any(axis=1) & (vv > 0).any(axis=1)
         alpha = self._blending_alpha(lset_p1, blending)
         # dof nodes of the DEFORMATION scalar space (== ho_space for the

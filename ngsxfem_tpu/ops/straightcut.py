@@ -53,38 +53,28 @@ class CutRule(NamedTuple):
     nref: jax.Array
 
 
-def eps_guard(vals, eps=None, scale=None):
-    """Push level-set values away from zero (exact zeros become +eps·scale).
+def eps_guard(vals, eps=None):
+    """Snap near-zero level-set values to +eps, exactly like the reference
+    (straightcutrule.cpp:553-554, spacetimecutrule.cpp:132: every
+    ``|v| < 1e-14`` becomes ``+1e-14`` REGARDLESS of sign).
 
-    The threshold is RELATIVE to the element's level-set magnitude, matching
-    the reference guard (straightcutrule.cpp:548-556): cut geometry is
-    scale-invariant, so an absolute threshold would clamp genuine roots of a
-    small-magnitude level set and miss degenerate slivers of a large one.
-    ``scale`` defaults to the per-row max |v| over all trailing axes (corner
-    / time-node axes); pass it explicitly for SoA corner arrays
-    (``eps_guard_list``).  Classification (has_neg/has_pos) is unaffected by
-    the threshold — the guard preserves signs and only exact zeros become
-    positive — the threshold conditions the root positions."""
+    The collapse to the positive side is deliberate: a vertex that is
+    numerically zero (exactly on the interface, possibly with a rounding
+    residue of either sign) gets one deterministic side, so rounding noise
+    cannot fabricate sliver cut elements or O(1) cut-facet contributions on
+    facets that lie ON the interface (a relative per-element threshold was
+    tried and measurably degraded a DG scheme exactly there).  The
+    threshold is ABSOLUTE like the reference's; for level sets scaled far
+    from O(1), adjust ``config.lset_eps``."""
     if eps is None:
         eps = config.lset_eps
-    a = jnp.abs(vals)
-    if scale is None:
-        if vals.ndim >= 2:
-            scale = jnp.max(a, axis=tuple(range(1, vals.ndim)), keepdims=True)
-        else:
-            scale = jnp.max(a)
-    thr = jnp.maximum(eps * scale, jnp.finfo(vals.dtype).tiny)
-    s = jnp.where(vals >= 0, 1.0, -1.0)
-    return jnp.where(a < thr, s * thr, vals)
+    return jnp.where(jnp.abs(vals) < eps,
+                     jnp.asarray(eps, dtype=vals.dtype), vals)
 
 
 def eps_guard_list(vals_list, eps=None):
-    """``eps_guard`` for SoA corner arrays (one (E,) array per element
-    corner): the relative scale is the elementwise max over the list."""
-    import functools
-
-    scale = functools.reduce(jnp.maximum, [jnp.abs(v) for v in vals_list])
-    return [eps_guard(v, eps=eps, scale=scale) for v in vals_list]
+    """``eps_guard`` for SoA corner arrays (one (E,) array per corner)."""
+    return [eps_guard(v, eps=eps) for v in vals_list]
 
 
 def _gram_measure(edges):
@@ -215,9 +205,8 @@ def cut_rule_simplices(coords, vals, d: int, order: int):
     # 3. gather decomposition
     vt = vtab[pattern]  # (M, nsub, nv, 2)
     vidx = vt[..., 0] * nv + vt[..., 1]  # (M, nsub, nv)
-    sub = jnp.take_along_axis(
-        Pflat[:, None, :, :].repeat(nsub, axis=1), vidx[..., None].repeat(d, -1), axis=2
-    )  # (M, nsub, nv, d) -- TODO: replace repeat-gather by vmap gather
+    # one batched gather, no (M, nsub, nv*nv, d) repeat temporary
+    sub = Pflat[jnp.arange(M)[:, None, None], vidx]  # (M, nsub, nv, d)
     side = stab[pattern]  # (M, nsub)
 
     # 4. volume rule on each sub-simplex

@@ -569,3 +569,25 @@ def test_skeleton_and_eb_integrals_see_deformation():
                                                     exact_skel)
         assert abs(got_eb - exact_eb) < 1e-12, (use_override, got_eb,
                                                 exact_eb)
+
+
+def test_eps_guard_reference_semantics():
+    """The zero guard is ABSOLUTE and SIGN-COLLAPSING, exactly like the
+    reference (straightcutrule.cpp:553-554): every |v| < 1e-14 becomes
+    +1e-14, including tiny negatives.  A relative per-element threshold was
+    tried (round 3) and measurably degraded the DG fictdom scheme: a facet
+    lying ON the interface with endpoint values [0, -5.5e-17] was turned
+    into a fully-NEG facet (O(1) spurious interior-penalty contribution,
+    test_workloads::test_fictdom_dg_ghostpen caught the EOC loss), where
+    the collapse classifies it deterministically as uncut-POS."""
+    import numpy as np
+    import jax.numpy as jnp
+    from ngsxfem_tpu.ops.straightcut import eps_guard
+
+    vals = jnp.asarray(np.array([[0.0, -5.5e-17, 3e-15],
+                                 [-1.0, 2.0, -9.9e-15]]))
+    out = np.asarray(eps_guard(vals))
+    np.testing.assert_allclose(out[0], [1e-14, 1e-14, 1e-14])
+    np.testing.assert_allclose(out[1], [-1.0, 2.0, 1e-14])
+    # on-interface facet: both endpoints collapse positive -> no NEG part
+    assert (out[0] > 0).all()
