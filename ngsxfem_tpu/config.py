@@ -46,8 +46,13 @@ def _host_fingerprint():
                     break
     except OSError:
         pass
+    # the jax/XLA version participates too: XLA appends version-dependent
+    # pseudo-features (+prefer-no-scatter/-gather) to its AOT target, so
+    # entries compiled by a different XLA mismatch even on identical CPUs
+    # (observed 2026-08-18: loader warned "SIGILL possible" on every load)
     return hashlib.sha1(
-        f"{platform.machine()}|{feats}".encode()).hexdigest()[:12]
+        f"{platform.machine()}|{feats}|{jax.__version__}".encode()
+    ).hexdigest()[:12]
 
 
 if os.environ.get("NGSXFEM_TPU_COMPCACHE", "1") != "0":
