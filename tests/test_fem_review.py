@@ -144,11 +144,13 @@ def test_lsetcurv_periodic_unifies_dofs():
     assert d < 5e-3 and abs(d - d0) < 5e-4, (d, d0)
 
 
-def test_st_cutinfo_guard_preserves_sign():
-    from ngsxfem_tpu import CutInfo
-    from ngsxfem_tpu.spacetime import (
-        ScalarTimeFE, SpaceTimeFESpace, SpaceTimeInterpolateToP1, tref,
-    )
+def test_st_cutinfo_guard_reference_collapse():
+    """The space-time classification guard is sign-COLLAPSING like the
+    reference (spacetimecutrule.cpp:132: |v|<1e-14 -> +1e-14): a grazing
+    node at -5e-15 counts as POSITIVE, so the touching elements classify
+    IF — with a measure-zero POS sliver, so integrals are unaffected."""
+    from ngsxfem_tpu import CutInfo, HASNEG
+    from ngsxfem_tpu.spacetime import ScalarTimeFE, SpaceTimeFESpace
 
     mesh = MakeStructured2DMesh(quads=False, nx=2, ny=2)
     W = SpaceTimeFESpace(H1(mesh, order=1), ScalarTimeFE(1))
@@ -159,7 +161,14 @@ def test_st_cutinfo_guard_preserves_sign():
     lset._set_array(jnp.asarray(arr))
     ci = CutInfo(mesh, lset, time_order=2)
     neg = ci.GetElementsOfType(NEG).a
-    assert neg.all(), "grazing-negative element misclassified (sign flipped)"
+    hasneg = ci.GetElementsOfType(HASNEG).a
+    assert hasneg.all(), "grazing element lost its NEG bulk"
+    assert neg.sum() + ci.GetElementsOfType(IF).a.sum() == mesh.ne
+    # the POS sliver carries no measure: NEG volume == full domain
+    vol = Integrate(levelset_domain={"levelset": lset, "domain_type": NEG,
+                                     "time_order": 2},
+                    cf=1.0, mesh=mesh, order=2)
+    assert abs(vol - 1.0) < 1e-10, vol
 
 
 def test_raw_cf_levelset_integrate_reuses_jit():
