@@ -24,6 +24,7 @@ from ..fem.space import (
 )
 from ..solvers.sparse import SparseMatrix
 from .evaluate import eval_form
+from .proxies import ProxyFunction
 
 VOL = "VOL"
 BND = "BND"
@@ -684,7 +685,30 @@ from ..jitcache import LRUCache as _LRU
 _ASM_CACHE = _LRU(maxsize=128)
 
 
-def _assembly_signature(space, mesh, integrals, kind):
+def _check_proxy_spaces(form, space_u, space_v):
+    """Every trial proxy in the form must come from the trial space and every
+    test proxy from the test space — with a rectangular BilinearForm a proxy
+    from a third space would silently scatter through the wrong dof map."""
+
+    def root(p):
+        return p.compound[0] if p.compound is not None else p.space
+
+    def walk(cf):
+        if isinstance(cf, ProxyFunction):
+            want = space_v if cf.test else space_u
+            if root(cf) is not want:
+                kind = "test" if cf.test else "trial"
+                raise ValueError(
+                    f"{kind} function in the form does not belong to the "
+                    f"declared {kind} space of this BilinearForm")
+        if isinstance(cf, CF):
+            for c in cf.children():
+                walk(c)
+
+    walk(form)
+
+
+def _assembly_signature(space, mesh, integrals, kind, space2=None):
     """Structural signature of an Assemble call + dynamic slot registry."""
     from ..jitcache import (
         DynSlots, cf_signature, mesh_signature, register_mesh_dynamics, obj_uid,
@@ -765,7 +789,9 @@ def _assembly_signature(space, mesh, integrals, kind):
                   integral.force_intorder, integral.time_order))
         p.append(cf_signature(integral.form, slots))
         parts.append(tuple(p))
-    sig = (kind, obj_uid(space), mesh_signature(mesh), tuple(parts))
+    sig = (kind, obj_uid(space),
+           obj_uid(space2) if space2 is not None else None,
+           mesh_signature(mesh), tuple(parts))
     return sig, slots
 
 
@@ -1069,9 +1095,31 @@ def _safe_weights(w_phys, mask):
 
 
 class BilinearForm:
-    def __init__(self, space, symmetric=False, check_unused=True,
+    """Square (one ``space``) or rectangular Petrov-Galerkin
+    (``trialspace=``/``testspace=``, NGSolve's mixed-form constructor used by
+    the reference CG-in-time demo, spacetime/py_demos/spaceP1_timeCGP1.py)
+    bilinear form.  Rectangular: rows are test-space dofs, columns
+    trial-space dofs; ``mat.shape = (testspace.ndof, trialspace.ndof)``."""
+
+    def __init__(self, space=None, symmetric=False, check_unused=True,
                  element_restriction=None, facet_restriction=None, flags=None,
-                 name="a", **kw):
+                 name="a", trialspace=None, testspace=None, **kw):
+        if (trialspace is None) != (testspace is None):
+            raise ValueError(
+                "give both trialspace and testspace (or a single space)")
+        if trialspace is not None:
+            if space is not None:
+                raise ValueError(
+                    "either space or trialspace/testspace, not both")
+            if trialspace.mesh is not testspace.mesh:
+                raise ValueError(
+                    "trial and test space must live on the same mesh")
+            self.space_u, self.space_v = trialspace, testspace
+            space = trialspace
+        else:
+            if space is None:
+                raise ValueError("BilinearForm needs a space")
+            self.space_u = self.space_v = space
         self.space = space
         self.symmetric = symmetric
         self.integrals = []
@@ -1090,12 +1138,15 @@ class BilinearForm:
 
         _t = Timer("BilinearForm::Assemble").Start()
         space = self.space
+        space_u, space_v = self.space_u, self.space_v
         mesh = space.mesh
-        order = _space_order(space)
+        order = max(_space_order(space_u), _space_order(space_v))
         for i in self.integrals:
             _ensure_p1_ld(i, mesh)
+            _check_proxy_spaces(i.form, space_u, space_v)
         integrals = [self._with_restriction(i) for i in self.integrals]
-        sig, slots = _assembly_signature(space, mesh, integrals, "bfi")
+        sig, slots = _assembly_signature(space, mesh, integrals, "bfi",
+                                         space2=space_v)
         cached = _ASM_CACHE.get(sig)
         if cached is None:
             meta = []
@@ -1161,8 +1212,8 @@ class BilinearForm:
                     for (bu, bv), m in acc.items():
                         if dsel is not None:
                             de1, de2, _dv = dsel
-                            dm_u = block_dofmap_dev(space, bu, de1, de2)
-                            dm_v = block_dofmap_dev(space, bv, de1, de2)
+                            dm_u = block_dofmap_dev(space_u, bu, de1, de2)
+                            dm_v = block_dofmap_dev(space_v, bv, de1, de2)
                             E_, ndv, ndu = m.shape
                             rws = jnp.broadcast_to(
                                 dm_v[:, :, None], (E_, ndv, ndu))
@@ -1200,8 +1251,8 @@ class BilinearForm:
                     static_rc.append(None)
                     continue
                 e1, e2 = fp_elems.get(k, (None, None))
-                dm_u = block_dofmap(self.space, bu, e1, e2)
-                dm_v = block_dofmap(self.space, bv, e1, e2)
+                dm_u = block_dofmap(self.space_u, bu, e1, e2)
+                dm_v = block_dofmap(self.space_v, bv, e1, e2)
                 E, ndv, ndu = out_i.shape
                 static_rc.append((
                     np.broadcast_to(
@@ -1242,7 +1293,7 @@ class BilinearForm:
             cols_cat = jnp.concatenate(cparts)
         self.mat = SparseMatrix(
             rows_cat, cols_cat, vals,
-            (self.space.ndof, self.space.ndof),
+            (self.space_v.ndof, self.space_u.ndof),
         )
         _t.Stop(vals)
         return self

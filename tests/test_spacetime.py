@@ -70,6 +70,67 @@ def test_moving_domain_heat():
     assert e2 < e1 / 2, (e1, e2)
 
 
+def test_rectangular_petrov_galerkin_assembly():
+    """BilinearForm(trialspace=, testspace=) (NGSolve's mixed constructor,
+    used by the reference CG-in-time demo spaceP1_timeCGP1.py): with a
+    P1-in-time trial space reduced by skip_first_node/only_first_node and a
+    P0-in-time test space, the slab matrix of dt(u)*v is exactly (+/-) the
+    spatial mass matrix, and a proxy from a third space raises."""
+    import numpy as np
+    import pytest
+    from ngsxfem_tpu import (
+        MakeStructured2DMesh, H1, ScalarTimeFE, SpaceTimeFESpace,
+        BilinearForm, SymbolicBFI, dt,
+    )
+
+    mesh = MakeStructured2DMesh(quads=False, nx=2, ny=2)
+    Vs = H1(mesh, order=1)
+    W_i = SpaceTimeFESpace(Vs, ScalarTimeFE(1, skip_first_node=True))
+    W_e = SpaceTimeFESpace(Vs, ScalarTimeFE(1, only_first_node=True))
+    W_t = SpaceTimeFESpace(Vs, ScalarTimeFE(0))
+
+    u_i = W_i.TrialFunction()
+    u_e = W_e.TrialFunction()
+    v_t = W_t.TestFunction()
+
+    u, v = Vs.TnT()
+    m = BilinearForm(Vs)
+    m += SymbolicBFI(form=u * v)
+    m.Assemble()
+    M = np.asarray(m.mat.todense())
+
+    # interior trial time basis = t, dt = 1  ->  spatial mass matrix
+    a = BilinearForm(trialspace=W_i, testspace=W_t)
+    a += SymbolicBFI(form=dt(u_i) * v_t, time_order=2)
+    a.Assemble()
+    assert a.mat.shape == (W_t.ndof, W_i.ndof)
+    assert np.abs(np.asarray(a.mat.todense()) - M).max() < 1e-12
+
+    # exterior trial time basis = 1-t, dt = -1  ->  minus the mass matrix
+    ae = BilinearForm(trialspace=W_e, testspace=W_t)
+    ae += SymbolicBFI(form=dt(u_e) * v_t, time_order=2)
+    ae.Assemble()
+    assert np.abs(np.asarray(ae.mat.todense()) + M).max() < 1e-12
+
+    # a trial proxy from a space other than the declared trialspace raises
+    bad = BilinearForm(trialspace=W_i, testspace=W_t)
+    bad += SymbolicBFI(form=dt(u_e) * v_t, time_order=2)
+    with pytest.raises(ValueError, match="trial"):
+        bad.Assemble()
+
+
+def test_heateq_cg_in_time_example():
+    """CG-in-time Petrov-Galerkin heat equation (reference
+    spacetime/py_demos/spaceP1_timeCGP1.py) converges under space-time
+    refinement."""
+    from examples import heateq_cg_spacetime
+
+    e1 = heateq_cg_spacetime.run(nx=12, nslab=8, tend=0.25, verbose=False)[-1]
+    e2 = heateq_cg_spacetime.run(nx=24, nslab=16, tend=0.25,
+                                 verbose=False)[-1]
+    assert e2 < e1 / 2, (e1, e2)
+
+
 def test_st_kt3_multiroot_exact():
     """k_t=3 level set whose vertex time-polynomials have multiple roots in
     (0,1): subdivision+bisection slicing must capture all of them
