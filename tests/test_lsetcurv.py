@@ -101,3 +101,19 @@ def test_blending_variants():
     for b in ["quadratic", "quartic"]:
         assert dists[b] < 50 * dists["none"] + 1e-6, (b, dists)
         assert norms[b] <= norms["none"] + 1e-14
+
+
+def test_lsetgeoms_zoo_adaptive_eoc():
+    """Zoo geometry + 3D adaptive loop (reference demo
+    lsetcurving/py_demos/lsetgeoms.py): order-2 isoparametric max-distance
+    drops at ~h^3 under RefineAtLevelSet-driven tet bisection."""
+    import os, sys
+
+    sys.path.insert(0, os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
+    from examples import lsetgeoms
+
+    res = lsetgeoms.run(geoms=("sphere",), nref=3, verbose=False)
+    distances, eoc = res["sphere"]
+    assert distances[-1] < distances[0] / 50, distances
+    assert eoc[-1] > 2.0, (distances, eoc)
