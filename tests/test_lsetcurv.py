@@ -117,3 +117,27 @@ def test_lsetgeoms_zoo_adaptive_eoc():
     distances, eoc = res["sphere"]
     assert distances[-1] < distances[0] / 50, distances
     assert eoc[-1] > 2.0, (distances, eoc)
+
+
+def test_integrate_curved_demo():
+    """Curved-vs-uncurved quadrature EOC demos (reference
+    lsetcurving/py_demos/integrate.py + cutint area_of_a_circle_quads.py):
+    the deformation buys orders of magnitude on the same straight-cut rule,
+    and the quad tensor rules converge at O(h^2) with a P1 level set."""
+    import os, sys
+
+    sys.path.insert(0, os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
+    from math import log
+    from examples import integrate_curved
+    from ngsxfem_tpu import NEG, IF
+
+    errs_unc, errs_cur = integrate_curved.run_curved(
+        order=3, nref=2, nx0=8, verbose=False)
+    for key in (NEG, IF):
+        assert errs_cur[key][-1] < errs_unc[key][-1] / 50, (
+            key, errs_unc[key], errs_cur[key])
+
+    errors = integrate_curved.run_quads(order=2, nref=5, verbose=False)
+    eoc = log(errors[NEG][-2] / errors[NEG][-1]) / log(2)
+    assert 1.7 < eoc < 2.4, (errors[NEG], eoc)
