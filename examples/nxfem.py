@@ -12,12 +12,14 @@ from math import pi
 from ngsxfem_tpu import *
 
 
-def run(nx=15, order=1, verbose=True, deform=False):
+def run(nx=15, order=1, verbose=True, deform=False, mesh=None):
     from examples.cutfem import manufactured_interface_problem
 
-    mesh = MakeStructured2DMesh(
-        quads=False, nx=nx, ny=nx, mapping=lambda a, b: (3 * a - 1.5, 3 * b - 1.5)
-    )
+    if mesh is None:
+        mesh = MakeStructured2DMesh(
+            quads=False, nx=nx, ny=nx,
+            mapping=lambda a, b: (3 * a - 1.5, 3 * b - 1.5)
+        )
 
     solution, coef_f, alpha, levelset = manufactured_interface_problem()
 

@@ -257,6 +257,10 @@ class InverseMatrix:
     _DIRECT = ("", "sparsecholesky", "umfpack", "pardiso", "masterinverse")
 
     def __init__(self, mat: SparseMatrix, freedofs=None, method=""):
+        if mat.shape[0] != mat.shape[1]:
+            raise ValueError(
+                f"Inverse of a rectangular matrix {mat.shape}; "
+                "Petrov-Galerkin systems must be square to solve")
         self.mat = mat
         self.method = str(method or "").lower()
         if self.method not in self._DIRECT + ("cg",):

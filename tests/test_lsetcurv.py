@@ -6,7 +6,7 @@ import pytest
 from math import pi, log as mlog
 
 from ngsxfem_tpu import (
-    IF, NEG, CoefficientFunction, Integrate, LevelSetMeshAdaptation,
+    IF, NEG, POS, CoefficientFunction, Integrate, LevelSetMeshAdaptation,
     MakeStructured2DMesh, sqrt, x, y,
 )
 
@@ -141,3 +141,36 @@ def test_integrate_curved_demo():
     errors = integrate_curved.run_quads(order=2, nref=5, verbose=False)
     eoc = log(errors[NEG][-2] / errors[NEG][-1]) / log(2)
     assert 1.7 < eoc < 2.4, (errors[NEG], eoc)
+
+
+@pytest.mark.parametrize("order", [1, 2, 3])
+def test_intcurved_quads(order):
+    """Curved-integration EOC on QUAD meshes (the quad=True half of the
+    reference tests/pytests/test_intcurved.py, same assertion shape: small
+    final curved errors + avg EOC > order + 0.75 for NEG/POS/IF, skipping
+    the preasymptotic coarsest level as the reference does)."""
+    r = 0.5
+    levelset = sqrt(x * x + y * y) - r
+    ref = {NEG: 0.25 * pi, POS: 4.0 - 0.25 * pi, IF: pi}
+    # final-error thresholds scaled to nx=32 (the reference's 1e-4/1e-5
+    # figures are at nx=256/64; EOC carries the convergence assertion)
+    final_tol = {1: 5e-3, 2: 1e-5, 3: 1e-6}[order]
+    errs = {k: [] for k in (NEG, POS, IF)}
+    for i in range(4):
+        nx = 4 * 2 ** i
+        mesh = MakeStructured2DMesh(
+            quads=True, nx=nx, ny=nx,
+            mapping=lambda a, b: (2 * a - 1, 2 * b - 1))
+        lsa = LevelSetMeshAdaptation(mesh, order=order, threshold=0.2,
+                                     discontinuous_qn=True)
+        deform = lsa.CalcDeformation(levelset)
+        for k in (NEG, POS, IF):
+            v = Integrate({"levelset": lsa.lset_p1, "domain_type": k},
+                          CoefficientFunction(1.0), mesh, order=order,
+                          deformation=deform)
+            errs[k].append(abs(v - ref[k]))
+    for k in (NEG, POS, IF):
+        eoc = [mlog(a / b) / mlog(2)
+               for a, b in zip(errs[k][:-1], errs[k][1:])][1:]
+        assert sum(eoc) / len(eoc) > order + 0.75, (order, k, errs[k], eoc)
+        assert errs[k][-1] < final_tol, (order, k, errs[k])

