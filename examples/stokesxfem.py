@@ -15,7 +15,7 @@ from ngsxfem_tpu import *
 from ngsxfem_tpu.fem.space import NumberSpace
 
 
-def run(nx=16, order=2, verbose=True, deform=False):
+def run(nx=16, order=2, verbose=True, deform=False, solver="direct"):
     mesh = MakeStructured2DMesh(
         quads=False, nx=nx, ny=nx, mapping=lambda a, b: (2 * a - 1, 2 * b - 1)
     )
@@ -157,7 +157,14 @@ def run(nx=16, order=2, verbose=True, deform=False):
 
     rhs = f.vec.data - a.mat * gf.vec.data
     free = WhG.FreeDofs()
-    gf.vec.data = gf.vec.data + (a.mat.Inverse(free) * jnp.where(free.jnp, rhs, 0.0))
+    if solver == "minres":
+        # device-resident iterative solve: the Nitsche-XFEM Stokes operator
+        # is symmetric indefinite, so MINRES (abs-Jacobi preconditioned)
+        # replaces the host direct factorization
+        inv = MinResSolver(a.mat, maxsteps=20000, tol=1e-11, freedofs=free)
+    else:
+        inv = a.mat.Inverse(free)
+    gf.vec.data = gf.vec.data + (inv * jnp.where(free.jnp, rhs, 0.0))
 
     # errors
     gu1 = [gf.components[0] + op(gf.components[1]) for op in [neg, pos]]

@@ -118,7 +118,7 @@ from .forms.assemble import (  # noqa: F401
 )
 from .forms.proxies import dn, dnjump, div  # noqa: F401
 from .solvers.sparse import SparseMatrix  # noqa: F401
-from .solvers.krylov import CGSolver  # noqa: F401
+from .solvers.krylov import CGSolver, MinResSolver  # noqa: F401
 from .lsetcurv import (  # noqa: F401
     LevelSetMeshAdaptation,
     LevelSetMeshAdaptation_Spacetime,

@@ -69,6 +69,80 @@ def cg(matvec, b, x0=None, M=None, maxiter=500, tol=1e-10, unroll=1):
     return x, k, jnp.sqrt(_vdot(r, r))
 
 
+def minres(matvec, b, x0=None, M=None, maxiter=500, tol=1e-10):
+    """Preconditioned MINRES (Paige-Saunders) for SYMMETRIC INDEFINITE
+    systems; returns (x, iters, rel_res_estimate).
+
+    The device-resident iterative counterpart of the host direct solves the
+    reference uses for saddle-point systems (cut Stokes: the Nitsche
+    velocity-pressure operator is symmetric but indefinite, so CG does not
+    apply).  ``M`` must be symmetric positive definite (it defines the
+    Lanczos inner product); the whole solve is one ``lax.while_loop`` XLA
+    program and shards transparently when ``matvec`` carries psum
+    collectives (as ``cg`` does).
+    """
+    if x0 is None:
+        x0 = jnp.zeros_like(b)
+    if M is None:
+        M = lambda r: r
+
+    eps = jnp.finfo(b.dtype).eps
+    r1 = b - matvec(x0)
+    y0 = M(r1)
+    beta1 = jnp.sqrt(jnp.maximum(_vdot(r1, y0), 0.0))
+    zerov = jnp.zeros_like(b)
+
+    # state: (x, y, r1, r2, w, w2, oldb, beta, dbar, epsln, phibar,
+    #         cs, sn, k)
+    state0 = (x0, y0, r1, r1, zerov, zerov,
+              jnp.asarray(0.0, b.dtype), beta1,
+              jnp.asarray(0.0, b.dtype), jnp.asarray(0.0, b.dtype), beta1,
+              jnp.asarray(-1.0, b.dtype), jnp.asarray(0.0, b.dtype), 0)
+    rtol = tol * jnp.maximum(beta1, 1e-30)
+
+    def cond(state):
+        phibar, k = state[10], state[13]
+        return (phibar > rtol) & (k < maxiter) & (beta1 > 0)
+
+    def body(state):
+        (x, y, r1, r2, w, w2, oldb, beta, dbar, epsln, phibar,
+         cs, sn, k) = state
+        s = 1.0 / jnp.where(beta == 0, 1.0, beta)
+        v = s * y
+        y = matvec(v)
+        # three-term Lanczos: subtract the previous direction (skip at k=0)
+        y = y - jnp.where(k > 0, beta / jnp.where(oldb == 0, 1.0, oldb),
+                          0.0) * r1
+        alfa = _vdot(v, y)
+        y = y - (alfa / jnp.where(beta == 0, 1.0, beta)) * r2
+        r1, r2 = r2, y
+        y = M(r2)
+        oldb = beta
+        beta = jnp.sqrt(jnp.maximum(_vdot(r2, y), 0.0))
+        # previous rotation applied to the new column of T
+        oldeps = epsln
+        delta = cs * dbar + sn * alfa
+        gbar = sn * dbar - cs * alfa
+        epsln = sn * beta
+        dbar = -cs * beta
+        gamma = jnp.maximum(jnp.sqrt(gbar * gbar + beta * beta), eps)
+        cs = gbar / gamma
+        sn = beta / gamma
+        phi = cs * phibar
+        phibar = sn * phibar
+        # solution update
+        w1 = w2
+        w2 = w
+        w = (v - oldeps * w1 - delta * w2) / gamma
+        x = x + phi * w
+        return (x, y, r1, r2, w, w2, oldb, beta, dbar, epsln, phibar,
+                cs, sn, k + 1)
+
+    out = lax.while_loop(cond, body, state0)
+    x, phibar, k = out[0], out[10], out[13]
+    return x, k, phibar / jnp.maximum(beta1, 1e-30)
+
+
 def cg_ir(matvec32, matvec64, b, M=None, outer=4, inner=120):
     """Mixed-precision iterative refinement: f32 inner PCG, f64 outer
     residual.  The TPU-native way to a certified high-accuracy solve —
@@ -135,6 +209,50 @@ def masked_matvec(matvec, free_mask):
 
     return mv
 
+
+
+class MinResSolver:
+    """NGSolve-flavoured wrapper: ``MinResSolver(mat, pre) * rhs``.
+
+    Iterative replacement for the host direct ``mat.Inverse(freedofs)`` the
+    reference tutorials use on symmetric-indefinite saddle-point systems
+    (cut Stokes, ``py_tutorials/stokesxfem.py:106``): the whole solve stays
+    device-resident.  The default preconditioner is the SPD absolute-value
+    Jacobi ``r / max(|diag|, eps)`` — plain Jacobi is indefinite here
+    (pressure/multiplier rows carry negative or zero diagonals), which
+    would break the MINRES Lanczos inner product.
+    """
+
+    def __init__(self, mat, pre=None, maxsteps=2000, tol=1e-10,
+                 freedofs=None):
+        self.mat = mat
+        self.pre = pre
+        self.maxsteps = maxsteps
+        self.tol = tol
+        self.freedofs = freedofs
+
+    def __mul__(self, rhs):
+        from ..fem.space import _arr
+
+        b = jnp.asarray(rhs)
+        mat = self.mat
+        if hasattr(mat, "ell"):  # COO -> ELL: scatter-free SpMV on TPU
+            mat = mat.ell()
+        mv = mat.matvec if hasattr(mat, "matvec") else mat
+        M = self.pre
+        if M is None and hasattr(mat, "diagonal"):
+            ad = jnp.abs(mat.diagonal())
+            dinv = jnp.where(ad > 1e-30, 1.0 / jnp.maximum(ad, 1e-30), 1.0)
+            if self.freedofs is not None:
+                fm0 = jnp.asarray(_arr(self.freedofs))
+                dinv = jnp.where(fm0, dinv, 1.0)  # identity on fixed dofs
+            M = lambda r: dinv * r
+        if self.freedofs is not None:
+            fm = jnp.asarray(_arr(self.freedofs))
+            mv = masked_matvec(mv, fm)
+            b = jnp.where(fm, b, 0.0)
+        x, k, res = minres(mv, b, M=M, maxiter=self.maxsteps, tol=self.tol)
+        return x
 
 
 @partial(jax.jit, static_argnames=("maxiter", "tol"))
