@@ -107,14 +107,18 @@ def test_dn_vector_space():
     u, v = V.TnT()
     du = dn(u)
     assert du.dims == (2,)
-    us, vs = H1(mesh, order=1, dgjumps=True).TnT()
+    Vs = H1(mesh, order=1, dgjumps=True)
+    us, vs = Vs.TnT()
     a = BilinearForm(V)
     a += SymbolicBFI(
         form=InnerProduct(dn(u) - dn(u.Other()), dn(v) - dn(v.Other())),
         skeleton=True)
     a.Assemble()
     A = np.asarray(a.mat.todense())
-    s = BilinearForm(H1(mesh, order=1, dgjumps=True))
+    # proxies must come from the SAME space instance as the BilinearForm
+    # (instance-identity semantics, as in NGSolve) — the rectangular-form
+    # space-membership guard enforces this
+    s = BilinearForm(Vs)
     s += SymbolicBFI(
         form=(dn(us) - dn(us.Other())) * (dn(vs) - dn(vs.Other())),
         skeleton=True)
