@@ -56,6 +56,7 @@ class Integral:
                 self.force_intorder = int(
                     self.levelset_domain.get("force_intorder", -1))
         self.time_order = time_order
+
         if vb not in (VOL, BND):
             raise NotImplementedError(
                 f"VOL_or_BND={vb!r} integrals are not supported; "
@@ -67,6 +68,16 @@ class Integral:
                 "skeleton/facet_patch integrals"
             )
         self.vb = vb
+
+    def SetDefinedOnElements(self, ba):
+        """Re-mark this integral's element/facet selection (reference API:
+        ``Integrator::SetDefinedOnElements``, used in the per-slab
+        re-marking loop of ``tests/pytests/test_spacetimecutrule.py:303-306``).
+
+        Selections are dynamic capacity-padded jit inputs here, so re-marking
+        reuses the compiled assembly program (no recompilation) as long as the
+        new mark count fits the signature-time capacity bucket."""
+        self.definedonelements = _arr(ba).copy()
 
 
 def SymbolicBFI(levelset_domain=None, form=None, VOL_or_BND=VOL, element_boundary=False,

@@ -191,12 +191,22 @@ def _subdiv_ctx_and_weights(mesh, levelset, domain_type, order, lvl,
 
 
 def lset_st_vertex_values(lset_gf, dyn=None):
-    """(E, ndt, nvel) level-set values of a space-time P1 GridFunction."""
+    """(E, ndt, nvel) level-set values of a space-time P1 GridFunction.
+
+    A purely SPATIAL P1 GridFunction is accepted too and broadcast
+    constant-in-time over two time nodes (k_t=1): the reference routes a
+    spatial level set through space-time integrals the same way (e.g. the
+    all-NEG dummy level set of the fitted-domain heat solve,
+    ``tests/pytests/test_spacetimecutrule.py:106-115``)."""
     from .jitcache import dyn_get
     from .spacetime.space import SpaceTimeFESpace
 
     sp = lset_gf.space
-    if not isinstance(sp, SpaceTimeFESpace) or sp.spacefes.order != 1:
+    if not isinstance(sp, SpaceTimeFESpace):
+        vals = lset_vertex_values(lset_gf, dyn)  # validates spatial P1
+        return jnp.broadcast_to(
+            vals[:, None, :], (vals.shape[0], 2, vals.shape[1]))
+    if sp.spacefes.order != 1:
         raise TypeError("space-time levelset must live on SpaceTimeFESpace "
                         "over H1(order=1)")
     vperm = jnp.asarray(vertex_local_ids(sp.mesh.et, 1))
@@ -297,7 +307,7 @@ def _cut_ctx_and_weights(mesh, lset_gf, domain_type, order, dyn=None,
         from .spacetime.space import SpaceTimeFESpace
 
         vals_st = lset_st_vertex_values(lset_gf, dyn)
-        kt = lset_gf.space.k_t
+        kt = getattr(lset_gf.space, "k_t", 1)  # spatial lset: const-in-time
         rule = spacetime_cut_rule(mesh.et, vals_st, kt, order, time_order,
                                   policy=quad_dir_policy)
         if dt == IF:

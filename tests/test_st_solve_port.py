@@ -1,0 +1,306 @@
+"""Ports of the remaining reference ``tests/pytests/test_spacetimecutrule.py``
+contracts not yet covered elsewhere in this suite:
+
+- ``test_spacetime_integrate_no_cut`` (reference ``:12-35``): space-time
+  ``Integrate`` exactness for tref/space monomials on an uncut domain, quad
+  and trig meshes.
+- ``test_spacetime_integrateX_via_straight_cutted_quad2Dplus1D``
+  (``:38-68``): exact NEG/POS/IF space-time measures for a linear-in-time
+  level set assembled through the per-time-node vec-block layout (the
+  reference's ``lset.vec[0:ndof] / [ndof:2*ndof]`` slice idiom).
+- ``test_spacetime_model_spacetime`` (``:74-146``): fitted-domain DG(1)-in-
+  time heat equation driven through the *cut* integrators with an all-NEG
+  dummy level set; per-step L2 error < 5e-3 and final error < 2e-4.
+- ``test_spacetime_spaceP1_timeDGP1`` (``:182-330``): the unfitted moving-
+  domain heat solve (oscillating circle, convection in adjoint form, upwind
+  time-DG coupling, facet-patch ghost penalty) with per-slab re-marking via
+  ``SetDefinedOnElements`` and the reference's per-slab threshold 0.085.
+
+The meshes are structured simplicial meshes of the reference's domains at the
+reference's mesh sizes (the reference builds unstructured Netgen meshes;
+unstructured ingestion is exercised by tests/test_unstructured.py — the
+contracts here are the error thresholds, which hold on either mesh family).
+"""
+import os
+import sys
+
+from math import pi, sqrt as msqrt
+
+import numpy as np
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from ngsxfem_tpu import (
+    NEG, POS, IF, HASNEG, BilinearForm, BitArray, CoefficientFunction,
+    CreateTimeRestrictedGF, CutInfo, GetDofsOfElements,
+    GetFacetsWithNeighborTypes, GridFunction, H1, Integrate, InterpolateToP1,
+    LinearForm, MakeStructured2DMesh, Parameter, RestrictGFInTime,
+    ScalarTimeFE, SpaceTimeFESpace, SpaceTimeInterpolateToP1, SymbolicBFI,
+    SymbolicFacetPatchBFI, SymbolicLFI, InnerProduct, cos, dt, fix_t, grad,
+    sin, specialcf, sqrt, tref, x, y,
+)
+
+
+@pytest.mark.parametrize("quad", [True, False])
+@pytest.mark.parametrize(
+    "integrands",
+    [
+        (tref, 0.5, 0, 1),
+        (tref**3, 0.25, 0, 3),
+        ((1 - tref) ** 3, 0.25, 0, 3),
+        (x, 0.5, 1, 0),
+        (tref * tref * (x * x + y * y), 2 / 9, 2, 2),
+    ],
+)
+def test_spacetime_integrate_no_cut(quad, integrands):
+    mesh = MakeStructured2DMesh(quads=quad, nx=1, ny=1)
+    f, ref_value, space_order, time_order = integrands
+
+    h1fes = H1(mesh, order=1)
+    fes = SpaceTimeFESpace(h1fes, ScalarTimeFE(1))
+    lset_approx = GridFunction(fes)
+    lset_approx.vec[:] = -1
+
+    integral = Integrate(
+        {"levelset": lset_approx, "domain_type": NEG},
+        cf=f, mesh=mesh, order=space_order, time_order=time_order,
+    )
+    assert abs(integral - ref_value) < 5e-15
+
+
+@pytest.mark.parametrize("quad", [True, False])
+@pytest.mark.parametrize("domain", [NEG, POS, IF])
+def test_spacetime_integrateX_via_straight_cutted_quad2Dplus1D(domain, quad):
+    mesh = MakeStructured2DMesh(quads=quad, nx=1, ny=1)
+
+    levelset = lambda t: 1 - 2 * x - 2 * t
+    referencevals = {POS: 1.0 / 8, NEG: 1 - 1.0 / 8, IF: 1.0 / 2}
+
+    h1fes = H1(mesh, order=1)
+    lset_approx_h1 = GridFunction(h1fes)
+    fes = SpaceTimeFESpace(h1fes, ScalarTimeFE(1))
+    lset_approx = GridFunction(fes)
+
+    # the reference fills the space-time GF per time-node block by vec
+    # slicing — same layout contract here (node-0 block, then node-1 block)
+    InterpolateToP1(levelset(0), lset_approx_h1)
+    lset_approx.vec[0 : h1fes.ndof] = np.asarray(lset_approx_h1.vec)
+    InterpolateToP1(levelset(1), lset_approx_h1)
+    lset_approx.vec[h1fes.ndof : 2 * h1fes.ndof] = np.asarray(lset_approx_h1.vec)
+
+    integral = Integrate(
+        {"levelset": lset_approx, "domain_type": domain},
+        cf=CoefficientFunction(1), mesh=mesh, order=0, time_order=0,
+    )
+    assert abs(integral - referencevals[domain]) < 5e-15
+
+
+def test_spacetime_model_spacetime():
+    """Fitted-domain heat equation via the space-time *cut* machinery
+    (reference ``test_spacetime_model_spacetime``): an all-NEG dummy level
+    set routes the forms through SymbolicCutBFI, DG(1) in time with upwind
+    initial-condition coupling, Dirichlet boundary, 32 uniform steps."""
+    # the reference's unstructured maxh=0.05 Netgen mesh has ALL edges
+    # <= 0.05; the structured equivalent in accuracy needs the DIAGONAL
+    # below that -> nx=32 (final error 1.5e-4 vs the 2e-4 contract; nx=20
+    # with 0.071 diagonals lands at 3.5e-4)
+    mesh = MakeStructured2DMesh(quads=False, nx=32, ny=32)
+
+    fes1 = H1(mesh, order=1, dirichlet=[1, 2, 3, 4])
+    tfe = ScalarTimeFE(1)
+    st_fes = SpaceTimeFESpace(fes1, tfe)
+
+    tend = 1.0
+    delta_t = 1 / 32
+
+    told = Parameter(0)
+    t = told + delta_t * tref
+
+    u_exact = lambda tv: CoefficientFunction(
+        sin(pi * tv) * sin(pi * x) * sin(pi * x) * sin(pi * y) * sin(pi * y)
+    )
+    coeff_f = CoefficientFunction(
+        pi * cos(pi * t) * sin(pi * x) * sin(pi * x) * sin(pi * y) * sin(pi * y)
+        - 2 * pi * pi * sin(pi * t) * (
+            cos(pi * x) * cos(pi * x) * sin(pi * y) * sin(pi * y)
+            - sin(pi * x) * sin(pi * x) * sin(pi * y) * sin(pi * y)
+            + cos(pi * y) * cos(pi * y) * sin(pi * x) * sin(pi * x)
+            - sin(pi * x) * sin(pi * x) * sin(pi * y) * sin(pi * y)
+        )
+    )
+
+    u0 = GridFunction(st_fes)
+    u0_ic = GridFunction(fes1)
+    u = st_fes.TrialFunction()
+    v = st_fes.TestFunction()
+
+    # dummy lset domain to route through the cut integrators (reference
+    # comment: "... to call symboliccutbfi instead of usual symbolicbfi")
+    levelset = sqrt(x * x + y * y) - 1000.5
+    lsetp1 = GridFunction(H1(mesh, order=1))
+    InterpolateToP1(levelset, lsetp1)
+    lset_neg = {"levelset": lsetp1, "domain_type": NEG, "subdivlvl": 0}
+
+    a = BilinearForm(st_fes)
+    a += SymbolicBFI(levelset_domain=lset_neg,
+                     form=delta_t * grad(u) * grad(v), time_order=2)
+    a += SymbolicBFI(form=fix_t(u, 0) * fix_t(v, 0))
+    a += SymbolicBFI(levelset_domain=lset_neg, form=dt(u) * v, time_order=2)
+    a.Assemble()
+
+    f = LinearForm(st_fes)
+    f += SymbolicLFI(levelset_domain=lset_neg,
+                     form=delta_t * coeff_f * v, time_order=2)
+    f += SymbolicLFI(form=u0_ic * fix_t(v, 0))
+
+    t_old = 0
+    u0_ic.Set(u_exact(0))
+
+    inv = a.mat.Inverse(st_fes.FreeDofs())
+    while tend - t_old > delta_t / 2:
+        f.Assemble()
+        u0.vec.data = inv * f.vec
+
+        # exploiting the nodal property of the time FE: the top-node block
+        u0_ic.vec[:] = u0.vec[fes1.ndof : 2 * fes1.ndof]
+
+        t_old = t_old + delta_t
+        told.Set(t_old)
+
+        l2error = msqrt(Integrate((u_exact(t_old) - u0_ic) ** 2, mesh, order=6))
+        assert l2error < 5e-3, (t_old, l2error)
+    assert l2error < 2e-4, l2error
+
+
+def test_spacetime_spaceP1_timeDGP1():
+    """Unfitted moving-domain heat equation, P1 space x DG-P1 time
+    (reference ``test_spacetime_spaceP1_timeDGP1``): oscillating circle,
+    convection in adjoint (integrated-by-parts) form, upwind DG time
+    coupling, facet-patch ghost penalty, per-slab re-marking through
+    ``SetDefinedOnElements``; asserts the reference's per-slab L2 threshold."""
+    # the reference's maxh=0.08 bounds ALL edges; the structured equivalent
+    # needs the diagonal below 0.08 -> nx=36 (sqrt(2)*2/36 = 0.079; nx=25
+    # with 0.113 diagonals peaks at 0.0864, just over the 0.085 contract)
+    mesh = MakeStructured2DMesh(
+        quads=False, nx=36, ny=36, mapping=lambda a, b: (2 * a - 1, 2 * b - 1)
+    )
+
+    coef_told = Parameter(0)
+    delta_t = 1 / 32
+    t = coef_told + delta_t * tref
+
+    r0 = 0.5
+
+    # position shift of the geometry in time; convection velocity
+    rho = CoefficientFunction((1 / pi) * sin(2 * pi * t))
+    rhoL = lambda tv: CoefficientFunction((1 / pi) * sin(2 * pi * tv))
+    d_rho = CoefficientFunction(2 * cos(2 * pi * t))
+    w = CoefficientFunction((0, d_rho))
+
+    r = sqrt(x**2 + (y - rho) ** 2)
+    levelset = r - r0
+
+    alpha = 1
+    Q = pi / r0
+    u_exactL = lambda tv: cos(Q * sqrt(x**2 + (y - rhoL(tv)) ** 2)) * sin(pi * tv)
+    coeff_f = (Q / r * sin(Q * r) + (Q**2) * cos(Q * r)) * sin(pi * t) \
+        + pi * cos(Q * r) * cos(pi * t)
+
+    time_order = 2
+    fes1 = H1(mesh, order=1, dgjumps=True)
+    st_fes = SpaceTimeFESpace(fes1, ScalarTimeFE(1))
+
+    tend = 1
+    told = 0
+
+    lset_p1 = GridFunction(st_fes)
+    SpaceTimeInterpolateToP1(levelset, tref, lset_p1)
+
+    lset_top = CreateTimeRestrictedGF(lset_p1, 1.0)
+    lset_bottom = CreateTimeRestrictedGF(lset_p1, 0.0)
+
+    gfu = GridFunction(st_fes)
+    u_last = CreateTimeRestrictedGF(gfu, 0)
+    u_last.Set(u_exactL(0.0))
+
+    u, v = st_fes.TnT()
+    h = specialcf.mesh_size
+
+    lset_neg = {"levelset": lset_p1, "domain_type": NEG, "subdivlvl": 0}
+    lset_neg_bottom = {"levelset": lset_bottom, "domain_type": NEG, "subdivlvl": 0}
+    lset_neg_top = {"levelset": lset_top, "domain_type": NEG, "subdivlvl": 0}
+
+    def SpaceTimeNegBFI(form):
+        return SymbolicBFI(levelset_domain=lset_neg, form=form,
+                           time_order=time_order,
+                           definedonelements=np.ones(mesh.ne, bool))
+
+    ci = CutInfo(mesh, time_order=time_order)
+
+    hasneg_integrators_a = [
+        SpaceTimeNegBFI(form=delta_t * alpha * grad(u) * grad(v)),
+        SymbolicBFI(levelset_domain=lset_neg_top,
+                    form=fix_t(u, 1) * fix_t(v, 1),
+                    definedonelements=np.ones(mesh.ne, bool)),
+        SpaceTimeNegBFI(form=-u * dt(v)),
+        SpaceTimeNegBFI(form=-delta_t * u * InnerProduct(w, grad(v))),
+    ]
+    patch_integrators_a = [
+        SymbolicFacetPatchBFI(
+            form=delta_t * 1.05 * h ** (-2) * (u - u.Other()) * (v - v.Other()),
+            skeleton=False, time_order=time_order,
+            definedonelements=np.zeros(mesh.nfacets, bool)),
+    ]
+    hasneg_integrators_f = [
+        SymbolicLFI(levelset_domain=lset_neg, form=delta_t * coeff_f * v,
+                    time_order=time_order,
+                    definedonelements=np.ones(mesh.ne, bool)),
+        SymbolicLFI(levelset_domain=lset_neg_bottom,
+                    form=u_last * fix_t(v, 0),
+                    definedonelements=np.ones(mesh.ne, bool)),
+    ]
+
+    a = BilinearForm(st_fes)
+    for integrator in hasneg_integrators_a + patch_integrators_a:
+        a += integrator
+    f = LinearForm(st_fes)
+    for integrator in hasneg_integrators_f:
+        f += integrator
+
+    while tend - told > delta_t / 2:
+        SpaceTimeInterpolateToP1(levelset, tref, lset_p1)
+        RestrictGFInTime(spacetime_gf=lset_p1, reference_time=0.0,
+                         space_gf=lset_bottom)
+        RestrictGFInTime(spacetime_gf=lset_p1, reference_time=1.0,
+                         space_gf=lset_top)
+
+        # update markers in the (space-time) mesh
+        ci.Update(lset_p1, time_order=time_order)
+
+        # re-compute the facets for stabilization
+        ba_facets = GetFacetsWithNeighborTypes(
+            mesh, a=ci.GetElementsOfType(HASNEG), b=ci.GetElementsOfType(IF))
+        # re-evaluate the active dofs in the space-time slab
+        active_dofs = GetDofsOfElements(st_fes, ci.GetElementsOfType(HASNEG))
+
+        # re-set definedonelements markers according to the new markings
+        for integrator in hasneg_integrators_a + hasneg_integrators_f:
+            integrator.SetDefinedOnElements(ci.GetElementsOfType(HASNEG))
+        for integrator in patch_integrators_a:
+            integrator.SetDefinedOnElements(ba_facets)
+
+        a.Assemble()
+        f.Assemble()
+
+        gfu.vec.data = a.mat.Inverse(active_dofs) * f.vec
+
+        # upper trace: error evaluation + upwind coupling to the next slab
+        RestrictGFInTime(spacetime_gf=gfu, reference_time=1.0, space_gf=u_last)
+
+        told = told + delta_t
+        coef_told.Set(told)
+
+        l2error = msqrt(Integrate(
+            lset_neg_top, (u_exactL(told) - u_last) ** 2, mesh, order=4))
+        assert l2error < 0.085, (told, l2error)
