@@ -173,6 +173,33 @@ def test_spacetime_model_spacetime():
     assert l2error < 2e-4, l2error
 
 
+def test_spacetime_model_spacetime_pitfalls():
+    """Pitfall-guard port (reference ``test_spacetime_model_spacetime_caller``,
+    ``:148-180``): the three classic space-time misuse patterns must fail
+    LOUDLY with a time-context error, not silently produce garbage —
+    (1) Set of a tref-dependent CF on a spatial GridFunction, (2) a
+    space-time proxy inside a plain spatial integral, (3) spatial Integrate
+    of a tref-dependent CF."""
+    mesh = MakeStructured2DMesh(quads=False, nx=4, ny=4)
+    fes1 = H1(mesh, order=1, dirichlet=[1, 2, 3, 4])
+    st_fes = SpaceTimeFESpace(fes1, ScalarTimeFE(1))
+    told = Parameter(0)
+    t = told + 0.1 * tref
+    gf = GridFunction(fes1)
+
+    with pytest.raises(ValueError, match="time context"):
+        gf.Set(sin(pi * t) * x)  # reference: TimeVariableCF::Evaluate throws
+
+    v = st_fes.TestFunction()
+    f = LinearForm(st_fes)
+    f += SymbolicLFI(form=gf * v)  # reference: SpaceTimeFE::CalcShape throws
+    with pytest.raises(ValueError, match="time context"):
+        f.Assemble()
+
+    with pytest.raises(ValueError, match="time context"):
+        Integrate((sin(pi * t) * x) ** 2, mesh, order=2)
+
+
 def test_spacetime_spaceP1_timeDGP1():
     """Unfitted moving-domain heat equation, P1 space x DG-P1 time
     (reference ``test_spacetime_spaceP1_timeDGP1``): oscillating circle,
