@@ -190,6 +190,82 @@ def _subdiv_ctx_and_weights(mesh, levelset, domain_type, order, lvl,
     return ctx, w_phys, w_ref > 0
 
 
+def _subdiv_st_ctx_and_weights(mesh, levelset, domain_type, order, lvl,
+                               time_order, dyn=None, deformation="inherit"):
+    """(ctx, physical weights, validity mask) for ``subdivlvl>0`` combined
+    with ``time_order>=0`` — the TPU counterpart of the reference legacy
+    engine's space-time path (``NumericalIntegrationStrategy<ET_SPACE,
+    ET_TIME>``, cutint/xintegration.cpp:698+, recursive bisection in space
+    AND time): uniform dyadic subdivision in space (``subdivision_tables``)
+    x ``2^lvl`` uniform time sub-slabs; the level set CF is evaluated at the
+    subdivision lattice at each sub-slab endpoint and the batched k_t=1
+    space-time simplex kernel runs per sub-slab.  Geometry error
+    O((h 2^-lvl)^2) in space + O((2^-lvl)^2) in time per slab.
+    """
+    from .ops.subdivide import subdivision_tables
+    from .ops.spacetimecut import spacetime_cut_rule_simplices
+
+    dt = DOMAIN_TYPE(int(domain_type))
+    d = mesh.dim
+    lattice, subs = subdivision_tables(mesh.et, lvl)
+    E = mesh.ne
+    nlat = lattice.shape[0]
+    latj = jnp.asarray(lattice, dtype=config.dtype)
+    lat_b = jnp.broadcast_to(latj[None], (E,) + lattice.shape)
+
+    S = 2 ** lvl  # time sub-slabs
+    edges = np.linspace(0.0, 1.0, S + 1)
+
+    # level-set values at the lattice at each sub-slab endpoint time
+    lcf = wrap(levelset)
+    vals_t = []
+    for ts in edges:
+        ctxL = EvalCtx(mesh, lat_b, dyn=dyn, deformation=deformation,
+                       time=jnp.full((E, nlat), ts, dtype=config.dtype))
+        vals_t.append(jnp.broadcast_to(eval_pure(lcf, ctxL), (E, nlat)))
+
+    nsub = subs.shape[0]
+    coords = jnp.asarray(lattice[subs], dtype=config.dtype)  # (nsub, d+1, d)
+    coords_b = jnp.broadcast_to(coords[None], (E, nsub, d + 1, d)).reshape(
+        E * nsub, d + 1, d)
+    subs_j = jnp.asarray(subs)
+
+    def emerge(a):  # (E*nsub, q, ...) -> (E, nsub*q, ...)
+        return a.reshape(E, nsub * a.shape[1], *a.shape[2:])
+
+    parts = {k: [] for k in ("pts", "times", "w", "side",
+                             "pts_if", "times_if", "w_if", "nref")}
+    for s in range(S):
+        ta, tb = edges[s], edges[s + 1]
+        sa = vals_t[s][:, subs_j].reshape(E * nsub, d + 1)
+        sb = vals_t[s + 1][:, subs_j].reshape(E * nsub, d + 1)
+        r = spacetime_cut_rule_simplices(coords_b, sa, sb, d, order,
+                                         time_order)
+        dt_s = tb - ta
+        parts["pts"].append(emerge(r.pts))
+        parts["times"].append(ta + dt_s * emerge(r.times))
+        parts["w"].append(dt_s * emerge(r.w))
+        parts["side"].append(emerge(r.side))
+        parts["pts_if"].append(emerge(r.pts_if))
+        parts["times_if"].append(ta + dt_s * emerge(r.times_if))
+        parts["w_if"].append(dt_s * emerge(r.w_if))
+        parts["nref"].append(emerge(r.nref))
+    cat = {k: jnp.concatenate(v, axis=1) for k, v in parts.items()}
+
+    if dt == IF:
+        ctx = EvalCtx(mesh, cat["pts_if"], nref=cat["nref"], dyn=dyn,
+                      time=cat["times_if"], deformation=deformation)
+        w_ref = cat["w_if"]
+        w_phys = w_ref * jnp.abs(ctx.detJ) * ctx.if_scale
+    else:
+        ctx = EvalCtx(mesh, cat["pts"], dyn=dyn, time=cat["times"],
+                      deformation=deformation)
+        sidesel = (cat["side"] == int(dt)).astype(cat["w"].dtype)
+        w_ref = cat["w"] * sidesel
+        w_phys = w_ref * jnp.abs(ctx.detJ)
+    return ctx, w_phys, w_ref > 0
+
+
 def lset_st_vertex_values(lset_gf, dyn=None):
     """(E, ndt, nvel) level-set values of a space-time P1 GridFunction.
 
@@ -297,9 +373,9 @@ def _cut_ctx_and_weights(mesh, lset_gf, domain_type, order, dyn=None,
     dt = DOMAIN_TYPE(int(domain_type))
     if subdivlvl > 0:
         if time_order >= 0:
-            raise NotImplementedError(
-                "subdivlvl>0 combined with space-time integrals is not "
-                "supported; use the P1 space-time level set path")
+            return _subdiv_st_ctx_and_weights(
+                mesh, lset_gf, dt, order, subdivlvl, time_order, dyn=dyn,
+                deformation=deformation)
         return _subdiv_ctx_and_weights(mesh, lset_gf, dt, order, subdivlvl,
                                        dyn=dyn, deformation=deformation)
     if time_order >= 0:

@@ -126,6 +126,51 @@ def spacetime_cut_rule(et: str, vals_st, kt: int, order_space: int,
     C = jnp.asarray(_time_coeff(kt), dtype=dtype)  # (nm, nd_t) mono->nodal
     coefs = jnp.einsum("mt,etv->evm", C, vals_st)  # phi_v(t) = sum c_m t^m
 
+    tpts, twts, vv = _st_slices(coefs, kt, order_time)
+    E, T = tpts.shape
+
+    # spatial cut rule at every (element, time) pair — one batched call into
+    # the stationary dispatch (simplex split / multilinear QUAD-HEX rule)
+    r = cut_rule_element(et, vv.reshape(E * T, nvel), order_space, policy)
+    return _st_assemble(r, tpts, twts)
+
+
+def spacetime_cut_rule_simplices(coords, vals_a, vals_b, d: int,
+                                 order_space: int, order_time: int):
+    """Space-time (k_t=1) cut rule on a batch of arbitrary d-simplices.
+
+    The subdivision engine's space-time kernel (the TPU counterpart of the
+    reference legacy engine's 4D prism handling,
+    ``cutint/xintegration.cpp`` ``NumericalIntegrationStrategy<ET_SPACE,
+    ET_TIME>``): ``coords (B, d+1, d)`` simplex vertices in element-reference
+    space, ``vals_a``/``vals_b (B, d+1)`` level-set values at those vertices
+    at the (sub-)slab's local t=0 / t=1.  The spatial rule per time point is
+    ``cut_rule_simplices``, so weights carry the sub-simplex measure and
+    interface normals live in the same coordinate frame as ``coords``."""
+    from .straightcut import cut_rule_simplices
+
+    B, nv = vals_a.shape
+    vals_a = eps_guard(vals_a)
+    vals_b = eps_guard(vals_b)
+    coefs = jnp.stack([vals_a, vals_b - vals_a], axis=-1)  # (B, nv, 2)
+
+    tpts, twts, vv = _st_slices(coefs, 1, order_time)
+    T = tpts.shape[1]
+
+    coords_rep = jnp.broadcast_to(
+        coords[:, None], (B, T) + coords.shape[1:]).reshape(
+        B * T, *coords.shape[1:])
+    r = cut_rule_simplices(coords_rep, vv.reshape(B * T, nv), d, order_space)
+    return _st_assemble(r, tpts, twts)
+
+
+def _st_slices(coefs, kt: int, order_time: int):
+    """Slice [0,1] at the vertex-polynomial roots and place a Gauss rule on
+    each slice.  coefs (E, nvel, kt+1) monomial time polynomials per vertex.
+    Returns (tpts (E,T), twts (E,T), vv (E,T,nvel) spatial vertex values at
+    each time point)."""
+    E = coefs.shape[0]
+    dtype = coefs.dtype
     roots = _poly_roots_in_01(coefs, kt).reshape(E, -1)  # (E, nvel*kt')
     K = roots.shape[1]
     # slice boundaries: sorted {0, roots..., 1}
@@ -152,10 +197,16 @@ def spacetime_cut_rule(et: str, vals_st, kt: int, order_space: int,
     # spatial vertex values at each time point: (E, T, nvel)
     tm = jnp.stack([tpts**j for j in range(kt + 1)], axis=-1)  # (E,T,nm)
     vv = jnp.einsum("etm,evm->etv", tm, coefs)
+    return tpts, twts, vv
 
-    # spatial cut rule at every (element, time) pair — one batched call into
-    # the stationary dispatch (simplex split / multilinear QUAD-HEX rule)
-    r = cut_rule_element(et, vv.reshape(E * T, nvel), order_space, policy)
+
+def _st_assemble(r, tpts, twts):
+    """Fold the per-(element, time-point) spatial CutRule ``r`` into one
+    SpaceTimeCutRule: time weights folded into the quadrature weights
+    (iterated-integral convention: the 'IF' space-time integral is
+    dt x spatial interface measure, like the reference's
+    SpaceTimeCutIntegrationRule)."""
+    E, T = tpts.shape
 
     def merge(a):
         # (E*T, q, ...) -> (E, T*q, ...)

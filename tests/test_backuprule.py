@@ -20,7 +20,7 @@ from ngsxfem_tpu import (
     NEG, POS, IF, H1, GridFunction, Integrate, InterpolateToP1,
     MakeStructured2DMesh, MakeStructured3DMesh,
     BilinearForm, LinearForm, SymbolicCutBFI, SymbolicCutLFI, Parameter,
-    x, y, z, sqrt, CoefficientFunction,
+    x, y, z, sqrt, CoefficientFunction, tref,
 )
 
 
@@ -173,7 +173,86 @@ def test_subdiv_unsupported_kinds_raise():
     a += SymbolicCutBFI(ld, form=u * v, skeleton=True)
     with pytest.raises(NotImplementedError):
         a.Assemble()
-    with pytest.raises(NotImplementedError):
-        Integrate(levelset_domain={"levelset": levelset, "domain_type": NEG,
-                                   "subdivlvl": 1, "time_order": 1},
-                  cf=CoefficientFunction(1), mesh=mesh, order=2)
+
+
+# ---------------------------------------------------------------------------
+# space-time subdivision (the reference legacy engine's ET_SPACE x ET_TIME
+# path, cutint/xintegration.cpp:698+: recursive bisection in space AND time)
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("quad", [True, False])
+@pytest.mark.parametrize("domain,ref", [(NEG, 7 / 8), (POS, 1 / 8), (IF, 0.5)])
+def test_subdiv_spacetime_exact(quad, domain, ref):
+    """A level set linear in space AND time is reproduced exactly by the
+    space-time subdivision rule (cf. the reference 2D+1D straight-cut
+    contract, tests/pytests/test_spacetimecutrule.py:38-68 — here driven
+    through the genuine-CF subdivision path instead of a P1 ST GF)."""
+    mesh = MakeStructured2DMesh(quads=quad, nx=1, ny=1)
+    lev = 1 - 2 * x - 2 * tref  # genuine CF (tref-dependent)
+    v = Integrate({"levelset": lev, "domain_type": domain, "subdivlvl": 1},
+                  CoefficientFunction(1.0), mesh, order=1, time_order=1)
+    assert abs(v - ref) < 5e-14
+
+
+@pytest.mark.parametrize("domain", [NEG, IF])
+def test_subdiv_spacetime_level_convergence(domain):
+    """Each space-time subdivision level shrinks the geometry error of a
+    moving-circle slab volume by ~4x (2nd-order P1-in-space-and-time
+    approximation per cell)."""
+    r0 = 0.5
+    mesh = MakeStructured2DMesh(quads=False, nx=8, ny=8,
+                                mapping=lambda a, b: (2 * a - 1, 2 * b - 1))
+    lev = sqrt((x - 0.2 * tref) ** 2 + y * y) - r0
+    exact = pi * r0 * r0 if domain == NEG else 2 * pi * r0
+    errs = []
+    for lvl in (1, 2, 3):
+        v = Integrate({"levelset": lev, "domain_type": domain,
+                       "subdivlvl": lvl},
+                      CoefficientFunction(1.0), mesh, order=2, time_order=2)
+        errs.append(abs(v - exact))
+    for e0, e1 in zip(errs, errs[1:]):
+        assert e0 / e1 > 2.5, errs
+
+
+def test_subdiv_spacetime_assembly_matches_p1_st():
+    """Space-time mass matrix with a linear-in-space-and-time CF level set:
+    the subdivision path and the straight-cut P1 space-time GF path see the
+    SAME exact cut geometry, so they agree up to the time-quadrature error
+    of the iterated integral (the inner spatial integral is piecewise
+    polynomial of degree ~4 in t, and the two paths slice time differently:
+    at sub-slab edges/lattice-vertex roots vs element-vertex roots only).
+    At time_order=6 the slice-wise Gauss rules are exact and the matrices
+    must agree to round-off."""
+    from ngsxfem_tpu import (
+        ScalarTimeFE, SpaceTimeFESpace, SpaceTimeInterpolateToP1,
+    )
+
+    mesh = MakeStructured2DMesh(quads=False, nx=3, ny=3)
+    V = H1(mesh, order=1)
+    st = SpaceTimeFESpace(V, ScalarTimeFE(1))
+    u, v = st.TnT()
+    lev = x - 0.3 - 0.4 * tref
+    lgf = GridFunction(st)
+    SpaceTimeInterpolateToP1(lev, tref, lgf)
+
+    def mat(ld, to):
+        a = BilinearForm(st)
+        a += SymbolicCutBFI(ld, form=u * v, time_order=to)
+        a.Assemble()
+        return np.asarray(a.mat.todense())
+
+    ld_sub = {"levelset": lev, "domain_type": NEG, "subdivlvl": 1}
+    ld_p1 = {"levelset": lgf, "domain_type": NEG}
+
+    # sanity at the workhorse order: both integrate the NEG st-volume
+    # exactly (partition of unity) and agree in the cut band to the
+    # time-quadrature tolerance
+    A2, B2 = mat(ld_sub, 2), mat(ld_p1, 2)
+    assert abs(A2.sum() - 0.5) < 1e-13  # exact NEG st-volume
+    assert abs(B2.sum() - 0.5) < 1e-13
+    assert np.abs(A2 - B2).max() < 5e-4
+
+    # with slice-exact time quadrature the two paths coincide
+    A6, B6 = mat(ld_sub, 6), mat(ld_p1, 6)
+    assert np.abs(A6 - B6).max() < 1e-13
