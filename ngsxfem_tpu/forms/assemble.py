@@ -719,6 +719,51 @@ def _check_proxy_spaces(form, space_u, space_v):
     walk(form)
 
 
+def _form_difforders(form):
+    """Minimum spatial derivative order of the form's trial and test proxies
+    (reference: ``SymbolicCutBFI`` reduces the cut-rule order by these on
+    simplices, ``xfem/symboliccutbfi.cpp:96-107``).  Unknown/space-time ops
+    count as 0 (no reduction — conservative)."""
+
+    def dord(p):
+        if p.op == "dnk":
+            return int(p.op_args[0])
+        if p.op in ("grad", "div") or p.op.endswith("grad"):
+            return 1
+        return 0
+
+    tr = te = 99
+
+    def walk(cf):
+        nonlocal tr, te
+        if isinstance(cf, ProxyFunction):
+            if cf.test:
+                te = min(te, dord(cf))
+            else:
+                tr = min(tr, dord(cf))
+        if isinstance(cf, CF):
+            for c in cf.children():
+                walk(c)
+
+    walk(form)
+    return (0 if tr == 99 else tr), (0 if te == 99 else te)
+
+
+def _bfi_intorder(integral, mesh, space_u, space_v):
+    """Volume-BFI integration order: trial + test space order, reduced on
+    simplex elements by the minimum derivative order of the form's trial
+    and test proxies — the reference's rule (``symboliccutbfi.cpp:96-107``:
+    ``intorder = trial.Order()+test.Order()``, minus the diff-orders for
+    TRIG/TET).  E.g. P1 ``grad(u)*grad(v)`` has a piecewise-CONSTANT
+    integrand, so the expensive cut tier only needs the order-0 (measure)
+    rule.  ``force_intorder`` overrides downstream as before."""
+    o = _space_order(space_u) + _space_order(space_v)
+    if mesh.et in ("trig", "tet"):
+        tr, te = _form_difforders(integral.form)
+        o = max(0, o - tr - te)
+    return o
+
+
 def _assembly_signature(space, mesh, integrals, kind, space2=None):
     """Structural signature of an Assemble call + dynamic slot registry."""
     from ..jitcache import (
@@ -1189,7 +1234,9 @@ class BilinearForm:
                         tiers = [(ctx, w_phys, mask, None)]
                     else:
                         tiers = _volume_tiers(
-                            integral, mesh, 2 * order, dyn=dyn
+                            integral, mesh,
+                            _bfi_intorder(integral, mesh, space_u, space_v),
+                            dyn=dyn,
                         )
                     # terms accumulate per (trial, test) block pair; the
                     # compacted cut tier scatters into the all-elements rows

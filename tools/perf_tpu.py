@@ -18,6 +18,16 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+# Honor JAX_PLATFORMS BEFORE the first device touch: the axon PJRT plugin
+# outranks the env var (ngsxfem_tpu/config.py does the same dance), and the
+# first D2H read below would wedge on the axon device when the tunnel is
+# down even though the user asked for cpu.
+if os.environ.get("JAX_PLATFORMS"):
+    try:
+        jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+    except Exception:
+        pass
+
 # enter the synchronous (observable-completion) regime up front
 _ = float(jnp.sum(jnp.ones((8, 8))))
 
