@@ -824,6 +824,10 @@ def _assembly_signature(space, mesh, integrals, kind, space2=None):
                         int(integral.levelset_domain["domain_type"]),
                         obj_uid(lgf.space),
                         integral.levelset_domain["force_intorder"],
+                        # the QUAD/HEX axis policy changes the compiled cut
+                        # rule — omitting it collided FIRST/FALLBACK
+                        # assemblies onto whichever compiled first
+                        integral.levelset_domain["quad_dir_policy"],
                     )
                 )
             if (_two_tier_applicable(integral, mesh)

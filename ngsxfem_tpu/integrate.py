@@ -143,6 +143,25 @@ def normalize_levelset_domain(levelset_domain: dict):
     return ld
 
 
+def _rule_ctx_weights(mesh, dt, pts, w, side, pts_if, w_if, nref, dyn,
+                      deformation, times=None, times_if=None):
+    """Shared rule-tensors -> (ctx, physical weights, validity mask) tail of
+    every cut-quadrature path (straight-cut, subdivision, space-time): IF
+    rules get the ``‖J⁻ᵀn_ref‖·|detJ|`` interface weighting, NEG/POS rules
+    the side selection x ``|detJ|``."""
+    if dt == IF:
+        ctx = EvalCtx(mesh, pts_if, nref=nref, dyn=dyn, time=times_if,
+                      deformation=deformation)
+        w_ref = w_if
+        w_phys = w_ref * jnp.abs(ctx.detJ) * ctx.if_scale
+    else:
+        ctx = EvalCtx(mesh, pts, dyn=dyn, time=times, deformation=deformation)
+        sidesel = (side == int(dt)).astype(w.dtype)
+        w_ref = w * sidesel
+        w_phys = w_ref * jnp.abs(ctx.detJ)
+    return ctx, w_phys, w_ref > 0
+
+
 def _subdiv_ctx_and_weights(mesh, levelset, domain_type, order, lvl,
                             dyn=None, deformation="inherit"):
     """(ctx, physical weights, validity mask) via the uniform-subdivision
@@ -155,7 +174,7 @@ def _subdiv_ctx_and_weights(mesh, levelset, domain_type, order, lvl,
     kernel runs on each sub-simplex (ops/subdivide.py).
     """
     from .ops.subdivide import subdivision_tables
-    from .ops.straightcut import cut_rule_simplices, eps_guard, CutRule
+    from .ops.straightcut import cut_rule_simplices, eps_guard
 
     dt = DOMAIN_TYPE(int(domain_type))
     d = mesh.dim
@@ -175,19 +194,9 @@ def _subdiv_ctx_and_weights(mesh, levelset, domain_type, order, lvl,
     svals = vals[:, jnp.asarray(subs)].reshape(E * nsub, d + 1)
     r = cut_rule_simplices(coords_b, svals, d, order)
     merge = lambda a: a.reshape(E, nsub * a.shape[1], *a.shape[2:])
-    rule = CutRule(*(merge(a) for a in r))
-
-    if dt == IF:
-        ctx = EvalCtx(mesh, rule.pts_if, nref=rule.nref, dyn=dyn,
-                      deformation=deformation)
-        w_ref = rule.w_if
-        w_phys = w_ref * jnp.abs(ctx.detJ) * ctx.if_scale
-    else:
-        ctx = EvalCtx(mesh, rule.pts, dyn=dyn, deformation=deformation)
-        sidesel = (rule.side == int(dt)).astype(rule.w.dtype)
-        w_ref = rule.w * sidesel
-        w_phys = w_ref * jnp.abs(ctx.detJ)
-    return ctx, w_phys, w_ref > 0
+    return _rule_ctx_weights(
+        mesh, dt, merge(r.pts), merge(r.w), merge(r.side), merge(r.pts_if),
+        merge(r.w_if), merge(r.nref), dyn, deformation)
 
 
 def _subdiv_st_ctx_and_weights(mesh, levelset, domain_type, order, lvl,
@@ -197,9 +206,10 @@ def _subdiv_st_ctx_and_weights(mesh, levelset, domain_type, order, lvl,
     engine's space-time path (``NumericalIntegrationStrategy<ET_SPACE,
     ET_TIME>``, cutint/xintegration.cpp:698+, recursive bisection in space
     AND time): uniform dyadic subdivision in space (``subdivision_tables``)
-    x ``2^lvl`` uniform time sub-slabs; the level set CF is evaluated at the
-    subdivision lattice at each sub-slab endpoint and the batched k_t=1
-    space-time simplex kernel runs per sub-slab.  Geometry error
+    x ``2^lvl`` uniform time sub-slabs; the level set CF is evaluated ONCE
+    at the (lattice x slab-edge-times) tensor and ONE batched k_t=1
+    space-time simplex kernel runs over all (element, slab, sub-simplex)
+    rows — the kernel count is independent of ``lvl``.  Geometry error
     O((h 2^-lvl)^2) in space + O((2^-lvl)^2) in time per slab.
     """
     from .ops.subdivide import subdivision_tables
@@ -211,59 +221,49 @@ def _subdiv_st_ctx_and_weights(mesh, levelset, domain_type, order, lvl,
     E = mesh.ne
     nlat = lattice.shape[0]
     latj = jnp.asarray(lattice, dtype=config.dtype)
-    lat_b = jnp.broadcast_to(latj[None], (E,) + lattice.shape)
 
     S = 2 ** lvl  # time sub-slabs
-    edges = np.linspace(0.0, 1.0, S + 1)
+    edges = jnp.linspace(0.0, 1.0, S + 1, dtype=config.dtype)
 
-    # level-set values at the lattice at each sub-slab endpoint time
-    lcf = wrap(levelset)
-    vals_t = []
-    for ts in edges:
-        ctxL = EvalCtx(mesh, lat_b, dyn=dyn, deformation=deformation,
-                       time=jnp.full((E, nlat), ts, dtype=config.dtype))
-        vals_t.append(jnp.broadcast_to(eval_pure(lcf, ctxL), (E, nlat)))
+    # ONE level-set evaluation: the lattice tiled over the S+1 slab-edge
+    # times (time is just another quadrature column to the CF evaluator)
+    pts_all = jnp.broadcast_to(
+        latj[None, None], (E, S + 1, nlat, d)).reshape(E, (S + 1) * nlat, d)
+    t_all = jnp.broadcast_to(
+        edges[None, :, None], (E, S + 1, nlat)).reshape(E, (S + 1) * nlat)
+    ctxL = EvalCtx(mesh, pts_all, dyn=dyn, deformation=deformation,
+                   time=t_all)
+    vals = jnp.broadcast_to(eval_pure(wrap(levelset), ctxL),
+                            (E, (S + 1) * nlat)).reshape(E, S + 1, nlat)
 
     nsub = subs.shape[0]
     coords = jnp.asarray(lattice[subs], dtype=config.dtype)  # (nsub, d+1, d)
-    coords_b = jnp.broadcast_to(coords[None], (E, nsub, d + 1, d)).reshape(
-        E * nsub, d + 1, d)
+    B = E * S * nsub
+    coords_b = jnp.broadcast_to(
+        coords[None, None], (E, S, nsub, d + 1, d)).reshape(B, d + 1, d)
     subs_j = jnp.asarray(subs)
+    sa = vals[:, :-1][:, :, subs_j].reshape(B, d + 1)  # slab-start values
+    sb = vals[:, 1:][:, :, subs_j].reshape(B, d + 1)  # slab-end values
 
-    def emerge(a):  # (E*nsub, q, ...) -> (E, nsub*q, ...)
-        return a.reshape(E, nsub * a.shape[1], *a.shape[2:])
+    # one batched kernel over all (element, slab, sub-simplex) rows
+    r = spacetime_cut_rule_simplices(coords_b, sa, sb, d, order, time_order)
 
-    parts = {k: [] for k in ("pts", "times", "w", "side",
-                             "pts_if", "times_if", "w_if", "nref")}
-    for s in range(S):
-        ta, tb = edges[s], edges[s + 1]
-        sa = vals_t[s][:, subs_j].reshape(E * nsub, d + 1)
-        sb = vals_t[s + 1][:, subs_j].reshape(E * nsub, d + 1)
-        r = spacetime_cut_rule_simplices(coords_b, sa, sb, d, order,
-                                         time_order)
-        dt_s = tb - ta
-        parts["pts"].append(emerge(r.pts))
-        parts["times"].append(ta + dt_s * emerge(r.times))
-        parts["w"].append(dt_s * emerge(r.w))
-        parts["side"].append(emerge(r.side))
-        parts["pts_if"].append(emerge(r.pts_if))
-        parts["times_if"].append(ta + dt_s * emerge(r.times_if))
-        parts["w_if"].append(dt_s * emerge(r.w_if))
-        parts["nref"].append(emerge(r.nref))
-    cat = {k: jnp.concatenate(v, axis=1) for k, v in parts.items()}
+    dt_s = 1.0 / S
 
-    if dt == IF:
-        ctx = EvalCtx(mesh, cat["pts_if"], nref=cat["nref"], dyn=dyn,
-                      time=cat["times_if"], deformation=deformation)
-        w_ref = cat["w_if"]
-        w_phys = w_ref * jnp.abs(ctx.detJ) * ctx.if_scale
-    else:
-        ctx = EvalCtx(mesh, cat["pts"], dyn=dyn, time=cat["times"],
-                      deformation=deformation)
-        sidesel = (cat["side"] == int(dt)).astype(cat["w"].dtype)
-        w_ref = cat["w"] * sidesel
-        w_phys = w_ref * jnp.abs(ctx.detJ)
-    return ctx, w_phys, w_ref > 0
+    def emerge(a):  # (B, q, ...) -> (E, S*nsub*q, ...)
+        return a.reshape(E, S * nsub * a.shape[1], *a.shape[2:])
+
+    def to_global_time(tl):  # slab-local [0,1] -> global slab time
+        q = tl.shape[1]
+        ta = jnp.broadcast_to(edges[:-1][None, :, None, None],
+                              (E, S, nsub, q)).reshape(E, -1)
+        return ta + dt_s * emerge(tl)
+
+    return _rule_ctx_weights(
+        mesh, dt, emerge(r.pts), dt_s * emerge(r.w), emerge(r.side),
+        emerge(r.pts_if), dt_s * emerge(r.w_if), emerge(r.nref), dyn,
+        deformation, times=to_global_time(r.times),
+        times_if=to_global_time(r.times_if))
 
 
 def lset_st_vertex_values(lset_gf, dyn=None):
@@ -285,6 +285,12 @@ def lset_st_vertex_values(lset_gf, dyn=None):
     if sp.spacefes.order != 1:
         raise TypeError("space-time levelset must live on SpaceTimeFESpace "
                         "over H1(order=1)")
+    if sp.ndof_t != sp.k_t + 1:
+        # skip_first_node/only_first_node spaces: the nodal-basis time
+        # polynomial reconstruction below assumes the FULL Gauss-Lobatto
+        # node set; a reduced space would silently build wrong polynomials
+        raise TypeError("level sets on reduced time spaces "
+                        "(skip_first_node/only_first_node) are not supported")
     vperm = jnp.asarray(vertex_local_ids(sp.mesh.et, 1))
     vec = dyn_get(dyn, lset_gf, "vec", lset_gf._arr)
     el2dof_s = dyn_get(dyn, sp.spacefes, "el2dof", sp.spacefes.el2dof)
@@ -383,35 +389,21 @@ def _cut_ctx_and_weights(mesh, lset_gf, domain_type, order, dyn=None,
         from .spacetime.space import SpaceTimeFESpace
 
         vals_st = lset_st_vertex_values(lset_gf, dyn)
-        kt = getattr(lset_gf.space, "k_t", 1)  # spatial lset: const-in-time
+        # lset_st_vertex_values guarantees nd_t == k_t + 1 (it rejects
+        # reduced time spaces); a spatial lset broadcasts const-in-time
+        kt = getattr(lset_gf.space, "k_t", 1)
         rule = spacetime_cut_rule(mesh.et, vals_st, kt, order, time_order,
                                   policy=quad_dir_policy)
-        if dt == IF:
-            ctx = EvalCtx(mesh, rule.pts_if, nref=rule.nref, dyn=dyn,
-                          time=rule.times_if, deformation=deformation)
-            w_ref = rule.w_if
-            w_phys = w_ref * jnp.abs(ctx.detJ) * ctx.if_scale
-        else:
-            ctx = EvalCtx(mesh, rule.pts, dyn=dyn, time=rule.times,
-                          deformation=deformation)
-            sidesel = (rule.side == int(dt)).astype(rule.w.dtype)
-            w_ref = rule.w * sidesel
-            w_phys = w_ref * jnp.abs(ctx.detJ)
-        return ctx, w_phys, w_ref > 0
+        return _rule_ctx_weights(
+            mesh, dt, rule.pts, rule.w, rule.side, rule.pts_if, rule.w_if,
+            rule.nref, dyn, deformation, times=rule.times,
+            times_if=rule.times_if)
 
     vals = lset_vertex_values(lset_gf, dyn)
     rule = cut_rule_element(mesh.et, vals, order, quad_dir_policy)
-    if dt == IF:
-        ctx = EvalCtx(mesh, rule.pts_if, nref=rule.nref, dyn=dyn,
-                      deformation=deformation)
-        w_ref = rule.w_if
-        w_phys = w_ref * jnp.abs(ctx.detJ) * ctx.if_scale
-    else:
-        ctx = EvalCtx(mesh, rule.pts, dyn=dyn, deformation=deformation)
-        sidesel = (rule.side == int(dt)).astype(rule.w.dtype)
-        w_ref = rule.w * sidesel
-        w_phys = w_ref * jnp.abs(ctx.detJ)
-    return ctx, w_phys, w_ref > 0
+    return _rule_ctx_weights(mesh, dt, rule.pts, rule.w, rule.side,
+                             rule.pts_if, rule.w_if, rule.nref, dyn,
+                             deformation)
 
 
 def Integrate(levelset_domain=None, cf=None, mesh=None, order=5,

@@ -591,3 +591,41 @@ def test_eps_guard_reference_semantics():
     np.testing.assert_allclose(out[1], [-1.0, 2.0, 1e-14])
     # on-interface facet: both endpoints collapse positive -> no NEG part
     assert (out[0] > 0).all()
+
+
+def test_quad_dir_policy_in_assembly_signature():
+    """Two otherwise-identical cut BFIs differing only in quad_dir_policy
+    must compile and assemble SEPARATELY: the policy changes the QUAD/HEX
+    iterated-integral rule, and omitting it from the assembly cache key made
+    the second form silently reuse whichever policy assembled first
+    (order-dependent wrong numbers; found by review probe)."""
+    import numpy as np
+    from ngsxfem_tpu import (
+        NEG, H1, BilinearForm, GridFunction, InterpolateToP1,
+        MakeStructured2DMesh, SymbolicCutBFI, sqrt, x, y,
+    )
+
+    def assemble(policy):
+        mesh = MakeStructured2DMesh(quads=True, nx=4, ny=4)
+        lsetp1 = GridFunction(H1(mesh, order=1))
+        InterpolateToP1(sqrt((x - 0.23) ** 2 + (y - 0.41) ** 2) - 0.33, lsetp1)
+        V = H1(mesh, order=1)
+        u, v = V.TnT()
+        out = []
+        for p in (policy, "FALLBACK" if policy == "FIRST" else "FIRST"):
+            a = BilinearForm(V)
+            a += SymbolicCutBFI(
+                {"levelset": lsetp1, "domain_type": NEG,
+                 "quad_dir_policy": p}, form=u * v)
+            a.Assemble()
+            out.append(np.asarray(a.mat.todense()))
+        return out
+
+    f1, fb1 = assemble("FIRST")     # FIRST compiled first
+    fb2, f2 = assemble("FALLBACK")  # FALLBACK compiled first
+    # each policy must give the same matrix regardless of compile order
+    assert np.abs(f1 - f2).max() < 1e-14
+    assert np.abs(fb1 - fb2).max() < 1e-14
+    # and the two policies genuinely differ on this geometry (guards the
+    # test itself against a future policy no-op)
+    assert np.abs(f1 - fb1).max() > 1e-10
