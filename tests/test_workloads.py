@@ -223,3 +223,14 @@ def test_unstructured_nxfem_example():
     e2 = unstructured_nxfem.run(npts=400, seed=5, via_gmsh=True,
                                 verbose=False)
     assert e1 < 0.1 and abs(e1 - e2) < 1e-12, (e1, e2)
+
+
+def test_moving_domain3d():
+    """3D moving-sphere space-time heat equation (beyond the reference's
+    2D-only moving_domain tutorial): final-time L2 error halves (observed
+    ~3.5x) under simultaneous space+time refinement."""
+    from examples import moving_domain3d
+
+    e1 = moving_domain3d.run(nx=6, nslab=2, verbose=False)
+    e2 = moving_domain3d.run(nx=12, nslab=4, verbose=False)
+    assert e2 < e1 / 2, (e1, e2)
