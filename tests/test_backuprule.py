@@ -256,3 +256,36 @@ def test_subdiv_spacetime_assembly_matches_p1_st():
     # with slice-exact time quadrature the two paths coincide
     A6, B6 = mat(ld_sub, 6), mat(ld_p1, 6)
     assert np.abs(A6 - B6).max() < 1e-13
+
+
+def test_subdiv_spacetime_moving_slab_no_recompile():
+    """Slab-marching with a Parameter-driven space-time CF level set through
+    the subdivision path: each slab re-assembles with fresh geometry (NEG
+    st-volume tracks the slab's analytic value) and the jit cache stays
+    constant — the moving-interface contract of the spatial subdiv path,
+    in space-time."""
+    from ngsxfem_tpu import Parameter, ScalarTimeFE, SpaceTimeFESpace
+    from ngsxfem_tpu.forms.assemble import _ASM_CACHE
+
+    mesh = MakeStructured2DMesh(quads=False, nx=4, ny=4)
+    V = H1(mesh, order=1)
+    st = SpaceTimeFESpace(V, ScalarTimeFE(1))
+    u, v = st.TnT()
+    t0 = Parameter(0.0)
+    dtt = 0.25
+    lev = x - 0.2 - 0.5 * (t0 + dtt * tref)  # plane moving in time
+
+    a = BilinearForm(st)
+    a += SymbolicCutBFI({"levelset": lev, "domain_type": NEG, "subdivlvl": 1},
+                        form=u * v, time_order=2)
+    a.Assemble()
+    n_compiled = len(_ASM_CACHE)
+
+    for s in range(3):
+        t0.Set(s * dtt)
+        a.Assemble()
+        vol = np.asarray(a.mat.todense()).sum()  # = NEG st-volume
+        # exact: integral over tref of the NEG width 0.2 + 0.5*(t0+dtt*tref)
+        exact = 0.2 + 0.5 * (s * dtt + dtt / 2)
+        assert abs(vol - exact) < 1e-12, (s, vol, exact)
+    assert len(_ASM_CACHE) == n_compiled, "slab marching recompiled"
