@@ -1,6 +1,10 @@
 """3D fictitious-domain Poisson through the general forms API
 (the BASELINE benchmark configuration, user-API variant of
 models/poisson.py): Nitsche BC on a sphere + facet-patch ghost penalty.
+
+With ``isoparametric=True`` the mesh is deformed by a 3D
+LevelSetMeshAdaptation so the high-order scheme sees high-order geometry
+(order k converges at k+1 instead of the P1-geometry-limited 2).
 """
 import sys, os
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
@@ -8,7 +12,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from ngsxfem_tpu import *
 
 
-def run(nx=8, order=1, verbose=True):
+def run(nx=8, order=1, verbose=True, isoparametric=False):
     mesh = MakeStructured3DMesh(
         hexes=False, nx=nx, ny=nx, nz=nx,
         mapping=lambda a, b, c: (2 * a - 1, 2 * b - 1, 2 * c - 1),
@@ -22,8 +26,15 @@ def run(nx=8, order=1, verbose=True):
     h = specialcf.mesh_size
     lam = 10 * order * order / h
 
-    lsetp1 = GridFunction(H1(mesh, order=1))
-    InterpolateToP1(levelset, lsetp1)
+    if isoparametric:
+        lsa = LevelSetMeshAdaptation(mesh, order=order, threshold=0.2,
+                                     discontinuous_qn=True)
+        deform = lsa.CalcDeformation(levelset)
+        lsetp1 = lsa.lset_p1
+        mesh.SetDeformation(deform)
+    else:
+        lsetp1 = GridFunction(H1(mesh, order=1))
+        InterpolateToP1(levelset, lsetp1)
     ci = CutInfo(mesh, lsetp1)
     hasneg = ci.GetElementsOfType(HASNEG)
     hasif = ci.GetElementsOfType(IF)
@@ -53,6 +64,8 @@ def run(nx=8, order=1, verbose=True):
 
     l2error = Integrate(lset_neg, (gfu - exact) * (gfu - exact), mesh,
                         order=2 * order + 2) ** 0.5
+    if isoparametric:
+        mesh.UnsetDeformation()
     if verbose:
         print("L2 Error:", l2error)
     return l2error
