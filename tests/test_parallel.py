@@ -99,3 +99,45 @@ def test_model_spmd_dof_sharded_matches_replicated():
                           tol=0.0)
     d1 = np.abs(np.asarray(x1_ref) - merge1(xi1, xs1)).max()
     assert d1 < 1e-12, d1
+
+
+def test_sharded_spacetime_assembly_matches():
+    """The space-time slab assembly shards like the stationary one: GSPMD
+    over the 8-device element axis reproduces the single-device slab matrix
+    (the moving-domain per-slab system, SURVEY §2.8 acceptance pattern)."""
+    from ngsxfem_tpu import (
+        CreateTimeRestrictedGF, ScalarTimeFE, SpaceTimeFESpace,
+        SpaceTimeInterpolateToP1, SymbolicFacetPatchBFI, dt, fix_t,
+        specialcf, tref,
+    )
+
+    def slab_matrix(shard):
+        mesh = MakeStructured2DMesh(quads=False, nx=8, ny=8)
+        V = H1(mesh, order=1, dgjumps=True)
+        st = SpaceTimeFESpace(V, ScalarTimeFE(1))
+        lset = GridFunction(st)
+        SpaceTimeInterpolateToP1(
+            sqrt((x - 0.4 - 0.2 * tref) ** 2 + (y - 0.5) ** 2) - 0.3,
+            tref, lset)
+        lset_bot = CreateTimeRestrictedGF(lset, 0.0)
+        if shard:
+            dm = device_mesh(devices=virtual_cpu_devices())
+            shard_mesh(mesh, dm)
+            shard_space(V, dm)
+            shard_space(st, dm)
+        u, v = st.TnT()
+        h = specialcf.mesh_size
+        a = BilinearForm(st)
+        a += SymbolicBFI({"levelset": lset, "domain_type": NEG},
+                         form=dt(u) * v + grad(u) * grad(v), time_order=2)
+        a += SymbolicBFI({"levelset": lset_bot, "domain_type": NEG},
+                         form=fix_t(u, 0) * fix_t(v, 0))
+        a += SymbolicFacetPatchBFI(
+            form=1.0 / (h * h) * (u - u.Other()) * (v - v.Other()),
+            time_order=1)
+        a.Assemble()
+        return np.asarray(a.mat.todense())
+
+    ref = slab_matrix(shard=False)
+    got = slab_matrix(shard=True)
+    assert np.abs(got - ref).max() < 1e-12
