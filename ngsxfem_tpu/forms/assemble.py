@@ -1197,6 +1197,68 @@ class BilinearForm:
         from ..utils.timing import Timer
 
         _t = Timer("BilinearForm::Assemble").Start()
+        elmats, static_rc, rc_cat = self._elmat_batches()
+
+        if rc_cat is not None:  # fast all-static path
+            vals = jnp.concatenate([m.reshape(-1) for m in elmats])
+            rows_cat, cols_cat = rc_cat
+        else:
+            vparts, rparts, cparts = [], [], []
+            for out_i, rc in zip(elmats, static_rc):
+                if rc is None:
+                    m, r, c = out_i
+                    vparts.append(m.reshape(-1))
+                    rparts.append(r.reshape(-1))
+                    cparts.append(c.reshape(-1))
+                else:
+                    vparts.append(out_i.reshape(-1))
+                    rparts.append(jnp.asarray(rc[0]))
+                    cparts.append(jnp.asarray(rc[1]))
+            vals = jnp.concatenate(vparts)
+            rows_cat = jnp.concatenate(rparts)
+            cols_cat = jnp.concatenate(cparts)
+        self.mat = SparseMatrix(
+            rows_cat, cols_cat, vals,
+            (self.space_v.ndof, self.space_u.ndof),
+        )
+        _t.Stop(vals)
+        return self
+
+    def AssembleOperator(self):
+        """Matrix-free (partial-assembly) alternative to :meth:`Assemble`:
+        runs the SAME compiled element-matrix program but returns a
+        :class:`~ngsxfem_tpu.solvers.operator.PartialAssemblyOperator`
+        applying ``y = A @ x`` directly from the per-element matrix batches
+        (gather -> batched MXU einsum -> scatter-add) without ever
+        materializing the global sparse matrix.
+
+        No reference counterpart (the reference always assembles through
+        NGSolve's sparse matrix); this is the TPU-native 'partial assembly'
+        operator path for high-order unfitted systems, where the batched
+        ``(E, nd, nd) x (E, nd)`` contraction maps onto the MXU and the
+        element batch is the only storage."""
+        from ..solvers.operator import PartialAssemblyOperator
+
+        elmats, static_rc, _ = self._elmat_batches()
+        parts = []
+        for out_i, rc in zip(elmats, static_rc):
+            if rc is None:  # dynamic facet entry: device (m, rows, cols)
+                m, r, c = out_i
+                E_, ndv, ndu = m.shape
+                parts.append((m, r[:, :, 0], c[:, 0, :]))
+            else:
+                E_, ndv, ndu = out_i.shape
+                dm_v = np.asarray(rc[0]).reshape(E_, ndv, ndu)[:, :, 0]
+                dm_u = np.asarray(rc[1]).reshape(E_, ndv, ndu)[:, 0, :]
+                parts.append((out_i, jnp.asarray(dm_v), jnp.asarray(dm_u)))
+        return PartialAssemblyOperator(
+            parts, (self.space_v.ndof, self.space_u.ndof))
+
+    def _elmat_batches(self):
+        """Run (or replay) the compiled assembly program: the list of
+        per-integral element-matrix batches plus their static scatter
+        structure — shared by :meth:`Assemble` (sparse-matrix scatter) and
+        :meth:`AssembleOperator` (matrix-free application)."""
         space = self.space
         space_u, space_v = self.space_u, self.space_v
         mesh = space.mesh
@@ -1334,31 +1396,7 @@ class BilinearForm:
         else:
             jfn, meta, static_rc, rc_cat = cached
             elmats = jfn(*slots.arrays())
-
-        if rc_cat is not None:  # fast all-static path
-            vals = jnp.concatenate([m.reshape(-1) for m in elmats])
-            rows_cat, cols_cat = rc_cat
-        else:
-            vparts, rparts, cparts = [], [], []
-            for out_i, rc in zip(elmats, static_rc):
-                if rc is None:
-                    m, r, c = out_i
-                    vparts.append(m.reshape(-1))
-                    rparts.append(r.reshape(-1))
-                    cparts.append(c.reshape(-1))
-                else:
-                    vparts.append(out_i.reshape(-1))
-                    rparts.append(jnp.asarray(rc[0]))
-                    cparts.append(jnp.asarray(rc[1]))
-            vals = jnp.concatenate(vparts)
-            rows_cat = jnp.concatenate(rparts)
-            cols_cat = jnp.concatenate(cparts)
-        self.mat = SparseMatrix(
-            rows_cat, cols_cat, vals,
-            (self.space_v.ndof, self.space_u.ndof),
-        )
-        _t.Stop(vals)
-        return self
+        return elmats, static_rc, rc_cat
 
     def _with_restriction(self, integral: Integral):
         """Apply the form-level restrictions (RestrictedBilinearForm,
