@@ -93,3 +93,61 @@ def test_operator_without_assemble():
     y_mat = np.asarray(a.mat.ell().matvec(xv))
     y_op = np.asarray(op.matvec(xv))
     assert np.abs(y_mat - y_op).max() < 1e-12 * max(1e-30, np.abs(y_mat).max())
+
+
+def test_operator_minres_stokes_saddle_point():
+    """Matrix-free MINRES on the cut Stokes saddle-point system: the
+    PartialAssemblyOperator composes with MinResSolver (abs-Jacobi
+    preconditioner from the operator's exact diagonal) and reproduces the
+    direct masked solve on the active dofs."""
+    from ngsxfem_tpu import (
+        CompoundBitArray, CoefficientFunction, FESpace, InnerProduct,
+        LinearForm, Norm, SymbolicLFI, VectorH1, div,
+    )
+    from ngsxfem_tpu.solvers.krylov import MinResSolver
+
+    mesh = MakeStructured2DMesh(quads=False, nx=8, ny=8,
+                                mapping=lambda a, b: (2 * a - 1, 2 * b - 1))
+    lsetp1 = GridFunction(H1(mesh, order=1))
+    InterpolateToP1(sqrt(x * x + y * y) - 0.7, lsetp1)
+    ci = CutInfo(mesh, lsetp1)
+    hasneg = ci.GetElementsOfType(HASNEG)
+    hasif = ci.GetElementsOfType(IF)
+    V = VectorH1(mesh, order=2, dgjumps=True)
+    Q = H1(mesh, order=1, dgjumps=True)
+    X = FESpace([V, Q])
+    (u, p), (v, q) = X.TnT()
+    h = specialcf.mesh_size
+    nl = 1.0 / Norm(grad(lsetp1)) * grad(lsetp1)
+    lam = 160 / h
+    ba = GetFacetsWithNeighborTypes(mesh, a=hasneg, b=hasif)
+    ln = {"levelset": lsetp1, "domain_type": NEG}
+    li = {"levelset": lsetp1, "domain_type": IF}
+    a = BilinearForm(X)
+    a += SymbolicBFI(ln, form=InnerProduct(grad(u), grad(v))
+                     - div(v) * p - div(u) * q, definedonelements=hasneg)
+    a += SymbolicBFI(li, form=-((grad(u) * nl) * v) - ((grad(v) * nl) * u)
+                     + lam * (u * v) + p * (nl * v) + q * (nl * u))
+    a += SymbolicFacetPatchBFI(
+        form=1.0 / (h * h) * ((u - u.Other()) * (v - v.Other())),
+        definedonelements=ba)
+    a += SymbolicFacetPatchBFI(
+        form=-0.1 * ((p - p.Other()) * (q - q.Other())),
+        definedonelements=ba)
+    a += SymbolicBFI(ln, form=-1e-8 * p * q, definedonelements=hasneg)
+    fl = LinearForm(X)
+    fl += SymbolicLFI(ln, form=CoefficientFunction((1.0, 0.5)) * v,
+                      definedonelements=hasneg)
+    a.Assemble()
+    fl.Assemble()
+    active = CompoundBitArray([GetDofsOfElements(V, hasneg),
+                               GetDofsOfElements(Q, hasneg)])
+    x_direct = np.asarray(a.mat.Inverse(active) * fl.vec.data)
+    op = a.AssembleOperator()
+    x_mr = np.asarray(
+        MinResSolver(op, maxsteps=20000, tol=1e-12, freedofs=active)
+        * np.asarray(fl.vec))
+    m = np.asarray(active)
+    rel = np.abs(x_direct - x_mr)[m].max() / max(
+        1e-30, np.abs(x_direct)[m].max())
+    assert rel < 1e-6, rel  # observed ~8e-9
