@@ -147,6 +147,14 @@ def dia_cg_fused(offsets, vals, b, dinv, iters, plane, interpret=False):
         x_ref[:] = x
         res_ref[0, 0] = jnp.sqrt(vdot(r, r))
 
+    # the default scoped-VMEM limit is ~16 MB; v5e cores physically carry
+    # far more, and at nx=48 the diagonal table + Krylov carries + roll
+    # temporaries need ~21 MB — raise the cap for this kernel only
+    try:
+        cparams = pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024)
+    except TypeError:  # older jax spelling
+        cparams = pltpu.TPUCompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024)
     x2, res = pl.pallas_call(
         kernel,
         out_shape=(jax.ShapeDtypeStruct((R, L), dt),
@@ -156,6 +164,7 @@ def dia_cg_fused(offsets, vals, b, dinv, iters, plane, interpret=False):
                   pl.BlockSpec(memory_space=pltpu.VMEM)],
         out_specs=(pl.BlockSpec(memory_space=pltpu.VMEM),
                    pl.BlockSpec(memory_space=pltpu.SMEM)),
+        compiler_params=cparams,
         interpret=interpret,
     )(vals_up, b2, dinv2)
     return x2.reshape(n), res[0, 0]
