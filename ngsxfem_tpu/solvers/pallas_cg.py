@@ -25,8 +25,10 @@ Key design points (docs/PERFORMANCE.md has the measured numbers):
   the f32-integrity rules in docs/PERFORMANCE.md).
 
 VMEM budget at nx=48 (n = 49^3 = 117,649; padded plane (56, 2432)):
-14 diagonals ~7.6 MB + b/dinv/x/r/z/p carries ~3.8 MB + temporaries —
-comfortably inside a 16 MB VMEM core.
+14 diagonals ~7.6 MB + b/dinv/x/r/z/p carries ~3.8 MB + roll temporaries
+~= 21 MB total — above the default ~16 MB scoped-VMEM limit, so the
+pallas_call requests ``vmem_limit_bytes=100 MB`` (v5e cores physically
+carry more than the default cap; Mosaic accepts the raise).
 """
 from __future__ import annotations
 
@@ -150,11 +152,10 @@ def dia_cg_fused(offsets, vals, b, dinv, iters, plane, interpret=False):
     # the default scoped-VMEM limit is ~16 MB; v5e cores physically carry
     # far more, and at nx=48 the diagonal table + Krylov carries + roll
     # temporaries need ~21 MB — raise the cap for this kernel only
-    try:
-        cparams = pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024)
-    except TypeError:  # older jax spelling
-        cparams = pltpu.TPUCompilerParams(
-            vmem_limit_bytes=100 * 1024 * 1024)
+    cls = getattr(pltpu, "CompilerParams", None) or \
+        getattr(pltpu, "TPUCompilerParams", None)
+    cparams = (cls(vmem_limit_bytes=100 * 1024 * 1024)
+               if cls is not None else None)
     x2, res = pl.pallas_call(
         kernel,
         out_shape=(jax.ShapeDtypeStruct((R, L), dt),

@@ -89,6 +89,22 @@ def test_fused_cg_reduces_residual():
     assert float(rf) < 0.05 * float(jnp.linalg.norm(b))
 
 
+def test_fused_cg_on_tpu_hardware():
+    """Non-interpret path: Mosaic lowering of the static-roll matvec, the
+    raised vmem_limit_bytes, and the SMEM scalar output — exercised on real
+    silicon.  Skipped on the CPU suite (conftest forces JAX_PLATFORMS=cpu);
+    run with the TPU backend live (bench.py runs the same check on-chip)."""
+    if jax.devices()[0].platform != "tpu":
+        pytest.skip("requires a real TPU backend (suite runs on CPU)")
+    _, offs, V, b, dinv, k0 = _setup(6)
+    xr, _, rr = cg(lambda x: dia_matvec(offs, V, x), b,
+                   M=lambda r: dinv * r, maxiter=25, tol=0.0)
+    xf, rf = pallas_cg.dia_cg_fused(offs, V, b, dinv, 25, plane=7 * 7)
+    rel = float(jnp.linalg.norm(xr - xf) / jnp.maximum(
+        jnp.linalg.norm(xr), 1e-30))
+    assert rel < 5e-4, rel
+
+
 def test_fused_cg_rejects_asymmetric_offsets():
     with pytest.raises(ValueError):
         pallas_cg._upper([-1, 0, 2])
