@@ -470,10 +470,11 @@ def _facet_patch_ctx(integral: Integral, mesh, order, dyn=None, fids=None):
         tol = 1e4 * jnp.finfo(xr.dtype).eps * jnp.maximum(h, 1e-30)
         conv = err <= tol
         if config.newton_debug:
-            jax.debug.print(
-                "facet-patch Newton: {n} / {t} points non-converged "
-                "(falling back to the affine patch map there)",
-                n=jnp.sum(~conv), t=conv.size)
+            from ..utils.diagnostics import emit_nonconverged
+
+            emit_nonconverged("facet-patch Newton map",
+                              "the affine patch map",
+                              jnp.sum(~conv), conv.size)
         return jnp.where(conv[..., None], xr, xr0)
 
     pts1_in_2 = other_refpts(coords1, e1, coords2, e2, base)

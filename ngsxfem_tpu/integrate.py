@@ -426,9 +426,13 @@ def Integrate(levelset_domain=None, cf=None, mesh=None, order=5,
     if cf is None or mesh is None:
         raise TypeError("Integrate needs cf and mesh")
     if region_wise:
-        raise NotImplementedError(
-            "region_wise integration is not supported (meshes carry no "
-            "material regions); use element_wise=True and reduce per region")
+        # per-material sums in mesh.GetMaterials() order (reference passes
+        # region_wise through to NGSolve materials, python/__init__.py:358):
+        # computed as the element_wise vector reduced by material id
+        if element_wise:
+            raise ValueError(
+                "region_wise and element_wise are mutually exclusive")
+        element_wise = True
     cf = wrap(cf)
     if cf.has_proxy:
         raise TypeError("cannot Integrate an expression containing trial/test functions")
@@ -524,6 +528,13 @@ def Integrate(levelset_domain=None, cf=None, mesh=None, order=5,
             fn = jax.jit(_impl)
             _INT_CACHE[sig] = fn
         out = fn(*slots.arrays())
+        if region_wise:
+            import numpy as np
+
+            ew = np.asarray(out)
+            ids = mesh.mat_of_el_np
+            return np.array([float(ew[ids == i].sum())
+                             for i in np.unique(ids)])
         return out if element_wise else float(out)
     finally:
         if deformation is not None:

@@ -234,11 +234,14 @@ class LevelSetMeshAdaptation:
         if float(res) > 1e-6:
             import warnings
 
+            from ..utils.diagnostics import NewtonNonConvergenceWarning
+
             warnings.warn(
                 f"isoparametric shift Newton did not fully converge "
                 f"(max |phi-goal|/h = {float(res):.2e}); the deformation is "
                 f"threshold-clamped but may be less accurate (cf. reference "
-                f"warning + fallback, symboliccutbfi.cpp:1184-1192)")
+                f"warning + fallback, symboliccutbfi.cpp:1184-1192)",
+                NewtonNonConvergenceWarning)
         deform._set_array(vec)
         return deform
 

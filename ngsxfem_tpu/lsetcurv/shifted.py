@@ -86,12 +86,11 @@ class ShiftedEvalCF(CF):
         from ..config import config as _cfg
 
         if _cfg.newton_debug:
-            import jax
+            from ..utils.diagnostics import emit_nonconverged
 
-            jax.debug.print(
-                "shifted_eval Newton: {n} / {t} points non-converged "
-                "(falling back to the unshifted point there)",
-                n=jnp.sum(~conv), t=conv.size)
+            emit_nonconverged("shifted_eval Newton",
+                              "the unshifted point",
+                              jnp.sum(~conv), conv.size)
         yhat = jnp.where(conv[..., None], yhat, xhat)
 
         from ..cf.context import EvalCtx

@@ -36,13 +36,16 @@ def _fix_orientation(et: str, vertices: np.ndarray, elements: np.ndarray):
 
 
 def MeshFromArrays(et: str, vertices, elements, bc_of_facet=None,
-                   bc_names=None, fix_orientation=True):
+                   bc_names=None, fix_orientation=True, mat_of_el=None,
+                   mat_names=None):
     """Build a Mesh from raw arrays (the "bring your own mesh" entry).
 
     vertices (nv, d) float, elements (ne, nvel) int (single element type
     ``et`` in {"segm","trig","quad","tet","hex"}); ``bc_of_facet`` may be
     a per-facet id array (built after facet enumeration) or a dict
-    {sorted-vertex-tuple: bc_id} for boundary facets.
+    {sorted-vertex-tuple: bc_id} for boundary facets.  ``mat_of_el``
+    ((ne,) 1-based material ids) and ``mat_names`` ({id: name}) define
+    material regions (``mesh.Materials`` / ``Integrate(region_wise=True)``).
     """
     vertices = np.asarray(vertices, dtype=np.float64)
     elements = np.asarray(elements, dtype=np.int32).copy()
@@ -53,7 +56,8 @@ def MeshFromArrays(et: str, vertices, elements, bc_of_facet=None,
     if fix_orientation:
         _fix_orientation(et, vertices, elements)
     bc_arr = bc_of_facet if not isinstance(bc_of_facet, dict) else None
-    m = Mesh(et, vertices, elements, bc_of_facet=bc_arr, bc_names=bc_names)
+    m = Mesh(et, vertices, elements, bc_of_facet=bc_arr, bc_names=bc_names,
+             mat_of_el=mat_of_el, mat_names=mat_names)
     if isinstance(bc_of_facet, dict):
         bc = np.zeros(m.nfacets, dtype=np.int32)
         keys = {tuple(sorted(int(x) for x in k)): int(v)
@@ -102,7 +106,9 @@ def ReadGmsh(path):
             n = int(lines[i + 1])
             for j in range(n):
                 parts = lines[i + 2 + j].split(None, 2)
-                phys_names[int(parts[1])] = parts[2].strip().strip('"')
+                # gmsh physical tags are namespaced PER DIMENSION
+                phys_names[(int(parts[0]), int(parts[1]))] = \
+                    parts[2].strip().strip('"')
             i += n + 3
         elif line == "$Nodes":
             n = int(lines[i + 1])
@@ -162,6 +168,14 @@ def ReadGmsh(path):
     elements = np.array(
         [[id2new[v] for v in verts] for _, verts in by_et[cell_et]],
         dtype=np.int32)
+    # material ids from the cells' physical tags (gmsh physical VOLUMES /
+    # surfaces in 2D; reference analog: NGSolve materials consumed by
+    # Integrate(region_wise=True), python/__init__.py:358)
+    cell_tags = np.array([tag for tag, _ in by_et[cell_et]], dtype=np.int32)
+    mat_of_el = np.where(cell_tags > 0, cell_tags, 1)
+    mat_names = {int(t): phys_names[(dim, int(t))]
+                 for t in np.unique(mat_of_el)
+                 if (dim, int(t)) in phys_names}
 
     # boundary ids from facet-dimension elements (keyed by vertex tuple)
     bc_map = {}
@@ -173,9 +187,12 @@ def ReadGmsh(path):
                 continue  # facet of dropped (orphan-node) geometry
             key = tuple(sorted(id2new[v] for v in verts))
             bc_map[key] = tag if tag > 0 else 1
+    bc_names = {int(t): nm for (d_, t), nm in phys_names.items()
+                if d_ == dim - 1}
     return MeshFromArrays(cell_et, vertices, elements,
                           bc_of_facet=bc_map or None,
-                          bc_names=phys_names or None)
+                          bc_names=bc_names or None,
+                          mat_of_el=mat_of_el, mat_names=mat_names or None)
 
 
 def WriteGmsh(mesh: Mesh, path):
@@ -199,9 +216,9 @@ def WriteGmsh(mesh: Mesh, path):
             f.write(f"{eid} {fid} 2 {tag} {tag} {vs}\n")
             eid += 1
         cid = _GMSH_ID[mesh.et]
-        for el in mesh.elements_np:
+        for el, mt in zip(mesh.elements_np, mesh.mat_of_el_np):
             vs = " ".join(str(int(v) + 1) for v in el)
-            f.write(f"{eid} {cid} 2 0 0 {vs}\n")
+            f.write(f"{eid} {cid} 2 {int(mt)} {int(mt)} {vs}\n")
             eid += 1
         f.write("$EndElements\n")
 

@@ -50,11 +50,32 @@ EDGE_VERTS = {
 }
 
 
+class Region:
+    """A named element subset of a mesh (NGSolve ``Region`` analog, VOL
+    only): the result of ``mesh.Materials(pattern)``.  Carries the element
+    mask and the matched material names."""
+
+    def __init__(self, mesh, mask, names):
+        self.mesh = mesh
+        self.mask = np.asarray(mask, dtype=bool)
+        self.names = tuple(names)
+
+    def VB(self):
+        return "VOL"
+
+    def Mask(self):
+        return self.mask
+
+    def __repr__(self):
+        return f"Region(VOL, {'|'.join(self.names)})"
+
+
 class Mesh:
     """A single-element-type unstructured mesh held as flat arrays."""
 
     def __init__(self, et: str, vertices: np.ndarray, elements: np.ndarray,
-                 bc_of_facet=None, bc_names=None):
+                 bc_of_facet=None, bc_names=None, mat_of_el=None,
+                 mat_names=None):
         self.et = et
         self.dim = ET_DIM[et]
         self.nvel = ET_NVERT[et]
@@ -68,6 +89,14 @@ class Mesh:
             bc_of_facet = np.where(self.facet2el_np[:, 1] < 0, 1, 0).astype(np.int32)
         self.bc_of_facet_np = np.asarray(bc_of_facet, dtype=np.int32)
         self.bc_names = bc_names or {}
+        # material ids per element (1-based like NGSolve; reference passes
+        # region_wise through to NGSolve materials, python/__init__.py:358)
+        if mat_of_el is None:
+            mat_of_el = np.ones(self.ne, dtype=np.int32)
+        self.mat_of_el_np = np.asarray(mat_of_el, dtype=np.int32)
+        if self.mat_of_el_np.shape != (self.ne,):
+            raise ValueError("mat_of_el must be (ne,)")
+        self.mat_names = dict(mat_names) if mat_names else {}
         # periodic facet identification (boundary facet -> partner facet on
         # the opposite periodic side, -1 if none); set by mesh builders with
         # periodic=..., consumed by the facet set algebra
@@ -124,6 +153,34 @@ class Mesh:
         self.facet2el_np = f2e
         self.facet2elloc_np = f2eloc
         self.boundary_facets_np = np.nonzero(f2e[:, 1] < 0)[0].astype(np.int32)
+
+    # -- material regions ----------------------------------------------------
+    def GetMaterials(self):
+        """Material names in ascending id order (unnamed ids get
+        ``"mat<i>"``), NGSolve ``mesh.GetMaterials()`` analog."""
+        ids = np.unique(self.mat_of_el_np)
+        return tuple(self.mat_names.get(int(i), f"mat{int(i)}")
+                     for i in ids)
+
+    def Materials(self, pattern):
+        """Element :class:`Region` of the materials whose name fully
+        matches the regex ``pattern`` (NGSolve semantics; ``"a|b"``
+        unions)."""
+        import re
+
+        ids = np.unique(self.mat_of_el_np)
+        names = {int(i): self.mat_names.get(int(i), f"mat{int(i)}")
+                 for i in ids}
+        sel = [i for i, nm in names.items() if re.fullmatch(pattern, nm)]
+        mask = np.isin(self.mat_of_el_np, np.asarray(sel, dtype=np.int32))
+        return Region(self, mask, [names[i] for i in sel])
+
+    def GetBoundaries(self):
+        """Boundary-condition names in ascending id order (``"bc<i>"`` for
+        unnamed ids), NGSolve ``mesh.GetBoundaries()`` analog."""
+        ids = np.unique(self.bc_of_facet_np[self.boundary_facets_np])
+        return tuple(self.bc_names.get(int(i), f"bc{int(i)}")
+                     for i in ids if i > 0)
 
     # -- refinement ----------------------------------------------------------
     def Refine(self, marks=None):

@@ -213,6 +213,84 @@ def test_newton_fallback_pathological_deformation():
     assert np.isfinite(val)
 
 
+def test_newton_nonconvergence_warnings_trigger():
+    """The non-convergence DIAGNOSTICS actually fire (VERDICT r3 item 7 /
+    r2 item 8: the warnings existed but nothing triggered them): with
+    ``config.newton_debug`` on, a pathological deformation provably fails
+    the fixed-iteration facet-patch map and shifted_eval point search, the
+    NewtonNonConvergenceWarning is raised from the running program, and the
+    documented fallback still produces finite results."""
+    import warnings
+
+    import jax
+
+    from ngsxfem_tpu import Integrate, SymbolicFacetPatchBFI, specialcf
+    from ngsxfem_tpu.config import config
+    from ngsxfem_tpu.lsetcurv.shifted import shifted_eval
+    from ngsxfem_tpu.utils.diagnostics import NewtonNonConvergenceWarning
+
+    # nx=5: a signature no other test assembles, so the debug-flagged
+    # trace is fresh (the assembly program cache is signature-keyed)
+    mesh = MakeStructured2DMesh(quads=False, nx=5, ny=5)
+    Vd = VectorH1(mesh, order=2)
+    deform = GridFunction(Vd)
+    rng = np.random.default_rng(0)
+    # displacement ~5x the mesh size, randomly folded: Newton cannot
+    # converge for a large fraction of the patch points
+    deform.vec.data = jnp.asarray(rng.normal(scale=1.25, size=Vd.ndof))
+
+    config.newton_debug = True
+    try:
+        V = H1(mesh, order=1, dgjumps=True)
+        u, v = V.TnT()
+        a = BilinearForm(V)
+        a += SymbolicBFI(form=u * v)
+        h = specialcf.mesh_size
+        a += SymbolicFacetPatchBFI(
+            form=1.0 / (h * h) * (u - u.Other()) * (v - v.Other()),
+            deformation=deform)
+        with pytest.warns(NewtonNonConvergenceWarning,
+                          match="facet-patch Newton map"):
+            a.Assemble()
+            A = np.asarray(a.mat.todense())
+            jax.effects_barrier()  # flush the debug callback
+        assert np.all(np.isfinite(A))
+
+        gf = GridFunction(H1(mesh, order=2))
+        gf.Set(x * x + y)
+        with pytest.warns(NewtonNonConvergenceWarning,
+                          match="shifted_eval Newton"):
+            val = Integrate(cf=shifted_eval(gf, back=deform), mesh=mesh,
+                            order=3)
+            jax.effects_barrier()
+        assert np.isfinite(val)
+    finally:
+        config.newton_debug = False
+
+
+def test_isoparametric_shift_warning_trigger():
+    """The isoparametric-shift Newton warning (lsetcurv.py, reference
+    symboliccutbfi.cpp:1184-1192 analog) fires on a level set whose
+    gradient degenerates on the zero line, and the resulting deformation is
+    still finite and threshold-clamped (the documented fallback)."""
+    from ngsxfem_tpu import LevelSetMeshAdaptation, sin
+    from ngsxfem_tpu.utils.diagnostics import NewtonNonConvergenceWarning
+
+    mesh = MakeStructured2DMesh(quads=False, nx=5, ny=5)
+    threshold = 10.0
+    lsa = LevelSetMeshAdaptation(mesh, order=3, threshold=threshold)
+    # (x-1/2)^3: zero gradient ON the interface -> the fixed-iteration
+    # nodal Newton stalls; the sin(40y) term keeps the band 2D-cut
+    with pytest.warns(NewtonNonConvergenceWarning,
+                      match="isoparametric shift"):
+        deform = lsa.CalcDeformation((x - 0.5) ** 3 + 0.01 * sin(40 * y))
+    d = np.asarray(deform._arr if hasattr(deform, "_arr") else
+                   deform.vec.data).reshape(-1)
+    assert np.all(np.isfinite(d))
+    h = 1.0 / 5
+    assert np.max(np.abs(d)) <= threshold * h + 1e-12
+
+
 def test_moving_band_no_recompile():
     """A moving interface with per-step re-marked element + ghost-penalty
     facet selections reuses the compiled assembly program: constant jit-cache

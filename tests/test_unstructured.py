@@ -211,3 +211,81 @@ $EndElements
     ets = sorted(sm.et for sm in m.submeshes)
     assert ets == ["quad", "trig"]
     assert m.ne == 3 and m.nv == 6
+
+
+def test_material_regions_and_region_wise(tmp_path):
+    """Material regions + Integrate(region_wise=True) (VERDICT r3 item 8;
+    reference passes region_wise through to NGSolve materials,
+    python/__init__.py:281,358): per-region sums, Materials() regex,
+    Gmsh material-tag round trip."""
+    base = MakeStructured2DMesh(quads=False, nx=4, ny=4)
+    cent = base.vertices_np[base.elements_np].mean(1)
+    mat = np.where(cent[:, 0] < 0.5, 1, 2).astype(np.int32)
+    m = MeshFromArrays("trig", base.vertices_np, base.elements_np,
+                       mat_of_el=mat, mat_names={1: "left", 2: "right"})
+    assert m.GetMaterials() == ("left", "right")
+    assert m.Materials("left").Mask().sum() == int((mat == 1).sum())
+    assert m.Materials("left|right").Mask().all()
+    assert m.Materials("nomatch").Mask().sum() == 0
+
+    vols = Integrate(cf=1.0, mesh=m, order=1, region_wise=True)
+    assert np.allclose(vols, [0.5, 0.5], atol=1e-12)
+
+    # region_wise on a CUT integral: NEG = {x < 0.25} lies entirely in
+    # material "left"
+    lsgf = _p1(m, x - 0.25)
+    sums = Integrate({"levelset": lsgf, "domain_type": NEG}, cf=1.0,
+                     mesh=m, order=0, region_wise=True)
+    assert np.allclose(sums, [0.25, 0.0], atol=1e-12)
+    tot = Integrate({"levelset": lsgf, "domain_type": NEG}, cf=1.0,
+                    mesh=m, order=0)
+    assert abs(float(sums.sum()) - tot) < 1e-12
+
+    with pytest.raises(ValueError):
+        Integrate(cf=1.0, mesh=m, order=1, region_wise=True,
+                  element_wise=True)
+
+    # Gmsh round trip preserves the material partition
+    p = str(tmp_path / "mat.msh")
+    WriteGmsh(m, p)
+    m2 = ReadGmsh(p)
+    assert (np.sort(m2.mat_of_el_np) == np.sort(mat)).all()
+    vols2 = Integrate(cf=1.0, mesh=m2, order=1, region_wise=True)
+    assert np.allclose(np.sort(vols2), [0.5, 0.5], atol=1e-12)
+
+
+def test_gmsh_physical_names_by_dimension(tmp_path):
+    """$PhysicalNames tags are namespaced per dimension: 2D names become
+    materials, 1D names become boundary names — no cross-talk."""
+    msh = """$MeshFormat
+2.2 0 8
+$EndMeshFormat
+$PhysicalNames
+3
+2 1 "steel"
+2 2 "air"
+1 1 "bottom"
+$EndPhysicalNames
+$Nodes
+4
+1 0 0 0
+2 1 0 0
+3 1 1 0
+4 0 1 0
+$EndNodes
+$Elements
+3
+1 2 2 1 1 1 2 3
+2 2 2 2 2 1 3 4
+3 1 2 1 1 1 2
+$EndElements
+"""
+    p = str(tmp_path / "named.msh")
+    with open(p, "w") as f:
+        f.write(msh)
+    m = ReadGmsh(p)
+    assert m.GetMaterials() == ("steel", "air")
+    assert (m.Materials("steel").Mask() == np.array([True, False])).all()
+    assert "bottom" in m.GetBoundaries()
+    vols = Integrate(cf=1.0, mesh=m, order=1, region_wise=True)
+    assert np.allclose(vols, [0.5, 0.5], atol=1e-12)
