@@ -80,6 +80,12 @@ SOLVE_TOL = 1e-10      # asserted on the TRUE f64 residual of the IR solve
 # TPU v5e single-chip peaks (public spec / jax-ml scaling book)
 V5E_PEAK_BF16_FLOPS = 197e12
 V5E_HBM_BYTES_PER_SEC = 819e9
+# amortized-scan feedback scale: REPRESENTABLE in f32 (round-3 review: 1e-30
+# rounds to zero against O(1) level-set values, making the 8 iterations
+# numerically identical; 1e-6 keeps them distinct while leaving the measured
+# workload unchanged — the data dependency is now numerical, not just
+# structural)
+SCAN_FEEDBACK = 1e-6
 
 
 def _hb(msg):
@@ -168,8 +174,11 @@ def _build_fast(dtype, nx):
     def pipeline_k_fn(vertices, lset, b, dd):
         def body(lset_c, _):
             x, res, n = pipeline_fn(vertices, lset_c, b, dd)
-            # 1e-30-scaled feedback: numerically nil, not foldable by XLA
-            lset_next = lset_c + jnp.asarray(1e-30, lset_c.dtype) * \
+            # representable feedback: each iteration sees a (numerically)
+            # different level set, so the chain cannot be folded OR
+            # deduplicated; 1e-6 * O(1) solution values perturb the lset by
+            # ~1e-6 h — workload-identical, value-distinct
+            lset_next = lset_c + jnp.asarray(SCAN_FEEDBACK, lset_c.dtype) * \
                 x[:lset_c.shape[0]].astype(lset_c.dtype)
             return lset_next, res
         lset_f, ress = jax.lax.scan(body, lset, None, length=SCAN_K)
@@ -197,15 +206,23 @@ def _build_fast(dtype, nx):
     b = jnp.asarray(b_np, dtype=dtype)
     funcs = dict(assemble=assemble_fn, pcg=pcg_fn, pipeline=pipeline_fn,
                  pipeline_k=pipeline_k_fn, ir=ir_solve_fn, f64cg=f64cg_fn)
-    return model, funcs, b, dd
+    return model, funcs, b, dd, {"offs": offs, "k0": k0}
 
 
-def bench_pipeline(dtype, nx, reps, scan=True, ir=True, ir_assert=True):
+def bench_pipeline(dtype, nx, reps, scan=True, ir=True, ir_assert=True,
+                   publish=None):
+    """Fast-path pipeline stage, CHEAPEST-VERIFIED-FIRST: assemble ->
+    fixed-budget PCG -> fused per-call pipeline (headline-capable within
+    minutes) -> amortized scan -> IR converged solve.  ``publish(out)`` is
+    called after EVERY measurement so a mid-stage tunnel wedge still leaves
+    the completed numbers in the partial record."""
+    pub = publish or (lambda o: None)
     _hb(f"pipeline stage: build nx={nx} {jnp.dtype(dtype).name}")
-    model, F, b, dd = _build_fast(dtype, nx)
+    model, F, b, dd, meta = _build_fast(dtype, nx)
     assemble = jax.jit(F["assemble"])
     pipeline = jax.jit(F["pipeline"])
     v, l = model.vertices, model.lset
+    out = {"ne": model.mesh.ne, "ndof": model.ndof}
 
     _hb("pipeline stage: compile+first assemble")
     V, n_dev = assemble(v, l, dd)
@@ -213,21 +230,36 @@ def bench_pipeline(dtype, nx, reps, scan=True, ir=True, ir_assert=True):
 
     _hb("pipeline stage: timing assemble")
     t_asm, _ = _time(assemble, v, l, dd, reps=reps)
+    out["asm_elts_per_sec"] = model.mesh.ne / t_asm
+    pub(out)
     _hb("pipeline stage: timing pcg")
     t_slv, (xs, res) = _time(jax.jit(F["pcg"]), V, b, reps=reps)
+    out["solve_iters_per_sec"] = CG_ITERS / t_slv
+    out["_ctx"] = dict(model=model, V=V, b=b, xs=xs, res=res,
+                       offs=meta["offs"], k0=meta["k0"],
+                       solve_iters_per_sec=CG_ITERS / t_slv)
+    pub(out)
     _hb("pipeline stage: timing fused pipeline")
     t_pipe, (_, res_p, _) = _time(pipeline, v, l, b, dd, reps=reps)
 
     r0 = float(jnp.linalg.norm(b))
-    out = {
-        "ne": model.mesh.ne,
-        "ndof": model.ndof,
-        "asm_elts_per_sec": model.mesh.ne / t_asm,
-        "solve_iters_per_sec": CG_ITERS / t_slv,
+    out.update({
         "pipe_elts_per_sec": model.mesh.ne / t_pipe,
         "cg50_rel_residual": float(res_p) / r0,
         "t_pipe": t_pipe,
-    }
+    })
+    pub(out)
+    if scan:
+        # amortized scan directly after the per-call number: the two
+        # headline rates land before the (slower) converged-solve stages
+        _hb(f"pipeline stage: timing amortized scan K={SCAN_K}")
+        pipeline_k = jax.jit(F["pipeline_k"])
+        t_k, (_, ress) = _time(pipeline_k, v, l, b, dd,
+                               reps=max(2, reps - 1))
+        out["t_pipe_k"] = t_k
+        out["scan_k"] = SCAN_K
+        out["amortized_pipe_elts_per_sec"] = model.mesh.ne * SCAN_K / t_k
+        pub(out)
     if ir:
         _hb("pipeline stage: timing IR converged solve")
         t_ir, (x64, res64) = _time(jax.jit(F["ir"]), V, b, reps=reps)
@@ -242,6 +274,7 @@ def bench_pipeline(dtype, nx, reps, scan=True, ir=True, ir_assert=True):
         out["ir_solve_seconds"] = t_ir
         out["ir_true_rel_residual"] = rel
         out["converged_pipe_elts_per_sec"] = model.mesh.ne / (t_asm + t_ir)
+        pub(out)
         if not ir_assert and rel > SOLVE_TOL:
             _hb("pipeline stage: IR stalled -> native-f64 PCG fallback")
             t_cg, (_, k64, res_cg) = _time(jax.jit(F["f64cg"]), V, b,
@@ -251,14 +284,7 @@ def bench_pipeline(dtype, nx, reps, scan=True, ir=True, ir_assert=True):
             out["f64cg_rel_residual"] = float(res_cg) / r0
             out["converged_pipe_elts_per_sec"] = \
                 model.mesh.ne / (t_asm + t_cg)
-    if scan:
-        _hb(f"pipeline stage: timing amortized scan K={SCAN_K}")
-        pipeline_k = jax.jit(F["pipeline_k"])
-        t_k, (_, ress) = _time(pipeline_k, v, l, b, dd,
-                               reps=max(2, reps - 1))
-        out["t_pipe_k"] = t_k
-        out["scan_k"] = SCAN_K
-        out["amortized_pipe_elts_per_sec"] = model.mesh.ne * SCAN_K / t_k
+            pub(out)
     return out
 
 
@@ -338,6 +364,136 @@ def bench_mg_solve(dtype, nx, reps):
     }
 
 
+def bench_pallas_cg(ctx, reps):
+    """Fused VMEM-resident Pallas PCG (solvers/pallas_cg.dia_cg_fused) on
+    the REAL chip: same operator, same fixed budget as the XLA DIA PCG the
+    pipeline stage timed — solutions compared (f32 reduction-order roundoff
+    apart), per-iteration time recorded next to the XLA path's.  A Mosaic
+    rejection (VMEM cap, roll lowering, SMEM out-spec) is recorded as the
+    error string, not raised."""
+    from ngsxfem_tpu.solvers.pallas_cg import dia_cg_fused
+
+    model, V, b = ctx["model"], ctx["V"], ctx["b"]
+    offs, k0 = ctx["offs"], ctx["k0"]
+    plane = (model.nx + 1) ** 2
+    dinv = jnp.where(jnp.abs(V[k0]) > 1e-30, 1.0 / V[k0], 1.0)
+    fused = jax.jit(lambda V, b, dinv: dia_cg_fused(
+        offs, V, b, dinv, CG_ITERS, plane))
+    t_f, (xf, rf) = _time(fused, V, b, dinv, reps=reps)
+    xr, rr = ctx["xs"], ctx["res"]
+    nrm = float(jnp.linalg.norm(xr)) or 1.0
+    rel = float(jnp.linalg.norm(xf - xr)) / nrm
+    t_xla_iter = (1.0 / ctx["solve_iters_per_sec"]
+                  if ctx.get("solve_iters_per_sec") else None)
+    return {
+        "iters": CG_ITERS,
+        "seconds": t_f,
+        "per_iter_seconds": t_f / CG_ITERS,
+        "xla_dia_per_iter_seconds": t_xla_iter,
+        "speedup_vs_xla_dia": (t_xla_iter / (t_f / CG_ITERS)
+                               if t_xla_iter else None),
+        "rel_diff_vs_xla": rel,
+        "residual_fused": float(rf),
+        "residual_xla": float(rr),
+        "agrees_f32": rel < 5e-3,
+        "interpret": False,
+    }
+
+
+def bench_high_order(nx, orders, reps, budget_left):
+    """Order-2/3 3D isoparametric fictitious-domain Poisson — the
+    reference's actual operating point (py_tutorials/fictdom_ghostpen.py,
+    symboliccutbfi.cpp:246-276 blocked B.D.Bt) — through the PUBLIC
+    two-tier ``BilinearForm.Assemble`` and the matrix-free
+    ``AssembleOperator``: per-stage rates, assembled-vs-matrix-free A/B,
+    and an on-chip f32 integrity probe (operator symmetry error — the
+    round-3 failure mode was bf16-pass einsums breaking symmetry)."""
+    from ngsxfem_tpu import (
+        MakeStructured3DMesh, H1, GridFunction, InterpolateToP1, CutInfo,
+        HASNEG, IF, NEG, BilinearForm, SymbolicBFI, SymbolicFacetPatchBFI,
+        GetFacetsWithNeighborTypes, GetDofsOfElements, grad, specialcf,
+        Norm, sqrt, x, y, z, LevelSetMeshAdaptation,
+    )
+    from ngsxfem_tpu.solvers.krylov import cg
+
+    out = {}
+    for order in orders:
+        if budget_left() < 300:
+            out[f"order{order}"] = {"skipped": "bench budget exhausted"}
+            continue
+        _hb(f"high-order stage: order {order} (nx={nx}, isoparametric)")
+        mesh = MakeStructured3DMesh(
+            hexes=False, nx=nx, ny=nx, nz=nx,
+            mapping=lambda a, b, c: (2 * a - 1, 2 * b - 1, 2 * c - 1))
+        r = sqrt(x * x + y * y + z * z)
+        lsa = LevelSetMeshAdaptation(mesh, order=order, threshold=0.2,
+                                     discontinuous_qn=True)
+        lsa.CalcDeformation(r - 0.7)
+        lsetp1 = lsa.lset_p1
+        mesh.SetDeformation(lsa.deform)
+        try:
+            ci = CutInfo(mesh, lsetp1)
+            hasneg = ci.GetElementsOfType(HASNEG)
+            hasif = ci.GetElementsOfType(IF)
+            Vh = H1(mesh, order=order, dgjumps=True)
+            ba_facets = GetFacetsWithNeighborTypes(mesh, a=hasneg, b=hasif)
+            nl = 1.0 / Norm(grad(lsetp1)) * grad(lsetp1)
+            u, v = Vh.TnT()
+            h = specialcf.mesh_size
+            lam = 10.0 * order * order
+            a = BilinearForm(Vh)
+            a += SymbolicBFI({"levelset": lsetp1, "domain_type": NEG},
+                             form=grad(u) * grad(v),
+                             definedonelements=hasneg)
+            a += SymbolicBFI({"levelset": lsetp1, "domain_type": IF},
+                             form=-(grad(u) * nl) * v - (grad(v) * nl) * u
+                             + lam / h * u * v)
+            a += SymbolicFacetPatchBFI(
+                form=0.1 / (h * h) * (u - u.Other()) * (v - v.Other()),
+                definedonelements=ba_facets)
+            a.Assemble()  # compile
+            t_asm, _ = _time(lambda: (a.Assemble(), a.mat.vals)[1],
+                             reps=reps)
+            op = a.AssembleOperator()
+            dt = a.mat.vals.dtype
+            x1 = jnp.cos(jnp.arange(Vh.ndof, dtype=dt))
+            t_mv, _ = _time(op.matvec, x1, reps=reps)
+            # f32 integrity: the continuous form is symmetric, so
+            # |u.Av - v.Au| / |u.Av| measures on-chip evaluation error
+            y1 = jnp.sin(jnp.arange(Vh.ndof, dtype=dt))
+            uav = float(jnp.vdot(x1, op.matvec(y1)))
+            vau = float(jnp.vdot(y1, op.matvec(x1)))
+            sym_err = abs(uav - vau) / max(abs(uav), 1e-30)
+            # matrix-free 50-iteration Jacobi-PCG
+            d = op.diagonal()
+            dinv = jnp.where(jnp.abs(d) > 1e-30, 1.0 / d, 1.0)
+            active = np.asarray(GetDofsOfElements(Vh, hasneg), dtype=bool)
+            b = jnp.asarray(np.where(active, 1.0, 0.0), dtype=dt)
+            solve = jax.jit(lambda b: cg(op.matvec, b,
+                                         M=lambda r_: dinv * r_,
+                                         maxiter=CG_ITERS, tol=0.0))
+            t_cg, (_, _, res) = _time(solve, b, reps=max(2, reps - 1))
+            ne = mesh.ne
+            out[f"order{order}"] = {
+                "nx": nx, "ne": ne, "ndof": Vh.ndof,
+                "public_assemble_elts_per_sec": ne / t_asm,
+                "public_assemble_seconds": t_asm,
+                "matfree_matvec_seconds": t_mv,
+                "matfree_cg50_seconds": t_cg,
+                "matfree_cg50_rel_residual":
+                    float(res) / (float(jnp.linalg.norm(b)) or 1.0),
+                "matfree_bytes": op.nbytes(),
+                "assembled_nnz_bytes": int(a.mat.vals.size
+                                           * a.mat.vals.dtype.itemsize),
+                "symmetry_rel_err": sym_err,
+            }
+        except Exception as e:
+            out[f"order{order}"] = {"error": f"{type(e).__name__}: {e}"[:300]}
+        finally:
+            mesh.UnsetDeformation()
+    return out
+
+
 def main():
     nx = int(os.environ.get("BENCH_NX", "48"))
     reps = int(os.environ.get("BENCH_REPS", "3"))
@@ -355,7 +511,7 @@ def main():
 
     if os.environ.get("BENCH_INNER_COST") == "1":
         # XLA cost model of the EXACT pipeline program
-        model, F, b, dd = _build_fast(jnp.float32, nx)
+        model, F, b, dd, _meta = _build_fast(jnp.float32, nx)
         out = {}
         for name, fn, args in (
             ("assemble", F["assemble"], (model.vertices, model.lset, dd)),
@@ -377,53 +533,199 @@ def main():
     def budget_left():
         return budget - (time.perf_counter() - t_start)
 
-    # fail FAST on a dead or wedged tunnel: even BACKEND INIT can hang
-    # (jax.devices() never returns — observed 2026-08-18), and a hung D2H
-    # read blocks in C, uninterruptible in-process.  So before the FIRST
-    # in-process jax call that can touch the device, probe an identical
-    # init+read in a SUBPROCESS with a hard timeout — otherwise the only
-    # record the driver gets is the budget+120s watchdog line ~47 minutes
-    # later.  Guard on the env (not jax.devices(): that IS the hang).
-    if os.environ.get("JAX_PLATFORMS", "") != "cpu":
-        _hb("tunnel probe (subprocess first D2H read)")
+    _PARTIAL.update({
+        "metric": "3d_fictdom_pipeline_throughput",
+        "value": 0.0, "unit": "elements/sec", "vs_baseline": 0.0,
+        "baseline_note":
+            "2e4 elts/s NGSolve figure is an unmeasured estimate",
+    })
+
+    # ---- tunnel-independent CPU stages, CONCURRENT subprocesses ---------
+    # (XLA cost model of the exact pipeline program, the measured C++
+    # speed-of-light proxy, and the host-XLA twin of the pipeline) — they
+    # start immediately so their fields survive even a dead tunnel, and
+    # they never occupy the on-chip critical path
+    _here = os.path.dirname(os.path.abspath(__file__))
+    _cpu_env = dict(os.environ, JAX_PLATFORMS="cpu")
+
+    def _spawn(argv, env_key=None):
+        env = dict(_cpu_env)
+        if env_key:
+            env[env_key] = "1"
+        return subprocess.Popen(argv, env=env, stdout=subprocess.PIPE,
+                                stderr=subprocess.DEVNULL, text=True)
+
+    def _collect(p, timeout):
+        if p is None:
+            return None
         try:
-            p = subprocess.run(
-                [sys.executable, "-c",
-                 "import jax, jax.numpy as jnp;"
-                 "print(float(jnp.sum(jnp.ones((8, 8), jnp.float32))))"],
-                capture_output=True, text=True,
-                timeout=float(os.environ.get("BENCH_PROBE_SECONDS", "300")))
-            ok = p.returncode == 0 and p.stdout.strip().endswith("64.0")
-        except subprocess.TimeoutExpired:
-            ok = False
-        if not ok:
-            raise RuntimeError(
-                "TPU tunnel unavailable: subprocess D2H probe failed or hung"
-                " (axon pathology: lazy dispatch with a wedged read-back)")
+            out_, _ = p.communicate(timeout=max(5, timeout))
+            return json.loads(out_.strip().splitlines()[-1])
+        except Exception:
+            try:
+                p.kill()
+            except Exception:
+                pass
+            return None
+
+    p_cost = (_spawn([sys.executable, os.path.abspath(__file__)],
+                     "BENCH_INNER_COST")
+              if os.environ.get("BENCH_COST", "1") != "0" else None)
+    p_proxy = (_spawn([sys.executable,
+                       os.path.join(_here, "tools", "baseline_cpu.py"),
+                       str(nx)])
+               if os.environ.get("BENCH_PROXY", "1") != "0" else None)
+    p_cpu = (_spawn([sys.executable, os.path.abspath(__file__)],
+                    "BENCH_INNER_CPUPIPE")
+             if os.environ.get("BENCH_CPU", "1") != "0" else None)
+
+    cost = proxy = cpu = None
+
+    _collected = set()
+
+    def _poll_cpu_stages(block_seconds=0):
+        """Non-blocking (or bounded) collection of the CPU subprocesses."""
+        nonlocal cost, proxy, cpu
+        for name, p in (("cost", p_cost), ("proxy", p_proxy),
+                        ("cpu", p_cpu)):
+            if p is None or name in _collected:
+                continue
+            if p.poll() is None and block_seconds == 0:
+                continue  # still running, non-blocking poll
+            r = _collect(p, block_seconds)
+            _collected.add(name)
+            if name == "cost":
+                cost = r
+            elif name == "proxy":
+                proxy = r
+                if r:
+                    _PARTIAL["cpu_proxy"] = r
+            else:
+                cpu = r
+                if r:
+                    _PARTIAL["cpu_xla_measured"] = r
+
+    # ---- publish helper: mirror the FULL schema into _PARTIAL ------------
+    def _mfu_fields(r):
+        if not (cost and r.get("t_pipe_k")):
+            return None, None
+        t_iter = r["t_pipe_k"] / SCAN_K
+        fl = cost["pipeline"]["flops"]
+        by = cost["pipeline"]["bytes"]
+        if fl <= 0:
+            return None, None
+        mfu = fl / t_iter / V5E_PEAK_BF16_FLOPS
+        roofline = {
+            "flops_per_iter": fl,
+            "hbm_bytes_per_iter": by,
+            "arithmetic_intensity": fl / by if by > 0 else None,
+            "hbm_speed_of_light_seconds": (by / V5E_HBM_BYTES_PER_SEC
+                                           if by > 0 else None),
+            "hbm_roofline_fraction": ((by / V5E_HBM_BYTES_PER_SEC) / t_iter
+                                      if by > 0 else None),
+            "amortized_iter_seconds": t_iter,
+        }
+        return mfu, roofline
+
+    def _publish(r):
+        """Fold the pipeline-stage fields measured SO FAR into _PARTIAL —
+        called after every individual measurement, so the watchdog / crash
+        emission always carries the newest complete snapshot."""
+        _poll_cpu_stages()
+        val = r.get("amortized_pipe_elts_per_sec",
+                    r.get("pipe_elts_per_sec", 0.0))
+        if val:
+            _PARTIAL["value"] = round(val, 1)
+            _PARTIAL["vs_baseline"] = round(
+                val / NGSOLVE_BASELINE_ELTS_PER_SEC, 2)
+            if proxy and proxy.get("pipeline_elts_per_sec"):
+                _PARTIAL["vs_cpu_proxy"] = round(
+                    val / proxy["pipeline_elts_per_sec"], 3)
+        for src, dst in (("pipe_elts_per_sec", "percall_pipe_elts_per_sec"),
+                         ("asm_elts_per_sec", "assembly_elts_per_sec"),
+                         ("solve_iters_per_sec", "solve_iters_per_sec"),
+                         ("cg50_rel_residual", "cg50_rel_residual")):
+            if src in r:
+                _PARTIAL[dst] = round(r[src], 6)
+        for k in ("ne", "ndof", "scan_k"):
+            if k in r:
+                _PARTIAL[k] = r[k]
+        if "ir_solve_seconds" in r:
+            _PARTIAL["converged_solve"] = {
+                "method": "mixed-precision iterative refinement "
+                          f"({IR_OUTER}x{IR_INNER} f32 PCG + f64 residuals)",
+                "seconds": r.get("ir_solve_seconds"),
+                "true_f64_rel_residual": r.get("ir_true_rel_residual"),
+                "tol_asserted": SOLVE_TOL,
+                "pipe_elts_per_sec": r.get("converged_pipe_elts_per_sec"),
+            }
+        mfu, roofline = _mfu_fields(r)
+        if mfu:
+            _PARTIAL["mfu_estimate"] = round(mfu, 5)
+            _PARTIAL["roofline"] = roofline
+
+    # ---- tunnel probe with RETRY + BACKOFF -------------------------------
+    # a dead or wedged tunnel blocks D2H reads in C (uninterruptible
+    # in-process), and even BACKEND INIT can hang (jax.devices() never
+    # returns — observed 2026-08-18).  Probe an identical init+read in a
+    # SUBPROCESS with a hard timeout; on failure, back off and retry —
+    # attempts spread over the budget (the round-3 one-shot fail-fast
+    # turned a transient outage into a zero-value round record).
+    if os.environ.get("JAX_PLATFORMS", "") != "cpu":
+        probe_t = float(os.environ.get("BENCH_PROBE_SECONDS", "240"))
+        attempts = 0
+        t_probe0 = time.perf_counter()
+        while True:
+            attempts += 1
+            _hb(f"tunnel probe attempt {attempts} "
+                f"(subprocess first D2H read, {probe_t:.0f}s limit)")
+            try:
+                p = subprocess.run(
+                    [sys.executable, "-c",
+                     "import jax, jax.numpy as jnp;"
+                     "print(float(jnp.sum(jnp.ones((8, 8), jnp.float32))))"],
+                    capture_output=True, text=True,
+                    timeout=min(probe_t, max(60.0, budget_left() - 300)))
+                ok = p.returncode == 0 and p.stdout.strip().endswith("64.0")
+            except subprocess.TimeoutExpired:
+                ok = False
+            _PARTIAL["probe"] = {
+                "attempts": attempts, "ok": ok,
+                "waited_seconds": round(time.perf_counter() - t_probe0, 1)}
+            if ok:
+                break
+            # collect whatever CPU stages finished while we waited
+            _poll_cpu_stages()
+            if budget_left() < 480:
+                _poll_cpu_stages(block_seconds=min(120, budget_left()))
+                raise RuntimeError(
+                    f"TPU tunnel unavailable after {attempts} probe "
+                    f"attempts over {time.perf_counter() - t_probe0:.0f}s "
+                    "(axon pathology: lazy dispatch with a wedged "
+                    "read-back); CPU-stage fields are included")
+            _hb(f"probe failed; backing off (budget left "
+                f"{budget_left():.0f}s)")
+            time.sleep(min(60.0, max(10.0, budget_left() / 20)))
 
     # enter the synchronous (observable-completion) regime BEFORE timing
     _hb("entering synchronous regime (first D2H read)")
     _ = float(jnp.sum(jnp.ones((8, 8), jnp.float32)))
     _hb("synchronous regime entered")
 
-    r32 = bench_pipeline(jnp.float32, nx, reps)
-    _PARTIAL.update({
-        "metric": "3d_fictdom_pipeline_throughput",
-        "value": round(r32.get("amortized_pipe_elts_per_sec",
-                               r32["pipe_elts_per_sec"]), 1),
-        "unit": "elements/sec",
-        "vs_baseline": round(
-            r32.get("amortized_pipe_elts_per_sec", r32["pipe_elts_per_sec"])
-            / NGSOLVE_BASELINE_ELTS_PER_SEC, 2),
-        "ne": r32["ne"], "ndof": r32["ndof"],
-        "percall_pipe_elts_per_sec": round(r32["pipe_elts_per_sec"], 1),
-        "assembly_elts_per_sec": round(r32["asm_elts_per_sec"], 1),
-        "converged_solve": {
-            "seconds": r32.get("ir_solve_seconds"),
-            "true_f64_rel_residual": r32.get("ir_true_rel_residual"),
-            "pipe_elts_per_sec": r32.get("converged_pipe_elts_per_sec"),
-        },
-    })
+    # ---- on-chip stages, cheapest-verified-first --------------------------
+    r32 = bench_pipeline(jnp.float32, nx, reps, publish=_publish)
+    ctx = r32.pop("_ctx", None)
+    _publish(r32)
+
+    pallas = None
+    if os.environ.get("BENCH_PALLAS", "1") != "0" and ctx is not None \
+            and budget_left() > 120:
+        _hb("fused Pallas PCG stage (real silicon)")
+        try:
+            pallas = bench_pallas_cg(ctx, max(2, reps - 1))
+        except Exception as e:
+            pallas = {"error": f"{type(e).__name__}: {e}"[:400]}
+        _PARTIAL["pallas_cg"] = pallas
 
     # native-f64 stage: the SoA/stencil pipeline has no tile-padded
     # tensors, so full-f64 assembly runs at benchmark scale (round 2 was
@@ -434,6 +736,7 @@ def main():
         try:
             r64 = bench_pipeline(jnp.float64, nx, max(2, reps - 1),
                                  scan=False, ir=True, ir_assert=False)
+            r64.pop("_ctx", None)
             f64 = {
                 "f64_nx": nx,
                 "f64_ne": r64["ne"],
@@ -450,12 +753,22 @@ def main():
                     f64[k] = r64[k]
         except Exception as e:
             f64 = {"error": f"{type(e).__name__}: {e}"[:300]}
+        _PARTIAL["f64_native"] = f64
 
-    _PARTIAL["f64_native"] = f64
+    high = None
+    if os.environ.get("BENCH_HIGH_ORDER", "1") != "0" \
+            and budget_left() > 400:
+        ho_nx = int(os.environ.get("BENCH_HO_NX", "16"))
+        try:
+            high = bench_high_order(ho_nx, (2, 3), max(2, reps - 1),
+                                    budget_left)
+        except Exception as e:
+            high = {"error": f"{type(e).__name__}: {e}"[:300]}
+        _PARTIAL["high_order"] = high
 
     mg = None
     if os.environ.get("BENCH_MG", "1") != "0":
-        if budget_left() < 600:
+        if budget_left() < 500:
             mg = {"skipped": "bench budget exhausted"}
         else:
             _hb("MG converged-solve stage")
@@ -465,61 +778,33 @@ def main():
                 mg = {"error": f"{type(e).__name__}: {e}"[:300]}
     _PARTIAL["mg_converged_solve"] = mg
 
-    def _sub(env_key, timeout, extra_env=None):
-        try:
-            env = dict(os.environ, **{env_key: "1"}, **(extra_env or {}))
-            out = subprocess.run(
-                [sys.executable, os.path.abspath(__file__)], env=env,
-                capture_output=True, text=True, timeout=timeout)
-            return json.loads(out.stdout.strip().splitlines()[-1])
-        except Exception:
-            return None
-
-    _cpu_env = {"JAX_PLATFORMS": "cpu"}
-    _hb("XLA cost-model subprocess stage")
-    # the cost model comes from the CPU-compiled twin of the same program
-    # (the tunneled backend exposes no cost analysis)
-    cost = _sub("BENCH_INNER_COST", max(300, budget_left()), _cpu_env) \
-        if os.environ.get("BENCH_COST", "1") != "0" else None
-    _hb("CPU-pipeline subprocess stage")
-    cpu = (_sub("BENCH_INNER_CPUPIPE", max(300, budget_left()), _cpu_env)
-           if os.environ.get("BENCH_CPU", "1") != "0"
-           and budget_left() > 300 else None)
+    # ---- collect the concurrent CPU stages (bounded wait) ----------------
+    _hb("collecting CPU subprocess stages")
+    cost = cost or _collect(p_cost, max(10, min(600, budget_left())))
+    proxy = proxy or _collect(p_proxy, max(10, min(300, budget_left())))
+    cpu = cpu or _collect(p_cpu, max(10, min(300, budget_left())))
     _hb("emitting JSON")
 
-    mfu = None
-    roofline = None
-    if cost and "t_pipe_k" in r32:
-        t_iter = r32["t_pipe_k"] / SCAN_K
-        fl = cost["pipeline"]["flops"]
-        by = cost["pipeline"]["bytes"]
-        if fl > 0:
-            mfu = fl / t_iter / V5E_PEAK_BF16_FLOPS
-            roofline = {
-                "flops_per_iter": fl,
-                "hbm_bytes_per_iter": by,
-                "arithmetic_intensity": fl / by if by > 0 else None,
-                "hbm_speed_of_light_seconds": (by / V5E_HBM_BYTES_PER_SEC
-                                               if by > 0 else None),
-                "hbm_roofline_fraction": (by / V5E_HBM_BYTES_PER_SEC) / t_iter
-                if by > 0 else None,
-                "amortized_iter_seconds": t_iter,
-            }
-
+    mfu, roofline = _mfu_fields(r32)
+    val = r32.get("amortized_pipe_elts_per_sec", r32["pipe_elts_per_sec"])
     out = {
         "metric": "3d_fictdom_pipeline_throughput",
-        "value": round(r32.get("amortized_pipe_elts_per_sec",
-                               r32["pipe_elts_per_sec"]), 1),
+        "value": round(val, 1),
         "unit": "elements/sec",
-        "vs_baseline": round(
-            r32.get("amortized_pipe_elts_per_sec", r32["pipe_elts_per_sec"])
-            / NGSOLVE_BASELINE_ELTS_PER_SEC, 2),
-        "baseline_note": "2e4 elts/s NGSolve figure is an unmeasured estimate",
+        "vs_baseline": round(val / NGSOLVE_BASELINE_ELTS_PER_SEC, 2),
+        "vs_cpu_proxy": (round(val / proxy["pipeline_elts_per_sec"], 3)
+                         if proxy and proxy.get("pipeline_elts_per_sec")
+                         else None),
+        "baseline_note": "2e4 elts/s NGSolve figure is an unmeasured "
+                         "estimate; vs_cpu_proxy divides by the MEASURED "
+                         "single-core C++ speed-of-light proxy "
+                         "(native/baseline_cpu_proxy.cpp, BASELINE.md)",
         "timing_note": (
             "value = amortized K-iteration in-program rate (lax.scan over "
-            f"{SCAN_K} chained pipeline iterations with a carried data "
-            "dependency, synchronous completed-execution regime); per-call "
-            "rates include per-launch tunnel overhead and are lower bounds"),
+            f"{SCAN_K} chained pipeline iterations with a carried "
+            f"representable {SCAN_FEEDBACK:g}-scaled data dependency, "
+            "synchronous completed-execution regime); per-call rates "
+            "include per-launch tunnel overhead and are lower bounds"),
         "percall_pipe_elts_per_sec": round(r32["pipe_elts_per_sec"], 1),
         "assembly_elts_per_sec": round(r32["asm_elts_per_sec"], 1),
         "solve_iters_per_sec": round(r32["solve_iters_per_sec"], 1),
@@ -532,13 +817,17 @@ def main():
             "tol_asserted": SOLVE_TOL,
             "pipe_elts_per_sec": r32.get("converged_pipe_elts_per_sec"),
         },
+        "pallas_cg": pallas,
+        "high_order": high,
         "f64_native": f64,
         "mg_converged_solve": mg,
+        "cpu_proxy": proxy,
         "cpu_xla_measured": cpu,
         "mfu_estimate": round(mfu, 5) if mfu else None,
         "roofline": roofline,
         "ne": r32["ne"],
         "ndof": r32["ndof"],
+        "probe": _PARTIAL.get("probe"),
     }
     print(json.dumps(out))
 
