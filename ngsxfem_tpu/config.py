@@ -107,6 +107,14 @@ class _Config:
         # the old single-tier full-cut-kernel path)
         self.two_tier_assembly = os.environ.get(
             "NGSXFEM_TPU_TWO_TIER", "1") != "0"
+        # banded subdivlvl>0 Integrate: uncut elements take a static
+        # composite plain rule, only the interface band (fixed capacity)
+        # runs the subdivision cut kernel — the reference legacy engine's
+        # pruning (Simplex::CheckIfCut, cutint/xdecompose.hpp:34-87)
+        # restored as a two-tier compaction (NGSXFEM_TPU_BANDED_SUBDIV=0
+        # forces the uniform full-table path)
+        self.banded_subdiv = os.environ.get(
+            "NGSXFEM_TPU_BANDED_SUBDIV", "1") != "0"
         # emit jax.debug.print diagnostics when fixed-iteration Newton
         # searches (facet-patch neighbor map, shifted_eval) fail to converge
         # and fall back; off by default because debug callbacks force

@@ -144,18 +144,21 @@ def normalize_levelset_domain(levelset_domain: dict):
 
 
 def _rule_ctx_weights(mesh, dt, pts, w, side, pts_if, w_if, nref, dyn,
-                      deformation, times=None, times_if=None):
+                      deformation, times=None, times_if=None,
+                      elem_ids=None):
     """Shared rule-tensors -> (ctx, physical weights, validity mask) tail of
     every cut-quadrature path (straight-cut, subdivision, space-time): IF
     rules get the ``‖J⁻ᵀn_ref‖·|detJ|`` interface weighting, NEG/POS rules
-    the side selection x ``|detJ|``."""
+    the side selection x ``|detJ|``.  ``elem_ids`` restricts the rows to a
+    gathered element subset (the banded-subdivision cut tier)."""
     if dt == IF:
         ctx = EvalCtx(mesh, pts_if, nref=nref, dyn=dyn, time=times_if,
-                      deformation=deformation)
+                      deformation=deformation, elem_ids=elem_ids)
         w_ref = w_if
         w_phys = w_ref * jnp.abs(ctx.detJ) * ctx.if_scale
     else:
-        ctx = EvalCtx(mesh, pts, dyn=dyn, time=times, deformation=deformation)
+        ctx = EvalCtx(mesh, pts, dyn=dyn, time=times, deformation=deformation,
+                      elem_ids=elem_ids)
         sidesel = (side == int(dt)).astype(w.dtype)
         w_ref = w * sidesel
         w_phys = w_ref * jnp.abs(ctx.detJ)
@@ -197,6 +200,126 @@ def _subdiv_ctx_and_weights(mesh, levelset, domain_type, order, lvl,
     return _rule_ctx_weights(
         mesh, dt, merge(r.pts), merge(r.w), merge(r.side), merge(r.pts_if),
         merge(r.w_if), merge(r.nref), dyn, deformation)
+
+
+_SUBDIV_COUNT_CACHE = {}
+_SUBDIV_CAP_CACHE = {}
+
+
+def _subdiv_capacity(mesh, levelset, lvl):
+    """Host-side interface-band capacity for the banded ``subdivlvl`` path:
+    count of elements whose (eps-guarded) subdivision-lattice level-set
+    values change sign — the interval test of the reference's
+    ``Simplex::CheckIfCut`` (cutint/xdecompose.hpp:34-87) at element
+    granularity — bucketed to the next power of two so a MOVING level set
+    keeps its compiled signature until the band doubles (same contract as
+    forms.assemble._cut_capacity).  One jitted count program + one D2H int
+    per (mesh, level set CF, lvl) signature; re-counted only when the CF's
+    dynamic arrays change."""
+    import math
+
+    from .jitcache import (DynSlots, cf_signature, mesh_signature,
+                           register_mesh_dynamics)
+
+    slots = DynSlots()
+    register_mesh_dynamics(mesh, slots)
+    lcf = wrap(levelset)
+    sig = (mesh_signature(mesh), cf_signature(lcf, slots), int(lvl))
+    arrays = slots.arrays()
+    ids = tuple(id(a) for a in arrays)
+    hit = _SUBDIV_CAP_CACHE.get(sig)
+    if hit is not None and hit[0] == ids:
+        return hit[1]
+    fn = _SUBDIV_COUNT_CACHE.get(sig)
+    if fn is None:
+        from .ops.straightcut import eps_guard
+        from .ops.subdivide import subdivision_tables
+
+        lattice, _ = subdivision_tables(mesh.et, lvl)
+        latj = jnp.asarray(lattice, dtype=config.dtype)
+        mesh_c, slots_c, lcf_c = mesh, slots, lcf
+
+        def _count(*arrs):
+            dyn = slots_c.env(arrs)
+            E = mesh_c.ne
+            ctxL = EvalCtx(mesh_c,
+                           jnp.broadcast_to(latj[None], (E,) + lattice.shape),
+                           dyn=dyn)
+            vals = eps_guard(jnp.broadcast_to(
+                eval_pure(lcf_c, ctxL), (E, lattice.shape[0])))
+            mixed = (vals < 0).any(1) & (vals > 0).any(1)
+            return jnp.sum(mixed)
+
+        fn = jax.jit(_count)
+        _SUBDIV_COUNT_CACHE[sig] = fn
+    ncut = int(fn(*arrays))
+    cap = 1 << max(6, math.ceil(math.log2(max(1, int(ncut * 1.3) + 16))))
+    cap = min(cap, mesh.ne)
+    _SUBDIV_CAP_CACHE[sig] = (ids, cap)
+    return cap
+
+
+def _subdiv_tiers(mesh, levelset, domain_type, order, lvl, cap, dyn=None,
+                  deformation="inherit"):
+    """Banded two-tier ``subdivlvl>0`` quadrature (the reference legacy
+    engine's PRUNED work profile, cutint/xintegration.cpp:738-852 /
+    xdecompose.hpp:34-87, as a fixed-capacity compaction):
+
+    * tier 1 — every element takes the STATIC composite plain rule
+      (``ops/subdivide.composite_plain_rule``), masked to elements whose
+      lattice values are sign-uniform of the requested side; zero
+      cut-kernel work, bitwise the values the uniform path produces there;
+    * tier 2 — elements whose lattice values mix signs are gathered into a
+      capacity-``cap`` batch and ONLY those run the subdivision cut kernel.
+
+    Capacity overflow poisons the weights with NaN (loud failure), as in
+    the two-tier assembly path.  Yields (ctx, w_phys, mask, elem_ids) tiers
+    for a ``_two_tier_integrate``-style accumulation."""
+    from .ops.straightcut import cut_rule_simplices, eps_guard
+    from .ops.subdivide import composite_plain_rule, subdivision_tables
+
+    dt = DOMAIN_TYPE(int(domain_type))
+    d = mesh.dim
+    E = mesh.ne
+    lattice, subs = subdivision_tables(mesh.et, lvl)
+    latj = jnp.asarray(lattice, dtype=config.dtype)
+    ctxL = EvalCtx(mesh, jnp.broadcast_to(latj[None], (E,) + lattice.shape),
+                   dyn=dyn, deformation=deformation)
+    vals = eps_guard(jnp.broadcast_to(eval_pure(wrap(levelset), ctxL),
+                                      (E, lattice.shape[0])))
+    neg_any = (vals < 0).any(1)
+    pos_any = (vals > 0).any(1)
+    mixed = neg_any & pos_any
+    nmix = jnp.sum(mixed)
+    poison = jnp.where(nmix <= cap, 1.0, jnp.nan).astype(config.dtype)
+
+    tiers = []
+    if dt != IF:
+        cp, cw = composite_plain_rule(mesh.et, lvl, order)
+        cpj = jnp.asarray(cp, dtype=config.dtype)
+        cwj = jnp.asarray(cw, dtype=config.dtype)
+        ctx1 = EvalCtx(mesh, jnp.broadcast_to(cpj[None], (E,) + cp.shape),
+                       dyn=dyn, deformation=deformation)
+        sel1 = (~mixed) & (neg_any if dt == NEG else pos_any)
+        w1 = (jnp.where(sel1[:, None], cwj[None, :], 0.0)
+              * jnp.abs(ctx1.detJ) * poison)
+        tiers.append((ctx1, w1, sel1[:, None] & (cwj > 0)[None, :], None))
+
+    sel = jnp.nonzero(mixed, size=cap, fill_value=0)[0]
+    validc = jnp.arange(cap) < nmix
+    nsub = subs.shape[0]
+    coords = jnp.asarray(lattice[subs], dtype=config.dtype)
+    coords_b = jnp.broadcast_to(coords[None], (cap, nsub, d + 1, d)).reshape(
+        cap * nsub, d + 1, d)
+    svals = vals[sel][:, jnp.asarray(subs)].reshape(cap * nsub, d + 1)
+    r = cut_rule_simplices(coords_b, svals, d, order)
+    merge = lambda a: a.reshape(cap, nsub * a.shape[1], *a.shape[2:])
+    ctx2, w2, m2 = _rule_ctx_weights(
+        mesh, dt, merge(r.pts), merge(r.w), merge(r.side), merge(r.pts_if),
+        merge(r.w_if), merge(r.nref), dyn, deformation, elem_ids=sel)
+    w2 = w2 * jnp.where(validc, 1.0, 0.0)[:, None] * poison
+    tiers.append((ctx2, w2, m2 & validc[:, None], sel))
+    return tiers
 
 
 def _subdiv_st_ctx_and_weights(mesh, levelset, domain_type, order, lvl,
@@ -450,6 +573,7 @@ def Integrate(levelset_domain=None, cf=None, mesh=None, order=5,
         slots = DynSlots()
         register_mesh_dynamics(mesh, slots)
         cut_cap = None
+        subdiv_cap = None
         if levelset_domain is None:
             ld = None
             dom_key = ("vol", int(order))
@@ -464,6 +588,13 @@ def Integrate(levelset_domain=None, cf=None, mesh=None, order=5,
                 dom_key = ("subdiv", int(ld["domain_type"]), int(o),
                            ld["subdivlvl"], int(time_order),
                            cf_signature(wrap(ld["levelset"]), slots))
+                if time_order < 0 and config.banded_subdiv:
+                    # banded compaction: only the interface band runs the
+                    # subdivision cut kernel (bucketed capacity keeps the
+                    # signature stable under a moving level set)
+                    subdiv_cap = _subdiv_capacity(mesh, ld["levelset"],
+                                                  ld["subdivlvl"])
+                    dom_key = dom_key + ("cap", subdiv_cap)
             else:
                 # cache the P1 interpolant ON the CF itself when no other
                 # holder exists: repeated Integrate calls with the same CF
@@ -514,6 +645,21 @@ def Integrate(levelset_domain=None, cf=None, mesh=None, order=5,
                             mesh_c, cf_c, ld_c["levelset"],
                             int(ld_c["domain_type"]), oo, cut_cap,
                             ld_c["quad_dir_policy"], ew, dyn)
+                    if subdiv_cap is not None:
+                        # banded subdivlvl: composite plain rule everywhere
+                        # + subdivision cut kernel on the band only
+                        total_e = jnp.zeros((mesh_c.ne,), dtype=config.dtype)
+                        for ctx_t, w_t, m_t, sids in _subdiv_tiers(
+                                mesh_c, ld_c["levelset"],
+                                int(ld_c["domain_type"]), oo,
+                                ld_c["subdivlvl"], subdiv_cap, dyn=dyn):
+                            ft = jnp.broadcast_to(eval_pure(cf_c, ctx_t),
+                                                  w_t.shape)
+                            per = jnp.sum(jnp.where(m_t, ft, 0.0) * w_t,
+                                          axis=1)
+                            total_e = (total_e + per if sids is None
+                                       else total_e.at[sids].add(per))
+                        return total_e if ew else jnp.sum(total_e)
                     ctx, w_phys, mask = _cut_ctx_and_weights(
                         mesh_c, ld_c["levelset"], ld_c["domain_type"], oo, dyn=dyn,
                         time_order=time_order,

@@ -90,6 +90,35 @@ def public_api_ab(nx, t_model_asm):
     return t
 
 
+def subdiv_ab(nx=32, lvl=2, order=2):
+    """Banded vs uniform ``subdivlvl`` Integrate A/B (VERDICT r4 item 5
+    done-criterion: banded cost scales with the interface band).  Values
+    are asserted equal; the work ratio ~ ne / band_capacity."""
+    from ngsxfem_tpu import Integrate, MakeStructured3DMesh, NEG, sqrt, x, y, z
+    from ngsxfem_tpu.config import config
+
+    mesh = MakeStructured3DMesh(hexes=False, nx=nx, ny=nx, nz=nx)
+    ls = sqrt((x - .5) ** 2 + (y - .5) ** 2 + (z - .5) ** 2) - 0.4
+    ld = {"levelset": ls, "domain_type": NEG, "subdivlvl": lvl}
+    out = {}
+    for banded in (True, False):
+        config.banded_subdiv = banded
+        try:
+            v = Integrate(ld, cf=1.0, mesh=mesh, order=order)  # compile
+            t = timeit(lambda: Integrate(ld, cf=1.0, mesh=mesh, order=order),
+                       reps=3)
+        finally:
+            config.banded_subdiv = True
+        out[banded] = (t, v)
+        print(f"  subdiv lvl={lvl} nx={nx} {'banded ' if banded else 'uniform'}"
+              f": {t*1e3:8.1f} ms  val={v:.8f}")
+    tb, vb = out[True]
+    tu, vu = out[False]
+    print(f"  banded speedup {tu/tb:.2f}x, |banded-uniform| = {abs(vb-vu):.2e}")
+    assert abs(vb - vu) < 1e-10 * max(1.0, abs(vu))
+    return out
+
+
 def main():
     from ngsxfem_tpu.models.poisson import UnfittedPoisson
     from ngsxfem_tpu.solvers.sparse import ELLMatrix
@@ -192,6 +221,9 @@ def main():
                        t_mvp, t_cg, t_lat, t_mvd, t_cgd))
         if os.environ.get("PERF_AB", "1") != "0" and nx == sizes[0]:
             public_api_ab(nx, t_asm)
+    if os.environ.get("PERF_SUBDIV", "1") != "0":
+        subdiv_ab(nx=int(os.environ.get("PERF_SUBDIV_NX", "32")),
+                  lvl=int(os.environ.get("PERF_SUBDIV_LVL", "2")))
 
     # host reads only now
     for (nx, ne, ndof, t_asm, t_asg, t_mv, t_mvp, t_cg,
