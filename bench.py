@@ -289,78 +289,80 @@ def bench_pipeline(dtype, nx, reps, scan=True, ir=True, ir_assert=True,
 
 
 def bench_mg_solve(dtype, nx, reps):
-    """Converged-solve comparison stage: functional cut-MG-preconditioned CG
-    (ELL operators) vs the DIA iterative-refinement solve.  Kept as the
-    geometric-multigrid coverage proof; the IR solve is the production
-    path (see bench_pipeline)."""
+    """Converged-solve comparison stage: LATTICE DIA cut-MG-preconditioned
+    CG — one jitted program, gather-free V-cycle, DEVICE-RESIDENT coarse
+    dense inverse (round-3 review: the ELL gather V-cycle + 7.7 s host
+    coarse factorization could not win end-to-end; solvers/latticemg.py is
+    the redesign) — timed against Jacobi-CG to the SAME tolerance so the
+    crossover is measured, not argued."""
+    from ngsxfem_tpu.config import config as _cfg
     from ngsxfem_tpu.models.poisson import UnfittedPoisson
-    from ngsxfem_tpu.solvers.mg import FunctionalELLMG, prolongation_coo_np
     from ngsxfem_tpu.solvers.krylov import cg
-
-    jax.config.update("jax_default_matmul_precision", "highest")
+    from ngsxfem_tpu.solvers.latticemg import LatticeDIAMG
+    from ngsxfem_tpu.solvers.sparse import dia_matvec
 
     def level(nxl):
-        from ngsxfem_tpu.config import config as _cfg
-
         m = UnfittedPoisson(nx=nxl, dim=3, order=1, dtype=dtype)
-        vals_el = m.lset_np[m.mesh.elements_np]
-        # device-consistent classification: eps_guard maps |v|<eps to
-        # sign-preserving +-eps (exact zeros -> +eps), so count with the
-        # SAME convention or the capacity can silently truncate cut elements
-        ge = np.where(np.abs(vals_el) < _cfg.lset_eps,
-                      np.where(vals_el >= 0, _cfg.lset_eps, -_cfg.lset_eps),
-                      vals_el)
+        d = m.dia_structure()
+        dd_static = {k: v for k, v in d.items() if "slots" not in k}
+        dd = {k: jnp.asarray(v) for k, v in d.items() if "slots" in k}
+        V, _ = jax.jit(lambda v, l, s: m.assemble_vals_lattice(
+            v, l, {**dd_static, **s}))(m.vertices, m.lset, dd)
+        act = m.active_dofs[d["perm_inv"]]
+        ge = m.lset_np[m.mesh.elements_np]
+        ge = np.where(np.abs(ge) < _cfg.lset_eps,
+                      np.where(ge >= 0, _cfg.lset_eps, -_cfg.lset_eps), ge)
         cut = (ge < 0).any(1) & (ge > 0).any(1)
-        ncut = int(cut.sum())
-        st = m.ell_structure()
-        sd = {k: jnp.asarray(v) for k, v in st.items() if k != "K"}
-        vals, n_dev = jax.jit(
-            lambda v, l, s: m.assemble_ell_vals(v, l, ncut + 8,
-                                                dict(s, K=st["K"]),
-                                                block=16384)
-        )(m.vertices, m.lset, sd)
-        assert int(n_dev) <= ncut + 8, (int(n_dev), ncut)
-        ifm = np.zeros(m.ndof, bool)
-        ifm[m.space.el2dof_np[cut].ravel()] = True
-        return m, st, vals, ifm & m.active_dofs
+        ifd = np.zeros(m.ndof, bool)
+        ifd[m.space.el2dof_np[cut].ravel()] = True
+        return m, d["offsets"], V, act, (ifd & m.active_dofs)[d["perm_inv"]]
 
-    nxs = [max(nx // 4, 4), max(nx // 2, 8), nx]
+    nxs = [nx]  # coarsen while the lattices nest (2*nc-1 fine vertices)
+    while nxs[0] % 2 == 0 and nxs[0] // 2 >= 3 and len(nxs) < 3:
+        nxs.insert(0, nxs[0] // 2)
     levels = [level(n) for n in nxs]
-    models = [lv[0] for lv in levels]
-    mg = FunctionalELLMG(
-        [lv[1]["ell_cols"] for lv in levels],
-        [prolongation_coo_np(models[i].space, models[i + 1].space)
-         for i in range(len(levels) - 1)],
-        if_masks=[None] + [lv[3] for lv in levels[1:]], if_iters=10,
-        active_masks=[m.active_dofs for m in models])
+    offs_f = levels[-1][1]
+    mg = LatticeDIAMG([lv[1] for lv in levels], [n + 1 for n in nxs],
+                      dim=3, active_masks=[lv[3] for lv in levels],
+                      if_masks=[None] + [lv[4] for lv in levels[1:]])
     params = mg.params([lv[2] for lv in levels], dtype=dtype)
-    mf, stf, vf, _ = levels[-1]
-    b = jnp.asarray(np.where(mf.active_dofs, 1.0, 0.0), dtype=dtype)
-    cols_f = jnp.asarray(stf["ell_cols"])
+    Vf = levels[-1][2]
+    b = jnp.asarray(np.where(levels[-1][3], 1.0, 0.0), dtype=dtype)
     TOL = 1e-8
 
-    t0p = time.perf_counter()
-    pp = mg.prepare_host(params)
-    t_prep = time.perf_counter() - t0p
+    prep = jax.jit(mg.prepare)
+    pp = prep(params)  # compile
+    jax.block_until_ready(pp["ainv0"])
+    t_prep, pp = _time(prep, params, reps=max(2, reps))
 
-    @jax.jit
-    def mg_solve(pp, vf, b, cols_f):
-        mv = lambda x: jnp.sum(vf * x[cols_f], axis=1)
-        return cg(mv, b, M=lambda r: mg.apply(pp, r), maxiter=100, tol=TOL)
-
+    mg_solve = jax.jit(lambda pp, b: cg(
+        lambda z: dia_matvec(offs_f, pp["vals"][-1], z), b,
+        M=lambda r: mg.apply(pp, r), maxiter=100, tol=TOL))
     bn = float(jnp.linalg.norm(b))
-    try:
-        t_mg, (x_mg, k_mg, res_mg) = _time(mg_solve, pp, vf, b, cols_f,
-                                           reps=reps)
-    finally:
-        jax.config.update("jax_default_matmul_precision", None)
+    t_mg, (x_mg, k_mg, res_mg) = _time(mg_solve, pp, b, reps=reps)
     assert float(res_mg) <= TOL * bn * 1.5, (float(res_mg), bn)
+
+    # Jacobi-CG to the SAME tolerance on the same operator: the crossover
+    k0 = list(np.asarray(offs_f)).index(0)
+    dinv = jnp.where(jnp.abs(Vf[k0]) > 1e-30, 1.0 / Vf[k0], 1.0)
+    j_solve = jax.jit(lambda V, b: cg(
+        lambda z: dia_matvec(offs_f, V, z), b, M=lambda r: dinv * r,
+        maxiter=3000, tol=TOL))
+    t_j, (x_j, k_j, res_j) = _time(j_solve, Vf, b, reps=max(2, reps - 1))
+
     return {
         "mg_solve_seconds": t_mg,
         "mg_prepare_seconds": t_prep,
         "mg_iters": int(k_mg),
         "mg_rel_res": float(res_mg) / bn,
+        "jacobi_solve_seconds": t_j,
+        "jacobi_iters": int(k_j),
+        "jacobi_rel_res": float(res_j) / bn,
+        "mg_speedup_vs_jacobi": t_j / t_mg,
+        "mg_speedup_incl_prepare": t_j / (t_mg + t_prep),
         "solve_tol": TOL,
+        "design": "lattice DIA V-cycle, gather-free transfers, device "
+                  "coarse inverse (solvers/latticemg.py)",
     }
 
 

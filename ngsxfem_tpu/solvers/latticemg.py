@@ -1,0 +1,202 @@
+"""Lattice DIA geometric multigrid: the gather-free cut-MG V-cycle.
+
+Redesign of the CutFEM multigrid prototype (reference ``python/cutmg.py:
+17-115`` MultiGridCL/CutFemSmoother/LinearMGIterator) for the structured
+lattice fast path: every level's operator is the offset-diagonal (DIA)
+stencil table of ``UnfittedPoisson.dia_structure`` and EVERY component of
+the V-cycle is gather-free —
+
+* smoothing: damped Jacobi on the DIA operator (static shifted-slice FMAs,
+  ``solvers/sparse.dia_matvec``);
+* interface correction (the CutFemSmoother idea): a fixed-iteration
+  Jacobi-CG on the MASKED operator ``z -> m * A(m * z)`` with ``m`` the
+  interface-dof indicator — elementwise masking instead of the ELL block
+  extraction, so it stays gather-free;
+* transfers: the vertex lattices nest (n1_f = 2 n1_c - 1), so prolongation
+  is separable 1D linear interpolation per axis (pure reshape/concat ops)
+  and restriction is its exact transpose — no prolongation matrix, no
+  gathers (the ELL path's kd-tree matrix, ``mg.prolongation_matrix``, is
+  the unstructured fallback);
+* coarse solve: a DEVICE-RESIDENT dense inverse of the coarse DIA operator
+  (identity rows on empty dofs), computed once by ``prepare`` under jit —
+  no host factorization, no D2H (round-3 review: the 7.7 s host coarse
+  factorization sat on the MG critical path).
+
+The whole MG-preconditioned CG therefore compiles into ONE XLA program
+with zero gathers and zero host callbacks.
+"""
+from __future__ import annotations
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from .sparse import dia_matvec
+from ..config import config
+
+
+def _interp_axis(a, axis):
+    """1D linear interpolation along ``axis``: size nc -> 2*nc - 1."""
+    a = jnp.moveaxis(a, axis, 0)
+    mid = 0.5 * (a[:-1] + a[1:])
+    body = jnp.stack([a[:-1], mid], axis=1)
+    body = body.reshape((2 * (a.shape[0] - 1),) + a.shape[1:])
+    out = jnp.concatenate([body, a[-1:]], axis=0)
+    return jnp.moveaxis(out, 0, axis)
+
+
+def _restrict_axis(a, axis):
+    """Exact transpose of :func:`_interp_axis`: size nf=2*nc-1 -> nc."""
+    a = jnp.moveaxis(a, axis, 0)
+    ev = a[0::2]
+    half = 0.5 * a[1::2]
+    out = ev.at[:-1].add(half).at[1:].add(half)
+    return jnp.moveaxis(out, 0, axis)
+
+
+class LatticeDIAMG:
+    """Functional cut-MG over nested vertex lattices with DIA operators.
+
+    offsets_list : per-level DIA offset sets (host ints, coarse..fine)
+    n1_list      : per-level lattice side (nx+1), must nest 2*nc-1 = nf
+    dim          : lattice dimension (2 or 3)
+    active_masks : per-level (n,) bool, active dofs in VERTEX-LEX order
+                   (``model.active_dofs[dia_structure()["perm_inv"]]``) —
+                   corrections outside the active set are zeroed (the
+                   P*Cut*Prolongation idea, utils/xprolongation.hpp:60-101)
+    if_masks     : per-level (n,) bool interface-dof indicators (None to
+                   skip); the masked-CG interface correction runs on levels
+                   l > 0 (CutFemSmoother, python/cutmg.py:61-111)
+    """
+
+    def __init__(self, offsets_list, n1_list, dim=3, active_masks=None,
+                 if_masks=None, nsmooth=2, damping=0.6, if_iters=8):
+        self.offsets = [[int(o) for o in np.asarray(off).tolist()]
+                        for off in offsets_list]
+        self.n1 = [int(n) for n in n1_list]
+        self.dim = int(dim)
+        self.nlevels = len(self.offsets)
+        if len(self.n1) != self.nlevels:
+            raise ValueError("offsets_list and n1_list length mismatch")
+        for l in range(1, self.nlevels):
+            if self.n1[l] != 2 * self.n1[l - 1] - 1:
+                raise ValueError(
+                    f"lattices must nest: n1[{l}]={self.n1[l]} != "
+                    f"2*{self.n1[l - 1]}-1")
+        self.nsmooth = int(nsmooth)
+        self.damping = float(damping)
+        self.if_iters = int(if_iters)
+        self.active_np = (None if active_masks is None else
+                          [None if a is None else np.asarray(a, dtype=bool)
+                           for a in active_masks])
+        self.if_np = (None if if_masks is None else
+                      [None if m is None else np.asarray(m, dtype=bool)
+                       for m in if_masks])
+
+    # -- parameter pytree ---------------------------------------------------
+    def params(self, vals_list, dtype=None):
+        dtype = dtype or config.dtype
+        p = {"vals": [jnp.asarray(v, dtype=dtype) for v in vals_list]}
+        p["act"] = (None if self.active_np is None else
+                    [None if a is None else jnp.asarray(a)
+                     for a in self.active_np])
+        p["if"] = (None if self.if_np is None else
+                   [None if m is None else jnp.asarray(m, dtype=dtype)
+                    for m in self.if_np])
+        return p
+
+    def prepare(self, params):
+        """Jacobi diagonals + the device-resident coarse dense inverse —
+        jit-safe, call once per assembled hierarchy.  The inverse is
+        computed in f64 when x64 is enabled (the coarse cut system's
+        conditioning overwhelms an f32 factorization — mg.prepare_host's
+        rationale), then stored at solve precision."""
+        out = dict(params)
+        out["dinv"] = []
+        for l in range(self.nlevels):
+            k0 = self.offsets[l].index(0)
+            d = params["vals"][l][k0]
+            out["dinv"].append(jnp.where(jnp.abs(d) > 1e-30, 1.0 / d, 1.0))
+        V0 = params["vals"][0]
+        n0 = V0.shape[1]
+        hi = jax.config.jax_enable_x64
+        A0 = jnp.zeros((n0, n0), dtype=jnp.float64 if hi else V0.dtype)
+        r = jnp.arange(n0)
+        for k, o in enumerate(self.offsets[0]):
+            c = r + o
+            valid = (c >= 0) & (c < n0)
+            A0 = A0.at[r, jnp.clip(c, 0, n0 - 1)].add(
+                jnp.where(valid, V0[k], 0.0).astype(A0.dtype))
+        A0 = 0.5 * (A0 + A0.T)
+        d0 = jnp.diagonal(A0)
+        A0 = A0 + jnp.diag(jnp.where(jnp.abs(d0) < 1e-30, 1.0, 0.0)
+                           .astype(A0.dtype))
+        out["ainv0"] = jnp.linalg.inv(A0).astype(V0.dtype)
+        return out
+
+    # -- device pieces ------------------------------------------------------
+    def _mv(self, params, l, x):
+        return dia_matvec(self.offsets[l], params["vals"][l], x)
+
+    def _smooth(self, params, l, x, b):
+        for _ in range(self.nsmooth):
+            r = b - self._mv(params, l, x)
+            x = x + self.damping * params["dinv"][l] * r
+        return x
+
+    def _if_correct(self, params, l, x, b):
+        m = None if params.get("if") is None else params["if"][l]
+        if m is None or self.if_iters <= 0:
+            return x
+        from .krylov import cg
+
+        r = (b - self._mv(params, l, x)) * m
+        dinv = params["dinv"][l]
+
+        def mv(z):
+            return m * self._mv(params, l, m * z) + (1.0 - m) * z
+
+        z, _, _ = cg(mv, r, M=lambda s: m * dinv * s + (1.0 - m) * s,
+                     maxiter=self.if_iters, tol=0.0)
+        return x + m * z
+
+    def _prolong(self, l, xc):
+        """Level l-1 -> l: separable trilinear interpolation on the
+        vertex lattice (gather-free)."""
+        nc = self.n1[l - 1]
+        a = xc.reshape((nc,) * self.dim)
+        for ax in range(self.dim):
+            a = _interp_axis(a, ax)
+        return a.reshape(-1)
+
+    def _restrict(self, l, rf):
+        """Level l -> l-1: the exact transpose of :meth:`_prolong`."""
+        nf = self.n1[l]
+        a = rf.reshape((nf,) * self.dim)
+        for ax in range(self.dim):
+            a = _restrict_axis(a, ax)
+        return a.reshape(-1)
+
+    def _cycle(self, params, l, b):
+        if l == 0:
+            return jnp.matmul(params["ainv0"], b,
+                              precision=jax.lax.Precision.HIGHEST)
+        x = self._smooth(params, l, jnp.zeros_like(b), b)
+        x = self._if_correct(params, l, x, b)
+        r = b - self._mv(params, l, x)
+        rc = self._restrict(l, r)
+        act = params.get("act")
+        if act is not None and act[l - 1] is not None:
+            rc = jnp.where(act[l - 1], rc, 0.0)
+        xc = self._cycle(params, l - 1, rc)
+        corr = self._prolong(l, xc)
+        if act is not None and act[l] is not None:
+            corr = jnp.where(act[l], corr, 0.0)
+        x = x + corr
+        x = self._if_correct(params, l, x, b)
+        x = self._smooth(params, l, x, b)
+        return x
+
+    def apply(self, params, b):
+        """One V-cycle: z ~ A^{-1} b (CG preconditioner)."""
+        return self._cycle(params, self.nlevels - 1, b)
