@@ -31,9 +31,10 @@ MEASUREMENT REGIMES (tunneled runtime, see docs/PERFORMANCE.md):
    are lower bounds.
 2. AMORTIZED K-iteration: K full pipeline iterations run INSIDE one jitted
    lax.scan with a carried data dependency (each iteration perturbs the
-   level set by the previous solution scaled to 1e-30, so no iteration can
-   be dead-code-eliminated and the chain cannot be reordered).  time/K
-   approaches the on-chip per-iteration cost.
+   level set by the previous solution scaled to FEEDBACK_SCALE=1e-6 —
+   representable in f32, so the iterations are numerically distinct and
+   neither DCE nor reordering can fold them).  time/K approaches the
+   on-chip per-iteration cost.
 3. MFU/ROOFLINE ESTIMATE: FLOP and HBM-byte counts of the exact pipeline
    HLO from XLA's own cost model (.cost_analysis() of the identical
    program), divided by the amortized time:

@@ -64,6 +64,11 @@ from .mesh.io import (  # noqa: F401
     WriteGmsh,
     MakeUnstructuredMesh,
 )
+from .mesh.splinegeom import (  # noqa: F401
+    SplineGeometry,
+    MakeCircle,
+    MakeRectangle,
+)
 from .mesh.composite import (  # noqa: F401
     CompositeMesh,
     MakeQuadDominated2DMesh,

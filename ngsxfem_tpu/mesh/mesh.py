@@ -71,11 +71,24 @@ class Region:
 
 
 class Mesh:
-    """A single-element-type unstructured mesh held as flat arrays."""
+    """A single-element-type unstructured mesh held as flat arrays.
 
-    def __init__(self, et: str, vertices: np.ndarray, elements: np.ndarray,
+    ``Mesh(other_mesh)`` is an identity passthrough, so the reference
+    idiom ``Mesh(geo.GenerateMesh(maxh=...))`` (py_tutorials/cutfem.py:85)
+    works verbatim with :class:`~ngsxfem_tpu.mesh.splinegeom.SplineGeometry`.
+    """
+
+    def __new__(cls, et=None, *args, **kwargs):
+        if isinstance(et, Mesh) and not args and not kwargs:
+            return et
+        return super().__new__(cls)
+
+    def __init__(self, et: str, vertices: np.ndarray = None,
+                 elements: np.ndarray = None,
                  bc_of_facet=None, bc_names=None, mat_of_el=None,
                  mat_names=None):
+        if isinstance(et, Mesh):
+            return  # passthrough: already constructed
         self.et = et
         self.dim = ET_DIM[et]
         self.nvel = ET_NVERT[et]
