@@ -265,18 +265,20 @@ def _subdiv_tiers(mesh, levelset, domain_type, order, lvl, cap, dyn=None,
     engine's PRUNED work profile, cutint/xintegration.cpp:738-852 /
     xdecompose.hpp:34-87, as a fixed-capacity compaction):
 
-    * tier 1 — every element takes the STATIC composite plain rule
-      (``ops/subdivide.composite_plain_rule``), masked to elements whose
-      lattice values are sign-uniform of the requested side; zero
-      cut-kernel work, bitwise the values the uniform path produces there;
+    * tier 1 — elements whose lattice values are sign-uniform of the
+      requested side take the element's PLAIN ``order`` rule — exactly the
+      reference's depth-0 pruning (``MakeQuadRule``: ``CheckIfCut`` false
+      -> plain rule, cutint/xintegration.cpp), with zero subdivision work
+      (nq points instead of nsub*nq);
     * tier 2 — elements whose lattice values mix signs are gathered into a
       capacity-``cap`` batch and ONLY those run the subdivision cut kernel.
 
     Capacity overflow poisons the weights with NaN (loud failure), as in
     the two-tier assembly path.  Yields (ctx, w_phys, mask, elem_ids) tiers
     for a ``_two_tier_integrate``-style accumulation."""
+    from .ops.gauss import reference_rule
     from .ops.straightcut import cut_rule_simplices, eps_guard
-    from .ops.subdivide import composite_plain_rule, subdivision_tables
+    from .ops.subdivide import subdivision_tables
 
     dt = DOMAIN_TYPE(int(domain_type))
     d = mesh.dim
@@ -295,7 +297,7 @@ def _subdiv_tiers(mesh, levelset, domain_type, order, lvl, cap, dyn=None,
 
     tiers = []
     if dt != IF:
-        cp, cw = composite_plain_rule(mesh.et, lvl, order)
+        cp, cw = reference_rule(mesh.et, order)
         cpj = jnp.asarray(cp, dtype=config.dtype)
         cwj = jnp.asarray(cw, dtype=config.dtype)
         ctx1 = EvalCtx(mesh, jnp.broadcast_to(cpj[None], (E,) + cp.shape),

@@ -116,26 +116,3 @@ def subdivision_tables(et: str, lvl: int):
     return lattice_f, subs
 
 
-@lru_cache(maxsize=None)
-def composite_plain_rule(et: str, lvl: int, order: int):
-    """Host composite plain rule over the level-``lvl`` subdivision:
-    (pts (nsub*nq, d), w (nsub*nq,)) in element-reference coordinates —
-    bitwise the rule ``cut_rule_simplices`` emits for a SIGN-UNIFORM
-    element (each sub-simplex carries the affinely mapped reference Gauss
-    rule scaled by its measure), precomputed so the banded ``subdivlvl``
-    path (integrate.py ``_subdiv_tiers``) can hand uncut elements a static
-    table with ZERO cut-kernel work — the reference's pruning
-    (``Simplex::CheckIfCut``, cutint/xdecompose.hpp:34-87) restored as a
-    two-tier compaction."""
-    from .gauss import reference_rule, SIMPLEX_OF_DIM
-
-    d = ET_DIM[et]
-    lattice, subs = subdivision_tables(et, lvl)
-    rp, rw = reference_rule(SIMPLEX_OF_DIM[d], order)
-    V = lattice[subs]                     # (nsub, d+1, d)
-    v0 = V[:, :1]
-    E = V[:, 1:] - v0                     # (nsub, d, d)
-    scale = np.abs(np.linalg.det(E))      # (nsub,)
-    pts = v0 + np.einsum("qk,skg->sqg", rp, E)   # (nsub, nq, d)
-    w = scale[:, None] * rw[None, :]
-    return pts.reshape(-1, d), w.reshape(-1)

@@ -295,7 +295,9 @@ def test_subdiv_banded_matches_uniform():
     """The banded two-tier subdivlvl path (VERDICT r3 item 5: the reference
     legacy engine PRUNES uncut sub-simplices, xdecompose.hpp:34-87) produces
     the SAME values as the uniform full-table path — uncut elements take the
-    bitwise-identical composite plain rule, the band runs the same kernel."""
+    element plain rule (the reference's depth-0 pruning: CheckIfCut false ->
+    plain rule), the band runs the same cut kernel — agreement is exact for
+    integrands within quadrature exactness."""
     from ngsxfem_tpu.config import config
 
     for dim, lvl, tol in ((2, 2, 5e-14), (3, 2, 5e-13)):

@@ -115,7 +115,10 @@ def subdiv_ab(nx=32, lvl=2, order=2):
     tb, vb = out[True]
     tu, vu = out[False]
     print(f"  banded speedup {tu/tb:.2f}x, |banded-uniform| = {abs(vb-vu):.2e}")
-    assert abs(vb - vu) < 1e-10 * max(1.0, abs(vu))
+    # tier-1 takes the plain rule (the reference's depth-0 pruning), so
+    # agreement is quadrature-exactness + dtype roundoff, not bitwise
+    eps = float(np.finfo(np.dtype(config.dtype)).eps)
+    assert abs(vb - vu) < 4e3 * eps * max(1.0, abs(vu)), (vb, vu)
     return out
 
 
