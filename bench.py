@@ -388,6 +388,27 @@ def bench_pallas_cg(ctx, reps):
     rel = float(jnp.linalg.norm(xf - xr)) / nrm
     t_xla_iter = (1.0 / ctx["solve_iters_per_sec"]
                   if ctx.get("solve_iters_per_sec") else None)
+    # DIFFERENTIAL per-iteration time: at CG_ITERS=50 a single ~20 ms
+    # tunnel launch is ~0.4 ms/iter — most of the per-call figure.  Timing
+    # the SAME program at 4x the iterations and taking the marginal slope
+    # cancels the launch cost for both the fused kernel and the XLA CG,
+    # giving the honest on-chip per-iteration comparison.
+    from ngsxfem_tpu.solvers.krylov import cg
+    from ngsxfem_tpu.solvers.sparse import dia_matvec
+
+    fused4 = jax.jit(lambda V, b, dinv: dia_cg_fused(
+        offs, V, b, dinv, 4 * CG_ITERS, plane))
+    t_f4, _ = _time(fused4, V, b, dinv, reps=reps)
+
+    def _xla(iters):
+        return jax.jit(lambda V, b, dinv: cg(
+            lambda x: dia_matvec(offs, V, x), b, M=lambda r: dinv * r,
+            maxiter=iters, tol=0.0))
+
+    t_x1, _ = _time(_xla(CG_ITERS), V, b, dinv, reps=reps)
+    t_x4, _ = _time(_xla(4 * CG_ITERS), V, b, dinv, reps=reps)
+    marg_f = (t_f4 - t_f) / (3 * CG_ITERS)
+    marg_x = (t_x4 - t_x1) / (3 * CG_ITERS)
     return {
         "iters": CG_ITERS,
         "seconds": t_f,
@@ -395,6 +416,9 @@ def bench_pallas_cg(ctx, reps):
         "xla_dia_per_iter_seconds": t_xla_iter,
         "speedup_vs_xla_dia": (t_xla_iter / (t_f / CG_ITERS)
                                if t_xla_iter else None),
+        "marginal_per_iter_seconds": marg_f,
+        "xla_marginal_per_iter_seconds": marg_x,
+        "marginal_speedup_vs_xla": (marg_x / marg_f if marg_f > 0 else None),
         "rel_diff_vs_xla": rel,
         "residual_fused": float(rf),
         "residual_xla": float(rr),
@@ -510,6 +534,44 @@ def main():
             "cpu_pipe_elts_per_sec": r["pipe_elts_per_sec"],
             "cpu_asm_elts_per_sec": r["asm_elts_per_sec"],
         }))
+        return
+
+    stage = os.environ.get("BENCH_INNER_STAGE")
+    if stage:
+        # wedge-isolated on-chip stage: runs in its OWN process so a tunnel
+        # wedge costs only this stage (the shared-process 2026-08-19 run
+        # lost f64+high_order+mg to one wedged D2H read; the tunnel serves
+        # concurrent clients, verified same day)
+        t0s = time.perf_counter()
+        sb = float(os.environ.get("BENCH_STAGE_BUDGET", "600"))
+        stage_left = lambda: sb - (time.perf_counter() - t0s)
+        _ = float(jnp.sum(jnp.ones((8, 8), jnp.float32)))  # sync regime
+        if stage == "f64":
+            r64 = bench_pipeline(jnp.float64, nx, max(2, reps - 1),
+                                 scan=False, ir=True, ir_assert=False)
+            r64.pop("_ctx", None)
+            out = {
+                "f64_nx": nx,
+                "f64_ne": r64["ne"],
+                "f64_asm_elts_per_sec": r64["asm_elts_per_sec"],
+                "f64_pipe_elts_per_sec": r64["pipe_elts_per_sec"],
+                "f64_cg50_rel_residual": r64["cg50_rel_residual"],
+                "f64_converged_pipe_elts_per_sec":
+                    r64.get("converged_pipe_elts_per_sec"),
+                "f64_ir_true_rel_residual": r64.get("ir_true_rel_residual"),
+            }
+            for k in ("f64cg_solve_seconds", "f64cg_iters",
+                      "f64cg_rel_residual"):
+                if k in r64:
+                    out[k] = r64[k]
+        elif stage == "high":
+            out = bench_high_order(int(os.environ.get("BENCH_HO_NX", "16")),
+                                   (2, 3), max(2, reps - 1), stage_left)
+        elif stage == "mg":
+            out = bench_mg_solve(jnp.float32, nx, 1)
+        else:
+            out = {"error": f"unknown stage {stage!r}"}
+        print(json.dumps(out))
         return
 
     if os.environ.get("BENCH_INNER_COST") == "1":
@@ -730,55 +792,42 @@ def main():
             pallas = {"error": f"{type(e).__name__}: {e}"[:400]}
         _PARTIAL["pallas_cg"] = pallas
 
-    # native-f64 stage: the SoA/stencil pipeline has no tile-padded
-    # tensors, so full-f64 assembly runs at benchmark scale (round 2 was
-    # capped at nx=16 by the padded-quadrature HBM blowup)
-    f64 = None
-    if os.environ.get("BENCH_F64", "1") != "0" and budget_left() > 400:
-        _hb("f64 stage")
+    # ---- wedge-isolated on-chip stages (sequential subprocesses) ---------
+    # native-f64 (the SoA/stencil pipeline has no tile-padded tensors, so
+    # full-f64 assembly runs at benchmark scale), high-order public-API,
+    # and the MG converged solve each run in their OWN process: a tunnel
+    # wedge inside one (an uninterruptible blocked D2H read in C) costs
+    # only that stage's timeout, not the rest of the bench
+    def _run_stage(name, timeout_s):
+        env = dict(os.environ, BENCH_INNER_STAGE=name,
+                   BENCH_STAGE_BUDGET=str(int(timeout_s)))
+        _hb(f"{name} stage (isolated subprocess, {timeout_s:.0f}s cap)")
         try:
-            r64 = bench_pipeline(jnp.float64, nx, max(2, reps - 1),
-                                 scan=False, ir=True, ir_assert=False)
-            r64.pop("_ctx", None)
-            f64 = {
-                "f64_nx": nx,
-                "f64_ne": r64["ne"],
-                "f64_asm_elts_per_sec": r64["asm_elts_per_sec"],
-                "f64_pipe_elts_per_sec": r64["pipe_elts_per_sec"],
-                "f64_cg50_rel_residual": r64["cg50_rel_residual"],
-                "f64_converged_pipe_elts_per_sec":
-                    r64.get("converged_pipe_elts_per_sec"),
-                "f64_ir_true_rel_residual": r64.get("ir_true_rel_residual"),
-            }
-            for k in ("f64cg_solve_seconds", "f64cg_iters",
-                      "f64cg_rel_residual"):
-                if k in r64:
-                    f64[k] = r64[k]
+            p = subprocess.run([sys.executable, os.path.abspath(__file__)],
+                               env=env, capture_output=True, text=True,
+                               timeout=timeout_s)
+            return json.loads(p.stdout.strip().splitlines()[-1])
+        except subprocess.TimeoutExpired:
+            return {"error": f"stage subprocess exceeded {timeout_s:.0f}s "
+                             "(tunnel wedge?)"}
         except Exception as e:
-            f64 = {"error": f"{type(e).__name__}: {e}"[:300]}
+            return {"error": f"{type(e).__name__}: {e}"[:300]}
+
+    f64 = high = mg = None
+    if os.environ.get("BENCH_F64", "1") != "0" and budget_left() > 400:
+        f64 = _run_stage("f64", min(700.0, budget_left() - 150))
         _PARTIAL["f64_native"] = f64
 
-    high = None
     if os.environ.get("BENCH_HIGH_ORDER", "1") != "0" \
             and budget_left() > 400:
-        ho_nx = int(os.environ.get("BENCH_HO_NX", "16"))
-        try:
-            high = bench_high_order(ho_nx, (2, 3), max(2, reps - 1),
-                                    budget_left)
-        except Exception as e:
-            high = {"error": f"{type(e).__name__}: {e}"[:300]}
+        high = _run_stage("high", min(600.0, budget_left() - 150))
         _PARTIAL["high_order"] = high
 
-    mg = None
     if os.environ.get("BENCH_MG", "1") != "0":
-        if budget_left() < 500:
+        if budget_left() < 400:
             mg = {"skipped": "bench budget exhausted"}
         else:
-            _hb("MG converged-solve stage")
-            try:
-                mg = bench_mg_solve(jnp.float32, nx, 1)
-            except Exception as e:
-                mg = {"error": f"{type(e).__name__}: {e}"[:300]}
+            mg = _run_stage("mg", min(600.0, budget_left() - 60))
     _PARTIAL["mg_converged_solve"] = mg
 
     # ---- collect the concurrent CPU stages (bounded wait) ----------------
