@@ -433,7 +433,51 @@ def bench_pallas_cg(ctx, reps):
     t_x4, _ = _time(_xla(4 * CG_ITERS), V, b, dinv, reps=reps)
     marg_f = (t_f4 - t_f) / (3 * CG_ITERS)
     marg_x = (t_x4 - t_x1) / (3 * CG_ITERS)
+
+    # VMEM-resident regime: at nx=48 the DIA table (~21 MB) exceeds the
+    # 16 MB core VMEM, so the fused kernel cannot beat the HBM-roofline XLA
+    # SpMV.  At nx=24 (15.6k dofs, table+vectors ~2 MB) the WHOLE solve is
+    # VMEM-resident — the regime the kernel was designed for: zero HBM
+    # traffic between iterations, where XLA's while_loop round-trips every
+    # vector through HBM.  Measure the marginal per-iteration crossover.
+    small = None
+    try:
+        _hb("pallas stage: VMEM-resident regime (nx=24)")
+        sm, sF, sb, sdd, smeta = _build_fast(jnp.float32, 24)
+        sV, _ = jax.jit(sF["assemble"])(sm.vertices, sm.lset, sdd)
+        soffs, sk0 = smeta["offs"], smeta["k0"]
+        sdinv = jnp.where(jnp.abs(sV[sk0]) > 1e-30, 1.0 / sV[sk0], 1.0)
+        splane = (sm.nx + 1) ** 2
+
+        def _sf(iters):
+            return jax.jit(lambda V, b, d: dia_cg_fused(
+                soffs, V, b, d, iters, splane))
+
+        def _sx(iters):
+            return jax.jit(lambda V, b, d: cg(
+                lambda x: dia_matvec(soffs, V, x), b, M=lambda r: d * r,
+                maxiter=iters, tol=0.0))
+
+        ts_f1, (sxf, _) = _time(_sf(CG_ITERS), sV, sb, sdinv, reps=reps)
+        ts_f4, _ = _time(_sf(4 * CG_ITERS), sV, sb, sdinv, reps=reps)
+        ts_x1, (sxr, _, _) = _time(_sx(CG_ITERS), sV, sb, sdinv, reps=reps)
+        ts_x4, _ = _time(_sx(4 * CG_ITERS), sV, sb, sdinv, reps=reps)
+        smarg_f = (ts_f4 - ts_f1) / (3 * CG_ITERS)
+        smarg_x = (ts_x4 - ts_x1) / (3 * CG_ITERS)
+        snrm = float(jnp.linalg.norm(sxr)) or 1.0
+        small = {
+            "nx": 24, "ndof": int(sb.shape[0]),
+            "marginal_per_iter_seconds": smarg_f,
+            "xla_marginal_per_iter_seconds": smarg_x,
+            "marginal_speedup_vs_xla": (smarg_x / smarg_f
+                                        if smarg_f > 0 else None),
+            "rel_diff_vs_xla": float(jnp.linalg.norm(sxf - sxr)) / snrm,
+        }
+    except Exception as e:
+        small = {"error": f"{type(e).__name__}: {e}"[:300]}
+
     return {
+        "vmem_resident_small": small,
         "iters": CG_ITERS,
         "seconds": t_f,
         "per_iter_seconds": t_f / CG_ITERS,
