@@ -473,14 +473,18 @@ def test_two_tier_rejects_combined_domain_types():
                   cf=1.0, mesh=mesh, order=2)
 
 
-def test_integrate_region_wise_raises():
-    import pytest
+def test_integrate_region_wise_default_mesh():
+    """region_wise=True is now implemented (VERDICT r3 item 8): on a mesh
+    with a single (default) material it returns a length-1 per-region array
+    summing to the plain integral."""
+    import numpy as np
 
     from ngsxfem_tpu import MakeStructured2DMesh, Integrate
 
     mesh = MakeStructured2DMesh(quads=False, nx=2, ny=2)
-    with pytest.raises(NotImplementedError):
-        Integrate(cf=1.0, mesh=mesh, order=1, region_wise=True)
+    vols = Integrate(cf=1.0, mesh=mesh, order=1, region_wise=True)
+    assert np.asarray(vols).shape == (1,)
+    assert abs(float(np.sum(np.asarray(vols))) - 1.0) < 1e-12
 
 
 def test_standalone_vec_setitem():
