@@ -211,7 +211,7 @@ def _build_fast(dtype, nx):
 
 
 def bench_pipeline(dtype, nx, reps, scan=True, ir=True, ir_assert=True,
-                   publish=None):
+                   pipe=True, publish=None):
     """Fast-path pipeline stage, CHEAPEST-VERIFIED-FIRST: assemble ->
     fixed-budget PCG -> fused per-call pipeline (headline-capable within
     minutes) -> amortized scan -> IR converged solve.  ``publish(out)`` is
@@ -236,21 +236,27 @@ def bench_pipeline(dtype, nx, reps, scan=True, ir=True, ir_assert=True,
     _hb("pipeline stage: timing pcg")
     t_slv, (xs, res) = _time(jax.jit(F["pcg"]), V, b, reps=reps)
     out["solve_iters_per_sec"] = CG_ITERS / t_slv
+    out["cg50_rel_residual"] = float(res) / (float(jnp.linalg.norm(b))
+                                             or 1.0)
     out["_ctx"] = dict(model=model, V=V, b=b, xs=xs, res=res,
                        offs=meta["offs"], k0=meta["k0"],
                        solve_iters_per_sec=CG_ITERS / t_slv)
     pub(out)
-    _hb("pipeline stage: timing fused pipeline")
-    t_pipe, (_, res_p, _) = _time(pipeline, v, l, b, dd, reps=reps)
-
     r0 = float(jnp.linalg.norm(b))
-    out.update({
-        "pipe_elts_per_sec": model.mesh.ne / t_pipe,
-        "cg50_rel_residual": float(res_p) / r0,
-        "t_pipe": t_pipe,
-    })
-    pub(out)
-    if scan:
+    if pipe:
+        # the fused pipeline re-traces ASSEMBLY inside the solver program —
+        # in f64 that is a second ~950 s remote compile (measured
+        # 2026-08-20), which is why the f64 stage passes pipe=False and
+        # reports assemble + solver rates only
+        _hb("pipeline stage: timing fused pipeline")
+        t_pipe, (_, res_p, _) = _time(pipeline, v, l, b, dd, reps=reps)
+        out.update({
+            "pipe_elts_per_sec": model.mesh.ne / t_pipe,
+            "cg50_rel_residual": float(res_p) / r0,
+            "t_pipe": t_pipe,
+        })
+        pub(out)
+    if scan and pipe:
         # amortized scan directly after the per-call number: the two
         # headline rates land before the (slower) converged-solve stages
         _hb(f"pipeline stage: timing amortized scan K={SCAN_K}")
@@ -290,18 +296,20 @@ def bench_pipeline(dtype, nx, reps, scan=True, ir=True, ir_assert=True,
 
 
 def bench_f64_stage(nx, reps):
-    """Native-f64 pipeline at benchmark scale (the SoA/stencil pipeline has
-    no tile-padded tensors, so full-f64 assembly runs at nx=48) + the
-    mixed-precision IR converged solve with its TRUE f64 residual; falls
-    back to a native-f64 PCG when IR stalls (ir_assert=False)."""
+    """Native-f64 assembly + solvers at benchmark scale (the SoA/stencil
+    pipeline has no tile-padded tensors, so full-f64 assembly runs at
+    nx=48) + the mixed-precision IR converged solve with its TRUE f64
+    residual; falls back to a native-f64 PCG when IR stalls
+    (ir_assert=False).  pipe=False: the fused assemble+solve program would
+    re-trace assembly into a SECOND ~950 s f64 remote compile for no new
+    information — the separate rates cover the claim."""
     r64 = bench_pipeline(jnp.float64, nx, max(2, reps - 1),
-                         scan=False, ir=True, ir_assert=False)
+                         scan=False, ir=True, ir_assert=False, pipe=False)
     r64.pop("_ctx", None)
     out = {
         "f64_nx": nx,
         "f64_ne": r64["ne"],
         "f64_asm_elts_per_sec": r64["asm_elts_per_sec"],
-        "f64_pipe_elts_per_sec": r64["pipe_elts_per_sec"],
         "f64_cg50_rel_residual": r64["cg50_rel_residual"],
         "f64_converged_pipe_elts_per_sec":
             r64.get("converged_pipe_elts_per_sec"),
@@ -885,12 +893,11 @@ def main():
         except Exception as e:
             return {"error": f"{type(e).__name__}: {e}"[:400]}
 
+    # Stage order: MG and high-order FIRST (f32 programs, fast remote
+    # compiles), native f64 LAST — its nx=48 assembly alone costs a ~950 s
+    # remote compile (measured 2026-08-20; f64 emulation bloats the HLO),
+    # and running it earlier starved the cheaper stages out of the budget.
     f64 = high = mg = None
-    if os.environ.get("BENCH_F64", "1") != "0":
-        f64 = _run_stage("f64", lambda: bench_f64_stage(nx, reps),
-                         180, 700.0)
-        _PARTIAL["f64_native"] = f64
-
     if os.environ.get("BENCH_MG", "1") != "0":
         mg = _run_stage("mg", lambda: bench_mg_solve(jnp.float32, nx, 2),
                         150, 600.0)
@@ -904,6 +911,11 @@ def main():
                 max(2, reps - 1), budget_left),
             150, 600.0)
         _PARTIAL["high_order"] = high
+
+    if os.environ.get("BENCH_F64", "1") != "0":
+        f64 = _run_stage("f64", lambda: bench_f64_stage(nx, reps),
+                         300, 1400.0)
+        _PARTIAL["f64_native"] = f64
 
     # ---- collect the concurrent CPU stages (bounded wait) ----------------
     _hb("collecting CPU subprocess stages")

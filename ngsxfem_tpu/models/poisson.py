@@ -1127,6 +1127,12 @@ class UnfittedPoisson:
                                  for t in range(S)]) for a in range(d)])
             lv.append(jnp.stack([llat[sl(dsps[t])].reshape(-1)
                                  for t in range(S)]))
+        # raw-sign element activity BEFORE the eps guard — the identity-row
+        # weights must follow the same raw sign convention as __init__ /
+        # active_dof_mask (moved-radius equality is tested bit-for-bit)
+        raw_neg = lv[0] < 0
+        for v in lv[1:]:
+            raw_neg = raw_neg | (v < 0)
         lv = eps_guard_list(lv)
         has_neg = lv[0] < 0
         has_pos = lv[0] > 0
@@ -1191,10 +1197,26 @@ class UnfittedPoisson:
                                    for ax in range(d))
                 V = V.at[tgt].add(s * mask)
 
-        flat = V.reshape(-1)
-        idv = 1.0 - self.active_dof_mask(lset_vertex).astype(vertices.dtype)
-        flat = flat.at[struct["diag_slots"]].add(idv)
-        return flat.reshape(n_off, struct["n"]), ncut
+        # identity rows for inactive dofs, LATTICE-NATIVE: a vertex dof is
+        # active iff some incident element has a negative vertex, i.e. the
+        # dilation of the per-type raw has_neg element lattices through the
+        # corner-displacement slices.  The dof-indexed twin
+        # (active_dof_mask + the diag_slots scatter) costs a 2.6M-index
+        # scatter-max per assembly, which serializes on TPU and halved the
+        # measured assembly rate (round-4 bench, 2026-08-20); 24 padded ORs
+        # + one dense add into the diagonal DIA row replace it exactly
+        # (diag_slots = idx0 * n + p puts dof i at V[idx0, vertex_pos(i)]).
+        act = None
+        for t in range(S):
+            nl = raw_neg[t].reshape((nx,) * d)
+            for c in range(nv):
+                dsp = disp(int(D[t, int(vperm[c])]))
+                pad = tuple((dsp[ax], 1 - dsp[ax]) for ax in range(d))
+                a = jnp.pad(nl, pad)
+                act = a if act is None else (act | a)
+        idx0 = int(np.searchsorted(offsets, 0))
+        V = V.at[idx0].add(1.0 - act.astype(vertices.dtype))
+        return V.reshape(n_off, struct["n"]), ncut
 
     def gp_flat_soa(self, vertices):
         """SoA closed-form ghost-penalty values, flat (i, j, f) stream
