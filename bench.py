@@ -842,6 +842,21 @@ def main():
     ctx = r32.pop("_ctx", None)
     _publish(r32)
 
+    # spawn the f64 stage CONCURRENT with the pallas/mg/high stages: the
+    # tunnel serves concurrent clients, and the ~950 s f64 assembly compile
+    # is server-side — overlapping it with the cheap f32 stages is the only
+    # way it fits the budget (sequential placement lost f64_native to the
+    # watchdog twice on 2026-08-20)
+    p_f64 = None
+    if (os.environ.get("BENCH_F64", "1") != "0"
+            and os.environ.get("BENCH_F64_MODE", "concurrent") != "inproc"):
+        _hb("spawning concurrent f64 stage subprocess")
+        env64 = dict(os.environ, BENCH_INNER_STAGE="f64",
+                     BENCH_STAGE_BUDGET=str(int(max(60.0, budget_left()))))
+        p_f64 = subprocess.Popen([sys.executable, os.path.abspath(__file__)],
+                                 env=env64, stdout=subprocess.PIPE,
+                                 stderr=subprocess.DEVNULL, text=True)
+
     pallas = None
     if os.environ.get("BENCH_PALLAS", "1") != "0" and ctx is not None \
             and budget_left() > 120:
@@ -912,7 +927,14 @@ def main():
             150, 600.0)
         _PARTIAL["high_order"] = high
 
-    if os.environ.get("BENCH_F64", "1") != "0":
+    if p_f64 is not None:
+        _hb("collecting concurrent f64 stage")
+        f64 = _collect(p_f64, max(10, budget_left() - 90))
+        if f64 is None:
+            f64 = {"error": "concurrent f64 stage did not complete "
+                            "within the bench budget"}
+        _PARTIAL["f64_native"] = f64
+    elif os.environ.get("BENCH_F64", "1") != "0":
         f64 = _run_stage("f64", lambda: bench_f64_stage(nx, reps),
                          300, 1400.0)
         _PARTIAL["f64_native"] = f64

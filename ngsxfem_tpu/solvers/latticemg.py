@@ -131,7 +131,20 @@ class LatticeDIAMG:
         d0 = jnp.diagonal(A0)
         A0 = A0 + jnp.diag(jnp.where(jnp.abs(d0) < 1e-30, 1.0, 0.0)
                            .astype(A0.dtype))
-        out["ainv0"] = jnp.linalg.inv(A0).astype(V0.dtype)
+        if hi and jax.default_backend() != "cpu":
+            # TPU LuDecomposition implements only F32/C64 (measured
+            # 2026-08-20: f64[2197,2197] inv fails the remote compile with
+            # HTTP 500).  Factorize in f32, then refine to f64 accuracy
+            # with Newton-Schulz X <- X(2I - A0 X): matmul-only, and f64
+            # matmuls ARE supported (emulated).  Three steps square the
+            # f32 residual twice over — far below the smoother's tolerance.
+            X = jnp.linalg.inv(A0.astype(jnp.float32)).astype(A0.dtype)
+            eye2 = 2.0 * jnp.eye(n0, dtype=A0.dtype)
+            for _ in range(3):
+                X = X @ (eye2 - A0 @ X)
+            out["ainv0"] = X.astype(V0.dtype)
+        else:
+            out["ainv0"] = jnp.linalg.inv(A0).astype(V0.dtype)
         return out
 
     # -- device pieces ------------------------------------------------------
