@@ -681,8 +681,12 @@ def Integrate(levelset_domain=None, cf=None, mesh=None, order=5,
 
             ew = np.asarray(out)
             ids = mesh.mat_of_el_np
+            # one entry per material in mesh.GetMaterials() order — the
+            # reference's region_wise output shape; declared-but-empty
+            # materials contribute 0.0 (mesh.material_ids() is exactly the
+            # id order GetMaterials() reports names in)
             return np.array([float(ew[ids == i].sum())
-                             for i in np.unique(ids)])
+                             for i in mesh.material_ids()])
         return out if element_wise else float(out)
     finally:
         if deformation is not None:

@@ -168,12 +168,20 @@ class Mesh:
         self.boundary_facets_np = np.nonzero(f2e[:, 1] < 0)[0].astype(np.int32)
 
     # -- material regions ----------------------------------------------------
+    def material_ids(self):
+        """Ascending material ids: every id carried by an element PLUS every
+        id declared in ``mat_names`` (NGSolve lists declared-but-empty
+        materials too — region_wise output is indexed by this order)."""
+        ids = set(int(i) for i in np.unique(self.mat_of_el_np))
+        ids |= set(int(i) for i in self.mat_names)
+        return sorted(ids)
+
     def GetMaterials(self):
         """Material names in ascending id order (unnamed ids get
-        ``"mat<i>"``), NGSolve ``mesh.GetMaterials()`` analog."""
-        ids = np.unique(self.mat_of_el_np)
-        return tuple(self.mat_names.get(int(i), f"mat{int(i)}")
-                     for i in ids)
+        ``"mat<i>"``), NGSolve ``mesh.GetMaterials()`` analog; includes
+        declared-but-empty materials."""
+        return tuple(self.mat_names.get(i, f"mat{i}")
+                     for i in self.material_ids())
 
     def Materials(self, pattern):
         """Element :class:`Region` of the materials whose name fully
@@ -181,9 +189,8 @@ class Mesh:
         unions)."""
         import re
 
-        ids = np.unique(self.mat_of_el_np)
-        names = {int(i): self.mat_names.get(int(i), f"mat{int(i)}")
-                 for i in ids}
+        names = {i: self.mat_names.get(i, f"mat{i}")
+                 for i in self.material_ids()}
         sel = [i for i, nm in names.items() if re.fullmatch(pattern, nm)]
         mask = np.isin(self.mat_of_el_np, np.asarray(sel, dtype=np.int32))
         return Region(self, mask, [names[i] for i in sel])

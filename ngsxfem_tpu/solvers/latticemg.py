@@ -105,12 +105,19 @@ class LatticeDIAMG:
                     for m in self.if_np])
         return p
 
-    def prepare(self, params):
+    def prepare(self, params, force_ns=False):
         """Jacobi diagonals + the device-resident coarse dense inverse —
         jit-safe, call once per assembled hierarchy.  The inverse is
         computed in f64 when x64 is enabled (the coarse cut system's
         conditioning overwhelms an f32 factorization — mg.prepare_host's
-        rationale), then stored at solve precision."""
+        rationale), then stored at solve precision.
+
+        ``out["ainv0_res"]`` reports ``||I - A0 @ ainv0||_inf`` (at the
+        factorization dtype, BEFORE the cast to solve precision) so callers
+        can detect a garbage inverse; :meth:`prepare_safe` is the host-level
+        wrapper that falls back to a CPU f64 inverse when it is large.
+        ``force_ns=True`` exercises the Newton-Schulz branch on any backend
+        (test hook for the TPU-only path)."""
         out = dict(params)
         out["dinv"] = []
         for l in range(self.nlevels):
@@ -131,20 +138,74 @@ class LatticeDIAMG:
         d0 = jnp.diagonal(A0)
         A0 = A0 + jnp.diag(jnp.where(jnp.abs(d0) < 1e-30, 1.0, 0.0)
                            .astype(A0.dtype))
-        if hi and jax.default_backend() != "cpu":
+        def _resid(X):
+            # ||I - A0 X||_inf at factorization dtype: n0~2k makes this a
+            # cheap matmul next to the inverse itself
+            E = jnp.eye(n0, dtype=A0.dtype) - jnp.matmul(
+                A0, X, precision=jax.lax.Precision.HIGHEST)
+            return jnp.max(jnp.abs(E))
+
+        if force_ns or (hi and jax.default_backend() != "cpu"):
             # TPU LuDecomposition implements only F32/C64 (measured
             # 2026-08-20: f64[2197,2197] inv fails the remote compile with
             # HTTP 500).  Factorize in f32, then refine to f64 accuracy
             # with Newton-Schulz X <- X(2I - A0 X): matmul-only, and f64
             # matmuls ARE supported (emulated).  Three steps square the
-            # f32 residual twice over — far below the smoother's tolerance.
+            # f32 residual twice over — far below the smoother's tolerance
+            # WHEN the seed satisfies ||I - A0 X0|| < 1; beyond that
+            # (cond(A0) >~ 1e7 for an f32 seed) each step AMPLIFIES the
+            # error as r^2, so every step is accepted only if it reduces
+            # the true residual (monotone safeguard), and the final
+            # residual is reported for prepare_safe's host fallback.
             X = jnp.linalg.inv(A0.astype(jnp.float32)).astype(A0.dtype)
             eye2 = 2.0 * jnp.eye(n0, dtype=A0.dtype)
+            rX = _resid(X)
             for _ in range(3):
-                X = X @ (eye2 - A0 @ X)
+                X2 = X @ (eye2 - A0 @ X)
+                r2 = _resid(X2)
+                better = r2 < rX
+                X = jnp.where(better, X2, X)
+                rX = jnp.where(better, r2, rX)
             out["ainv0"] = X.astype(V0.dtype)
+            out["ainv0_res"] = rX
         else:
-            out["ainv0"] = jnp.linalg.inv(A0).astype(V0.dtype)
+            X = jnp.linalg.inv(A0)
+            out["ainv0"] = X.astype(V0.dtype)
+            out["ainv0_res"] = _resid(X)
+        return out
+
+    def prepare_safe(self, params, res_tol=1e-3, _jit=True, force_ns=False):
+        """Host-level guarded :meth:`prepare`: runs the jitted device
+        prepare, reads back the coarse-inverse residual (one scalar D2H),
+        and on failure (NaN or ``> res_tol`` — an f32 seed overwhelmed by
+        the coarse cut system's conditioning) recomputes the coarse dense
+        inverse in f64 on the HOST and substitutes it.  Use this from
+        library code paths; benchmarks time the raw jitted ``prepare``."""
+        prep = lambda p: self.prepare(p, force_ns=force_ns)
+        fn = jax.jit(prep) if _jit else prep
+        out = fn(params)
+        res = float(out["ainv0_res"])
+        if np.isfinite(res) and res <= res_tol:
+            return out
+        # host f64 fallback: densify the coarse DIA table in numpy
+        V0 = np.asarray(params["vals"][0], dtype=np.float64)
+        n0 = V0.shape[1]
+        A0 = np.zeros((n0, n0))
+        r = np.arange(n0)
+        for k, o in enumerate(self.offsets[0]):
+            c = r + o
+            valid = (c >= 0) & (c < n0)
+            A0[r[valid], c[valid]] += V0[k][valid]
+        A0 = 0.5 * (A0 + A0.T)
+        d0 = np.diagonal(A0)
+        A0[np.abs(d0) < 1e-30, np.abs(d0) < 1e-30] = 1.0
+        X = np.linalg.inv(A0)
+        out = dict(out)
+        out["ainv0"] = jnp.asarray(
+            X, dtype=jnp.asarray(params["vals"][0]).dtype)
+        out["ainv0_res"] = jnp.asarray(
+            np.max(np.abs(np.eye(n0) - A0 @ X)))
+        out["ainv0_host_fallback"] = True
         return out
 
     # -- device pieces ------------------------------------------------------

@@ -106,3 +106,66 @@ def test_latticemg_cg_converges_and_beats_jacobi(hierarchy):
 def test_latticemg_rejects_non_nesting():
     with pytest.raises(ValueError):
         LatticeDIAMG([[0], [0]], [5, 10], dim=3)
+
+
+def _dense_dia(A):
+    """Full DIA value table (all 2n-1 offsets) for a dense matrix A,
+    matching prepare()'s convention V[k][i] = A[i, i+offset]."""
+    n = A.shape[0]
+    offs = list(range(-(n - 1), n))
+    V = np.zeros((len(offs), n))
+    for k, o in enumerate(offs):
+        i = np.arange(max(0, -o), min(n, n - o))
+        V[k][i] = A[i, i + o]
+    return offs, V
+
+
+def test_newton_schulz_guard_and_host_fallback():
+    """The TPU-only Newton-Schulz coarse-inverse branch (force_ns=True runs
+    it on CPU): on a well-conditioned operator it converges to f64 accuracy;
+    on a coarse system beyond f32 conditioning the monotone safeguard keeps
+    the reported residual honest (no silent r^8 blow-up) and prepare_safe
+    substitutes the host f64 inverse (advisor round-4 medium finding)."""
+    # well-conditioned: Newton-Schulz refines the f32 seed to ~f64 accuracy
+    n = 65
+    L = (np.diag(2.0 * np.ones(n)) + np.diag(-np.ones(n - 1), 1)
+         + np.diag(-np.ones(n - 1), -1))
+    mg3 = LatticeDIAMG([[-1, 0, 1]], [n], dim=1)
+    sub = np.zeros(n)
+    sub[1:] = np.diagonal(L, -1)
+    sup = np.zeros(n)
+    sup[:-1] = np.diagonal(L, 1)
+    vals = np.stack([sub, np.diagonal(L).copy(), sup])
+    pg = mg3.prepare(mg3.params([vals], dtype=jnp.float64), force_ns=True)
+    assert float(pg["ainv0_res"]) < 1e-8
+    x = np.asarray(pg["ainv0"]) @ (L @ np.ones(n))
+    assert np.allclose(x, np.ones(n), atol=1e-6)
+
+    # Hilbert matrix n=9: cond ~ 5e11, far beyond an f32 factorization —
+    # the seed has ||I - A0 X0|| >> 1 and Newton-Schulz DIVERGES; the
+    # monotone guard must report that instead of silently amplifying
+    nh = 9
+    H = 1.0 / (np.arange(nh)[:, None] + np.arange(nh)[None, :] + 1.0)
+    offs, Vh = _dense_dia(H)
+    mgh = LatticeDIAMG([offs], [nh], dim=1)
+    params_bad = mgh.params([Vh], dtype=jnp.float64)
+    pb = mgh.prepare(params_bad, force_ns=True)
+    assert not (float(pb["ainv0_res"]) < 1e-3), float(pb["ainv0_res"])
+
+    # prepare_safe detects the bad residual and falls back to host f64
+    ps = mgh.prepare_safe(params_bad, force_ns=True)
+    assert ps.get("ainv0_host_fallback") is True
+    assert float(ps["ainv0_res"]) < 1e-3
+    # the host-f64 inverse solves to f64-factorization accuracy
+    xe = np.sin(np.arange(nh))
+    x = np.asarray(ps["ainv0"]) @ (H @ xe)
+    assert np.linalg.norm(x - xe) / np.linalg.norm(xe) < 1e-2
+
+
+def test_prepare_safe_no_fallback_on_good_system(hierarchy):
+    """prepare_safe on the real hierarchy keeps the device inverse."""
+    levs, mg, _ = hierarchy
+    params = mg.params([lv[2] for lv in levs], dtype=jnp.float64)
+    pp = mg.prepare_safe(params)
+    assert "ainv0_host_fallback" not in pp
+    assert float(pp["ainv0_res"]) < 1e-3

@@ -487,6 +487,35 @@ def test_integrate_region_wise_default_mesh():
     assert abs(float(np.sum(np.asarray(vols))) - 1.0) < 1e-12
 
 
+def test_integrate_region_wise_multi_material():
+    """Multi-material region_wise: one entry per material in
+    mesh.GetMaterials() order — including SPARSE material ids and a
+    declared-but-empty material, which must yield a 0.0 entry instead of
+    being dropped (advisor round-4 finding)."""
+    import numpy as np
+
+    from ngsxfem_tpu import MakeStructured2DMesh, Integrate, x
+
+    mesh = MakeStructured2DMesh(quads=False, nx=4, ny=4)
+    cent = mesh.vertices_np[mesh.elements_np].mean(axis=1)
+    mesh.mat_of_el_np = np.where(cent[:, 0] < 0.5, 1, 3).astype(np.int32)
+    mesh.mat_names = {1: "left", 3: "right", 5: "ghost"}
+    assert mesh.GetMaterials() == ("left", "right", "ghost")
+
+    vols = np.asarray(Integrate(cf=1.0, mesh=mesh, order=1,
+                                region_wise=True))
+    assert vols.shape == (3,)
+    assert np.allclose(vols, [0.5, 0.5, 0.0], atol=1e-12)
+
+    # asymmetric integrand pins the ORDER (left != right)
+    mom = np.asarray(Integrate(cf=x, mesh=mesh, order=2, region_wise=True))
+    assert np.allclose(mom, [0.125, 0.375, 0.0], atol=1e-12)
+
+    # Materials() regex selection sees the declared-but-empty region too
+    assert mesh.Materials("ghost").Mask().sum() == 0
+    assert mesh.Materials("left|right").Mask().sum() == mesh.ne
+
+
 def test_standalone_vec_setitem():
     """CreateVector() vectors accept slice assignment (NGSolve out-parameter
     convention used by P2TwoGridCL.Mult(rhs, usol))."""
