@@ -206,16 +206,58 @@ _SUBDIV_COUNT_CACHE = {}
 _SUBDIV_CAP_CACHE = {}
 
 
+def _child_tables(et, lvl):
+    """Host tables for the depth-1 second-tier compaction of the banded
+    ``subdivlvl`` path (the reference prunes uncut sub-simplices at EVERY
+    recursion depth, cutint/xdecompose.hpp:34-87; this restores the depth-1
+    prune as a capacity compaction on top of the depth-0 element band).
+
+    ``subdivision_tables`` builds the level-``lvl`` descendants by
+    depth-first refinement, so the descendants of depth-1 child ``c`` are
+    exactly rows ``[c*g, (c+1)*g)`` of ``subs`` in the order of
+    ``subdivision_tables(et, 1)``'s children.
+
+    Returns (lattice, subs, child_pts (nchild, L) padded lattice-point sets
+    per child, subs_by_child (nchild, g, d+1), desc_pts (nsub, nq_dummy=—)
+    handled by caller, nchild, g, child_of_desc (nsub,)).
+    """
+    import numpy as np
+
+    from .ops.subdivide import subdivision_tables
+
+    lattice, subs = subdivision_tables(et, lvl)
+    _, subs1 = subdivision_tables(et, 1)
+    nchild = subs1.shape[0]
+    nsub = subs.shape[0]
+    assert nsub % nchild == 0, (nsub, nchild)
+    g = nsub // nchild
+    sets = [np.unique(subs[c * g:(c + 1) * g]) for c in range(nchild)]
+    L = max(len(s) for s in sets)
+    child_pts = np.stack([np.pad(s, (0, L - len(s)), mode="edge")
+                          for s in sets]).astype(np.int32)
+    subs_by_child = subs.reshape(nchild, g, subs.shape[1])
+    child_of_desc = np.repeat(np.arange(nchild, dtype=np.int32), g)
+    return lattice, subs, child_pts, subs_by_child, nchild, g, child_of_desc
+
+
 def _subdiv_capacity(mesh, levelset, lvl):
-    """Host-side interface-band capacity for the banded ``subdivlvl`` path:
-    count of elements whose (eps-guarded) subdivision-lattice level-set
-    values change sign — the interval test of the reference's
-    ``Simplex::CheckIfCut`` (cutint/xdecompose.hpp:34-87) at element
-    granularity — bucketed to the next power of two so a MOVING level set
-    keeps its compiled signature until the band doubles (same contract as
-    forms.assemble._cut_capacity).  One jitted count program + one D2H int
-    per (mesh, level set CF, lvl) signature; re-counted only when the CF's
-    dynamic arrays change."""
+    """Host-side capacities for the banded ``subdivlvl`` path, as the pair
+    ``(cap_elements, cap_children)``:
+
+    * ``cap_elements`` — count of elements whose (eps-guarded)
+      subdivision-lattice level-set values change sign — the interval test
+      of the reference's ``Simplex::CheckIfCut``
+      (cutint/xdecompose.hpp:34-87) at element granularity;
+    * ``cap_children`` — count of MIXED depth-1 children within those
+      elements (the second-tier compaction: the reference prunes at every
+      recursion depth; children that are sign-uniform over their own
+      lattice points take plain rules and skip the cut kernel).
+
+    Both bucketed to the next power of two so a MOVING level set keeps its
+    compiled signature until the band doubles (same contract as
+    forms.assemble._cut_capacity).  One jitted count program + one D2H
+    read per (mesh, level set CF, lvl) signature; re-counted only when the
+    CF's dynamic arrays change."""
     import math
 
     from .jitcache import (DynSlots, cf_signature, mesh_signature,
@@ -224,7 +266,7 @@ def _subdiv_capacity(mesh, levelset, lvl):
     slots = DynSlots()
     register_mesh_dynamics(mesh, slots)
     lcf = wrap(levelset)
-    sig = (mesh_signature(mesh), cf_signature(lcf, slots), int(lvl))
+    sig = (mesh_signature(mesh), cf_signature(lcf, slots), int(lvl), "v2")
     arrays = slots.arrays()
     ids = tuple(id(a) for a in arrays)
     hit = _SUBDIV_CAP_CACHE.get(sig)
@@ -233,10 +275,10 @@ def _subdiv_capacity(mesh, levelset, lvl):
     fn = _SUBDIV_COUNT_CACHE.get(sig)
     if fn is None:
         from .ops.straightcut import eps_guard
-        from .ops.subdivide import subdivision_tables
 
-        lattice, _ = subdivision_tables(mesh.et, lvl)
+        lattice, _, child_pts, _, _, _, _ = _child_tables(mesh.et, lvl)
         latj = jnp.asarray(lattice, dtype=config.dtype)
+        cpts = jnp.asarray(child_pts)
         mesh_c, slots_c, lcf_c = mesh, slots, lcf
 
         def _count(*arrs):
@@ -248,42 +290,61 @@ def _subdiv_capacity(mesh, levelset, lvl):
             vals = eps_guard(jnp.broadcast_to(
                 eval_pure(lcf_c, ctxL), (E, lattice.shape[0])))
             mixed = (vals < 0).any(1) & (vals > 0).any(1)
-            return jnp.sum(mixed)
+            cvals = vals[:, cpts]  # (E, nchild, L)
+            cmixed = ((cvals < 0).any(2) & (cvals > 0).any(2)
+                      & mixed[:, None])
+            return jnp.sum(mixed), jnp.sum(cmixed)
 
         fn = jax.jit(_count)
         _SUBDIV_COUNT_CACHE[sig] = fn
-    ncut = int(fn(*arrays))
-    cap = 1 << max(6, math.ceil(math.log2(max(1, int(ncut * 1.3) + 16))))
-    cap = min(cap, mesh.ne)
-    _SUBDIV_CAP_CACHE[sig] = (ids, cap)
-    return cap
+    ncut, nchild_cut = (int(v) for v in fn(*arrays))
+
+    def _bucket(n, lo, hi):
+        c = 1 << max(lo, math.ceil(math.log2(max(1, int(n * 1.3) + 16))))
+        return min(c, hi)
+
+    _, _, child_pts, _, nchild, _, _ = _child_tables(mesh.et, lvl)
+    caps = (_bucket(ncut, 6, mesh.ne),
+            _bucket(nchild_cut, 7, mesh.ne * nchild))
+    _SUBDIV_CAP_CACHE[sig] = (ids, caps)
+    return caps
 
 
 def _subdiv_tiers(mesh, levelset, domain_type, order, lvl, cap, dyn=None,
                   deformation="inherit"):
-    """Banded two-tier ``subdivlvl>0`` quadrature (the reference legacy
+    """Banded THREE-tier ``subdivlvl>0`` quadrature (the reference legacy
     engine's PRUNED work profile, cutint/xintegration.cpp:738-852 /
-    xdecompose.hpp:34-87, as a fixed-capacity compaction):
+    xdecompose.hpp:34-87, as fixed-capacity compactions):
 
     * tier 1 — elements whose lattice values are sign-uniform of the
       requested side take the element's PLAIN ``order`` rule — exactly the
       reference's depth-0 pruning (``MakeQuadRule``: ``CheckIfCut`` false
       -> plain rule, cutint/xintegration.cpp), with zero subdivision work
       (nq points instead of nsub*nq);
-    * tier 2 — elements whose lattice values mix signs are gathered into a
-      capacity-``cap`` batch and ONLY those run the subdivision cut kernel.
+    * tier 2 — within the capacity-``cap[0]`` band, DESCENDANTS belonging
+      to sign-uniform depth-1 children take their affine-mapped plain
+      rules (same points/weights the cut kernel would emit for an uncut
+      simplex, at none of its decomposition cost) — the reference's
+      depth-1 ``CheckIfCut`` prune;
+    * tier 3 — only the MIXED depth-1 children (compacted to capacity
+      ``cap[1]`` over (element, child) pairs) run their ``g`` descendants
+      through the subdivision cut kernel.
 
     Capacity overflow poisons the weights with NaN (loud failure), as in
     the two-tier assembly path.  Yields (ctx, w_phys, mask, elem_ids) tiers
-    for a ``_two_tier_integrate``-style accumulation."""
+    for a ``_two_tier_integrate``-style accumulation (duplicate elem_ids
+    across children accumulate via scatter-add)."""
+    import numpy as np
+
     from .ops.gauss import reference_rule
     from .ops.straightcut import cut_rule_simplices, eps_guard
-    from .ops.subdivide import subdivision_tables
 
+    cap_e, cap_c = cap if isinstance(cap, tuple) else (cap, None)
     dt = DOMAIN_TYPE(int(domain_type))
     d = mesh.dim
     E = mesh.ne
-    lattice, subs = subdivision_tables(mesh.et, lvl)
+    (lattice, subs, child_pts, subs_by_child, nchild, g,
+     child_of_desc) = _child_tables(mesh.et, lvl)
     latj = jnp.asarray(lattice, dtype=config.dtype)
     ctxL = EvalCtx(mesh, jnp.broadcast_to(latj[None], (E,) + lattice.shape),
                    dyn=dyn, deformation=deformation)
@@ -293,34 +354,96 @@ def _subdiv_tiers(mesh, levelset, domain_type, order, lvl, cap, dyn=None,
     pos_any = (vals > 0).any(1)
     mixed = neg_any & pos_any
     nmix = jnp.sum(mixed)
-    poison = jnp.where(nmix <= cap, 1.0, jnp.nan).astype(config.dtype)
+    poison = jnp.where(nmix <= cap_e, 1.0, jnp.nan).astype(config.dtype)
 
+    cp, cw = reference_rule("trig" if d == 2 else "tet", order) \
+        if mesh.et in ("quad", "hex") else reference_rule(mesh.et, order)
     tiers = []
     if dt != IF:
-        cp, cw = reference_rule(mesh.et, order)
-        cpj = jnp.asarray(cp, dtype=config.dtype)
-        cwj = jnp.asarray(cw, dtype=config.dtype)
-        ctx1 = EvalCtx(mesh, jnp.broadcast_to(cpj[None], (E,) + cp.shape),
+        cpe, cwe = reference_rule(mesh.et, order)
+        cpj = jnp.asarray(cpe, dtype=config.dtype)
+        cwj = jnp.asarray(cwe, dtype=config.dtype)
+        ctx1 = EvalCtx(mesh, jnp.broadcast_to(cpj[None], (E,) + cpe.shape),
                        dyn=dyn, deformation=deformation)
         sel1 = (~mixed) & (neg_any if dt == NEG else pos_any)
         w1 = (jnp.where(sel1[:, None], cwj[None, :], 0.0)
               * jnp.abs(ctx1.detJ) * poison)
         tiers.append((ctx1, w1, sel1[:, None] & (cwj > 0)[None, :], None))
 
-    sel = jnp.nonzero(mixed, size=cap, fill_value=0)[0]
-    validc = jnp.arange(cap) < nmix
+    sel = jnp.nonzero(mixed, size=cap_e, fill_value=0)[0]
+    validc = jnp.arange(cap_e) < nmix
     nsub = subs.shape[0]
-    coords = jnp.asarray(lattice[subs], dtype=config.dtype)
-    coords_b = jnp.broadcast_to(coords[None], (cap, nsub, d + 1, d)).reshape(
-        cap * nsub, d + 1, d)
-    svals = vals[sel][:, jnp.asarray(subs)].reshape(cap * nsub, d + 1)
-    r = cut_rule_simplices(coords_b, svals, d, order)
-    merge = lambda a: a.reshape(cap, nsub * a.shape[1], *a.shape[2:])
-    ctx2, w2, m2 = _rule_ctx_weights(
+
+    # per-child mixedness over the child's OWN lattice points (conservative
+    # superset of the reference's vertex-sign CheckIfCut at depth 1)
+    cvals = vals[sel][:, jnp.asarray(child_pts)]      # (cap_e, nchild, L)
+    child_mixed = (cvals < 0).any(2) & (cvals > 0).any(2)
+
+    if cap_c is None:
+        # legacy single cut tier over the whole band (all descendants)
+        coords = jnp.asarray(lattice[subs], dtype=config.dtype)
+        coords_b = jnp.broadcast_to(
+            coords[None], (cap_e, nsub, d + 1, d)).reshape(
+            cap_e * nsub, d + 1, d)
+        svals = vals[sel][:, jnp.asarray(subs)].reshape(cap_e * nsub, d + 1)
+        r = cut_rule_simplices(coords_b, svals, d, order)
+        merge = lambda a: a.reshape(cap_e, nsub * a.shape[1], *a.shape[2:])
+        ctx2, w2, m2 = _rule_ctx_weights(
+            mesh, dt, merge(r.pts), merge(r.w), merge(r.side),
+            merge(r.pts_if), merge(r.w_if), merge(r.nref), dyn, deformation,
+            elem_ids=sel)
+        w2 = w2 * jnp.where(validc, 1.0, 0.0)[:, None] * poison
+        tiers.append((ctx2, w2, m2 & validc[:, None], sel))
+        return tiers
+
+    nmix2 = jnp.sum(child_mixed & validc[:, None])
+    poison2 = jnp.where(nmix2 <= cap_c, 1.0, jnp.nan).astype(config.dtype)
+
+    if dt != IF:
+        # tier 2: plain mapped rules on descendants of UNMIXED children —
+        # statically precomputed points/weights per descendant simplex
+        nq = cp.shape[0]
+        v0 = lattice[subs][:, 0]                      # (nsub, d)
+        M = lattice[subs][:, 1:] - v0[:, None]        # (nsub, d, d)
+        desc_pts = v0[:, None, :] + np.einsum("qk,skd->sqd", cp, M)
+        detM = np.abs(np.linalg.det(M))               # (nsub,)
+        w_desc = cw[None, :] * detM[:, None]          # (nsub, nq)
+        pts_p = jnp.asarray(desc_pts.reshape(1, nsub * nq, d),
+                            dtype=config.dtype)
+        ctxp = EvalCtx(mesh, jnp.broadcast_to(pts_p,
+                                              (cap_e, nsub * nq, d)),
+                       dyn=dyn, deformation=deformation, elem_ids=sel)
+        dvals = vals[sel][:, jnp.asarray(subs)]       # (cap_e, nsub, d+1)
+        desc_side = ((dvals < 0).all(2) if dt == NEG
+                     else (dvals > 0).all(2))         # (cap_e, nsub)
+        in_unmixed = ~child_mixed[:, jnp.asarray(child_of_desc)]
+        selp = desc_side & in_unmixed & validc[:, None]
+        w_p = (jnp.where(selp[:, :, None],
+                         jnp.asarray(w_desc, dtype=config.dtype)[None],
+                         0.0).reshape(cap_e, nsub * nq)
+               * jnp.abs(ctxp.detJ) * poison * poison2)
+        m_p = (selp[:, :, None]
+               & (jnp.asarray(cw) > 0)[None, None, :]).reshape(
+            cap_e, nsub * nq)
+        tiers.append((ctxp, w_p, m_p, sel))
+
+    # tier 3: compacted MIXED children -> cut kernel on their descendants
+    flat = (child_mixed & validc[:, None]).reshape(-1)
+    selc = jnp.nonzero(flat, size=cap_c, fill_value=0)[0]
+    valid2 = jnp.arange(cap_c) < nmix2
+    e2 = sel[selc // nchild]
+    c2 = selc % nchild
+    sbc = jnp.asarray(subs_by_child)                  # (nchild, g, d+1)
+    svals2 = vals[e2[:, None, None], sbc[c2]]         # (cap_c, g, d+1)
+    coords2 = latj[sbc[c2]]                           # (cap_c, g, d+1, d)
+    r = cut_rule_simplices(coords2.reshape(cap_c * g, d + 1, d),
+                           svals2.reshape(cap_c * g, d + 1), d, order)
+    merge = lambda a: a.reshape(cap_c, g * a.shape[1], *a.shape[2:])
+    ctx3, w3, m3 = _rule_ctx_weights(
         mesh, dt, merge(r.pts), merge(r.w), merge(r.side), merge(r.pts_if),
-        merge(r.w_if), merge(r.nref), dyn, deformation, elem_ids=sel)
-    w2 = w2 * jnp.where(validc, 1.0, 0.0)[:, None] * poison
-    tiers.append((ctx2, w2, m2 & validc[:, None], sel))
+        merge(r.w_if), merge(r.nref), dyn, deformation, elem_ids=e2)
+    w3 = w3 * jnp.where(valid2, 1.0, 0.0)[:, None] * poison * poison2
+    tiers.append((ctx3, w3, m3 & valid2[:, None], e2))
     return tiers
 
 
