@@ -982,6 +982,13 @@ def main():
             if proxy and proxy.get("pipeline_elts_per_sec"):
                 _PARTIAL["vs_cpu_proxy"] = round(
                     val / proxy["pipeline_elts_per_sec"], 3)
+        if proxy and proxy.get("elts_per_sec") \
+                and _PARTIAL.get("assembly_elts_per_sec"):
+            # assembly-ONLY vs the C++ proxy's assembly-only rate (the
+            # BASELINE.json literal metric; PERFORMANCE.md carries the
+            # roofline verdict on this number)
+            _PARTIAL["vs_cpu_proxy_assembly"] = round(
+                _PARTIAL["assembly_elts_per_sec"] / proxy["elts_per_sec"], 3)
         for src, dst in (("pipe_elts_per_sec", "percall_pipe_elts_per_sec"),
                          ("asm_elts_per_sec", "assembly_elts_per_sec"),
                          ("solve_iters_per_sec", "solve_iters_per_sec"),

@@ -115,6 +115,14 @@ class _Config:
         # forces the uniform full-table path)
         self.banded_subdiv = os.environ.get(
             "NGSXFEM_TPU_BANDED_SUBDIV", "1") != "0"
+        # second-tier compaction inside the band: descendants of
+        # sign-uniform depth-1 children take plain mapped rules and only
+        # MIXED children run the cut kernel (the reference's per-depth
+        # pruning restored at depth 1, cutint/xdecompose.hpp:34-87);
+        # NGSXFEM_TPU_SUBDIV_DEPTH1=0 falls back to the whole-band cut
+        # kernel (round-4 behavior)
+        self.subdiv_depth1_prune = os.environ.get(
+            "NGSXFEM_TPU_SUBDIV_DEPTH1", "1") != "0"
         # emit jax.debug.print diagnostics when fixed-iteration Newton
         # searches (facet-patch neighbor map, shifted_eval) fail to converge
         # and fall back; off by default because debug callbacks force

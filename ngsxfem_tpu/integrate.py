@@ -719,6 +719,9 @@ def Integrate(levelset_domain=None, cf=None, mesh=None, order=5,
                     # signature stable under a moving level set)
                     subdiv_cap = _subdiv_capacity(mesh, ld["levelset"],
                                                   ld["subdivlvl"])
+                    if not config.subdiv_depth1_prune:
+                        # whole-band cut kernel (no depth-1 compaction)
+                        subdiv_cap = (subdiv_cap[0], None)
                     dom_key = dom_key + ("cap", subdiv_cap)
             else:
                 # cache the P1 interpolant ON the CF itself when no other

@@ -101,20 +101,28 @@ def subdiv_ab(nx=32, lvl=2, order=2):
     ls = sqrt((x - .5) ** 2 + (y - .5) ** 2 + (z - .5) ** 2) - 0.4
     ld = {"levelset": ls, "domain_type": NEG, "subdivlvl": lvl}
     out = {}
-    for banded in (True, False):
+    modes = (("banded+d1", True, True), ("banded-d0", True, False),
+             ("uniform  ", False, False))
+    for name, banded, d1 in modes:
         config.banded_subdiv = banded
+        config.subdiv_depth1_prune = d1
         try:
             v = Integrate(ld, cf=1.0, mesh=mesh, order=order)  # compile
             t = timeit(lambda: Integrate(ld, cf=1.0, mesh=mesh, order=order),
                        reps=3)
         finally:
             config.banded_subdiv = True
-        out[banded] = (t, v)
-        print(f"  subdiv lvl={lvl} nx={nx} {'banded ' if banded else 'uniform'}"
+            config.subdiv_depth1_prune = True
+        out[banded, d1] = (t, v)
+        print(f"  subdiv lvl={lvl} nx={nx} {name}"
               f": {t*1e3:8.1f} ms  val={v:.8f}")
-    tb, vb = out[True]
-    tu, vu = out[False]
-    print(f"  banded speedup {tu/tb:.2f}x, |banded-uniform| = {abs(vb-vu):.2e}")
+    tb, vb = out[True, True]
+    tb0, vb0 = out[True, False]
+    tu, vu = out[False, False]
+    print(f"  banded+depth1 speedup {tu/tb:.2f}x vs uniform, "
+          f"{tb0/tb:.2f}x vs whole-band cut tier (r4 banded); "
+          f"|banded-uniform| = {abs(vb-vu):.2e}, "
+          f"|d1-d0| = {abs(vb-vb0):.2e}")
     # tier-1 takes the plain rule (the reference's depth-0 pruning), so
     # agreement is quadrature-exactness + dtype roundoff, not bitwise
     eps = float(np.finfo(np.dtype(config.dtype)).eps)
