@@ -723,22 +723,27 @@ def bench_onchip_stage(nx, reps, stage_left, inner_partial, prebuild, t0s):
     ctx = r32.pop("_ctx", None)
     pub(r32)
 
-    if os.environ.get("BENCH_PALLAS", "1") != "0" and ctx is not None \
-            and stage_left() > 100:
-        _hb("fused Pallas PCG stage (real silicon)")
-        try:
-            pallas = bench_pallas_cg(ctx, max(2, reps - 1))
-        except Exception as e:
-            pallas = {"error": f"{type(e).__name__}: {e}"[:400]}
-        em({"pallas_cg": pallas})
-
-    if os.environ.get("BENCH_MG", "1") != "0" and stage_left() > 120:
+    # MG BEFORE pallas: the lattice-MG / Jacobi-CG / cg_ir crossover is the
+    # one field three rounds of verdicts demanded; on a slow-tunnel day
+    # (2026-08-20: entry sync 108 s, headline done t+443 vs t+196 in r4)
+    # only one of the two fits, and pallas numbers already landed in the
+    # committed rehearsal record (bench_partial.json, docs/PERFORMANCE.md)
+    if os.environ.get("BENCH_MG", "1") != "0" and stage_left() > 100:
         _hb("mg stage (warm process)")
         try:
             mg = bench_mg_solve(jnp.float32, nx, 2)
         except Exception as e:
             mg = {"error": f"{type(e).__name__}: {e}"[:400]}
         em({"mg_converged_solve": mg})
+
+    if os.environ.get("BENCH_PALLAS", "1") != "0" and ctx is not None \
+            and stage_left() > 80:
+        _hb("fused Pallas PCG stage (real silicon)")
+        try:
+            pallas = bench_pallas_cg(ctx, max(2, reps - 1))
+        except Exception as e:
+            pallas = {"error": f"{type(e).__name__}: {e}"[:400]}
+        em({"pallas_cg": pallas})
     return inner_partial
 
 
@@ -900,16 +905,29 @@ def main():
                 pass
             return None
 
-    p_cost = (_spawn([sys.executable, os.path.abspath(__file__)],
-                     "BENCH_INNER_COST")
-              if os.environ.get("BENCH_COST", "1") != "0" else None)
+    # the single-threaded C++ proxy runs FIRST and ALONE: on a 1-core host
+    # the concurrent children deflate it ~4x (2026-08-20 rehearsal: 9.9M
+    # elts/s contended vs 36.9M standalone), which would inflate every
+    # vs_cpu_proxy field — so its ~10 s measurement completes before
+    # anything else spawns (bounded wait; binary is cached)
     p_proxy = (_spawn([sys.executable,
                        os.path.join(_here, "tools", "baseline_cpu.py"),
                        str(nx)])
                if os.environ.get("BENCH_PROXY", "1") != "0" else None)
-    p_cpu = (_spawn([sys.executable, os.path.abspath(__file__)],
-                    "BENCH_INNER_CPUPIPE")
-             if os.environ.get("BENCH_CPU", "1") != "0" else None)
+    if p_proxy is not None:
+        _hb("measuring CPU proxy uncontended")
+        try:
+            p_proxy.wait(timeout=90)
+        except subprocess.TimeoutExpired:
+            pass
+    p_cost = (_spawn([sys.executable, os.path.abspath(__file__)],
+                     "BENCH_INNER_COST")
+              if os.environ.get("BENCH_COST", "1") != "0" else None)
+    # the host-XLA twin is spawned only AFTER the cost child lands: on a
+    # 1-core host the two starve each other and NEITHER finished in 700 s
+    # (2026-08-20 rehearsal: no cost_model => no mfu/roofline fields) — the
+    # cost model is a demanded headline field, the twin a nice-to-have
+    p_cpu = None
 
     cost = proxy = cpu = None
 
@@ -921,7 +939,7 @@ def main():
         Called from the main thread AND the onchip reader thread (via
         _publish) — serialized by a lock; the non-blocking flavor simply
         skips when another thread holds it."""
-        nonlocal cost, proxy, cpu
+        nonlocal cost, proxy, cpu, p_cpu
         if not _poll_lock.acquire(blocking=block_seconds != 0):
             return
         try:
@@ -943,6 +961,10 @@ def main():
                     cpu = r
                     if r:
                         _PARTIAL["cpu_xla_measured"] = r
+            if "cost" in _collected and p_cpu is None \
+                    and os.environ.get("BENCH_CPU", "1") != "0":
+                p_cpu = _spawn([sys.executable, os.path.abspath(__file__)],
+                               "BENCH_INNER_CPUPIPE")
         finally:
             _poll_lock.release()
 
