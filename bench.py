@@ -672,6 +672,16 @@ def bench_high_order(nx, orders, reps, budget_left, publish=None):
                                          M=lambda r_: dinv * r_,
                                          maxiter=CG_ITERS, tol=0.0))
             t_cg, (_, _, res) = _time(solve, b, reps=max(2, reps - 1))
+            # marginal per-iteration slope (4x iters, same launch/stream
+            # cost): the per-call figures are tunnel-launch-bound at this
+            # size, the slope is the honest on-chip matvec rate
+            marg = None
+            if budget_left() > 60:
+                solve4 = jax.jit(lambda b: cg(op.matvec, b,
+                                              M=lambda r_: dinv * r_,
+                                              maxiter=4 * CG_ITERS, tol=0.0))
+                t_cg4, _ = _time(solve4, b, reps=max(2, reps - 1))
+                marg = (t_cg4 - t_cg) / (3 * CG_ITERS)
             ne = mesh.ne
             out[f"order{order}"] = {
                 "nx": nx, "ne": ne, "ndof": Vh.ndof,
@@ -681,6 +691,9 @@ def bench_high_order(nx, orders, reps, budget_left, publish=None):
                 "matfree_cg50_seconds": t_cg,
                 "matfree_cg50_rel_residual":
                     float(res) / (float(jnp.linalg.norm(b)) or 1.0),
+                "matfree_marginal_iter_seconds": marg,
+                "matfree_amortized_elts_per_sec":
+                    (ne / marg if marg and marg > 0 else None),
                 "matfree_bytes": op.nbytes(),
                 "assembled_nnz_bytes": int(a.mat.vals.size
                                            * a.mat.vals.dtype.itemsize),
