@@ -16,7 +16,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh as DeviceMesh, PartitionSpec as P
-from jax.experimental.shard_map import shard_map
+from jax import shard_map
 
 from ..ops.straightcut import cut_rule_element
 from ..ops.gauss import ET_DIM
@@ -1625,7 +1625,7 @@ class UnfittedPoisson:
             in_specs=(P("e"), P("e"), P("e"), P("e"), P("e"), P("e"), P("e"),
                       P("e"), P("e"), P("e"), P(), P()),
             out_specs=(P("e"), P(), P()),
-            check_rep=False,  # x_sh/res are psum-replicated through the CG loop
+            check_vma=False,  # x_sh/res are psum-replicated through the CG loop
         )
         jstep = jax.jit(sharded)
         dt = self.dtype
