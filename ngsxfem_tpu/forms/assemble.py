@@ -1225,7 +1225,7 @@ class BilinearForm:
         _t.Stop(vals)
         return self
 
-    def AssembleOperator(self):
+    def AssembleOperator(self, lattice="auto"):
         """Matrix-free (partial-assembly) alternative to :meth:`Assemble`:
         runs the SAME compiled element-matrix program but returns a
         :class:`~ngsxfem_tpu.solvers.operator.PartialAssemblyOperator`
@@ -1237,8 +1237,17 @@ class BilinearForm:
         NGSolve's sparse matrix); this is the TPU-native 'partial assembly'
         operator path for high-order unfitted systems, where the batched
         ``(E, nd, nd) x (E, nd)`` contraction maps onto the MXU and the
-        element batch is the only storage."""
+        element batch is the only storage.
+
+        ``lattice``: ``"auto"`` (default) upgrades to the zero-gather
+        :class:`~ngsxfem_tpu.solvers.stencilop.LatticeStencilOperator`
+        when the space's dofs form a uniform channel lattice (structured
+        simplex mesh, any order); ``False`` forces the generic
+        partial-assembly apply; ``True`` raises if the lattice map does
+        not exist."""
         from ..solvers.operator import PartialAssemblyOperator
+        from ..solvers.stencilop import (LatticeStencilOperator,
+                                         lattice_dof_map)
 
         elmats, static_rc, _ = self._elmat_batches()
         parts = []
@@ -1252,6 +1261,17 @@ class BilinearForm:
                 dm_v = np.asarray(rc[0]).reshape(E_, ndv, ndu)[:, :, 0]
                 dm_u = np.asarray(rc[1]).reshape(E_, ndv, ndu)[:, 0, :]
                 parts.append((out_i, jnp.asarray(dm_v), jnp.asarray(dm_u)))
+        if lattice and self.space_v is self.space_u:
+            dofmap = lattice_dof_map(self.space_v)
+            if dofmap is not None:
+                return LatticeStencilOperator(
+                    parts, dofmap, self.space_v.ndof,
+                    parts[0][0].dtype if parts else config.dtype)
+            if lattice is True:
+                raise ValueError(
+                    "lattice=True but the space's dofs do not form a "
+                    "uniform channel lattice (unstructured mesh, curved "
+                    "map, or non-Lagrange space)")
         return PartialAssemblyOperator(
             parts, (self.space_v.ndof, self.space_u.ndof))
 
