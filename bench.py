@@ -1218,12 +1218,14 @@ def main():
         return fold
 
     def _maybe_spawn_extra():
-        # spawn once the HEADLINE is fully measured (IR landed or pallas
-        # started) — spawning at first-assembly time contended with the
-        # PCG/pipeline timings (rehearsal 2: solve_iters_per_sec halved)
+        # spawn once the HEADLINE amortized scan is measured — spawning at
+        # first-assembly time contended with the PCG/pipeline timings
+        # (rehearsal 2: solve_iters_per_sec halved), but waiting for IR+mg
+        # starves the children's own entry lottery on wedge days
+        # (rehearsal 3: entry took 4 tickets/275 s and the t+498 children
+        # got nothing; each child must win entry itself)
         nonlocal p_f64, p_high
-        if hard_left() < 120 or not (
-                "converged_solve" in _PARTIAL or "pallas_cg" in _PARTIAL):
+        if hard_left() < 120 or "scan_k" not in _PARTIAL:
             return
         if p_f64 is None and os.environ.get("BENCH_F64", "1") != "0":
             p_f64 = _spawn_stage("f64")
